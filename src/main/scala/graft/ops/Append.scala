@@ -1,0 +1,22 @@
+package graft.ops
+
+import graft.table.{DataFile, MetaStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Append new rows as immutable data files + a new snapshot. */
+object Append {
+
+  /**
+   * Write `df` under a fresh data dir (one parquet file per partition of
+   * `df` — callers size partitions for the target file size) and commit
+   * snapshot = parent entries + new entries.
+   */
+  def run(spark: SparkSession, store: MetaStore, df: DataFrame,
+          summary: Map[String, String] = Map.empty): Long = {
+    val dir = store.newDataDir("append")
+    df.write.mode("overwrite").parquet(dir)
+    val newEntries = store.collectStats(spark, dir)
+    val parentEntries = store.currentSnapshotId.map(store.entries).getOrElse(Seq.empty)
+    store.commit("append", parentEntries ++ newEntries, summary)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import graft.table.{DataFile, Json, LineageRecord, MetaStore}
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+final case class CompactResult(
+    snapshotId: Long,
+    runId: String,
+    filesBefore: Int,
+    filesAfter: Int,
+    binsRewritten: Int,
+    binsSkippedByCheckpoint: Int,
+    rowsRewritten: Long)
+
+/**
+ * Bin-packing small-file compaction.
+ *
+ * Plan: first-fit-decreasing over files below `smallFileFrac * targetBytes`
+ * (the driver-side analog of the reference's keyClusters row->cluster
+ * assignment, cursor/src/main/java/cursors/Clusters.kt:106-117, re-aimed at
+ * files->bins per SURVEY.md §7.2). Execute: each bin is an independent,
+ * shuffle-free `read(binFiles).coalesce(1).write` job — bins run concurrently
+ * on the Spark scheduler and commit per-bin checkpoint markers, so a killed
+ * run resumes by skipping completed bins (north_rule: resumable from
+ * checkpoint). At cluster scale each bin touches only its own files: no
+ * global shuffle, wall-clock scales with executor count.
+ */
+object Compact {
+
+  /** First-fit-decreasing bin packing by file size. */
+  def binPackFFD(files: Seq[DataFile], targetBytes: Long): Seq[Seq[DataFile]] = {
+    val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[DataFile], Long)]()
+    files.sortBy(f => (-f.sizeBytes, f.path)).foreach { f =>
+      bins.indexWhere(_._2 + f.sizeBytes <= targetBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(f), f.sizeBytes))
+        case i =>
+          bins(i)._1 += f
+          bins(i) = (bins(i)._1, bins(i)._2 + f.sizeBytes)
+      }
+    }
+    bins.map(_._1.toSeq).toSeq
+  }
+
+  def run(spark: SparkSession, store: MetaStore,
+          targetBytes: Long = 128L * 1024 * 1024,
+          smallFileFrac: Double = 0.75,
+          runId: String = s"compact-${System.currentTimeMillis()}",
+          maxConcurrentBins: Int = 4): CompactResult = {
+    val snapId = store.currentSnapshotId.getOrElse(sys.error("compact: empty table"))
+    val entries = store.entries(snapId)
+    val threshold = (targetBytes * smallFileFrac).toLong
+    val (candidates, kept) = entries.partition(_.sizeBytes < threshold)
+    val bins = binPackFFD(candidates, targetBytes)
+    // single-file bins gain nothing from a rewrite — keep them in place
+    val (toRewrite, singletons) = bins.partition(_.size >= 2)
+    val outDir = store.newDataDir(s"compact")
+
+    var skipped = 0
+    // lineage writes are buffered and appended ONCE after the pool drains —
+    // concurrent appends to one parquet dir would race on the shared
+    // _temporary committer dir
+    val lineageBuf = new java.util.concurrent.ConcurrentLinkedQueue[LineageRecord]()
+    val pool = Executors.newFixedThreadPool(math.max(1, maxConcurrentBins))
+    val tasks = toRewrite.zipWithIndex.map { case (bin, i) =>
+      new Callable[Seq[DataFile]] {
+        override def call(): Seq[DataFile] = {
+          // checkpoint identity = bin CONTENT, not just index: a rerun of the
+          // same runId against a changed table layout must not resurrect
+          // stale results for a bin that now holds different files
+          val contentHash = java.lang.Long.toHexString(
+            bin.map(_.path).sorted.mkString("|").hashCode.toLong & 0xFFFFFFFFL)
+          val item = s"bin-$i-$contentHash"
+          store.itemResult(runId, item) match {
+            case Some(saved) if store.isDone(runId, item) =>
+              Compact.synchronized { skipped += 1 }
+              Json.mapper.readValue[Seq[DataFile]](saved)
+            case _ =>
+              val t0 = System.nanoTime()
+              val binDir = s"$outDir/bin=$i"
+              spark.read.parquet(bin.map(_.path): _*)
+                .coalesce(1)
+                .write.mode("overwrite").parquet(binDir)
+              val newEntries = store.collectStats(spark, binDir)
+              store.saveItemResult(runId, item, Json.write(newEntries))
+              store.markDone(runId, item)
+              val wallMs = (System.nanoTime() - t0) / 1000000
+              newEntries.zipWithIndex.foreach { case (e, p) =>
+                lineageBuf.add(LineageRecord(runId, snapId, "compact", item, p,
+                  e.rows, e.sizeBytes, wallMs, System.currentTimeMillis(), "done"))
+              }
+              newEntries
+          }
+        }
+      }
+    }
+    val newEntries =
+      try pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toSeq
+      finally { pool.shutdown(); pool.awaitTermination(1, TimeUnit.HOURS) }
+    store.appendLineage(spark, lineageBuf.asScala.toSeq)
+
+    val finalEntries = kept ++ singletons.flatten ++ newEntries
+    val newSnap = store.commit("compact", finalEntries, Map(
+      "runId" -> runId,
+      "binsRewritten" -> toRewrite.size.toString,
+      "filesBefore" -> entries.size.toString,
+      "filesAfter" -> finalEntries.size.toString))
+    CompactResult(newSnap, runId, entries.size, finalEntries.size,
+      toRewrite.size, skipped, newEntries.map(_.rows).sum)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import graft.table.MetaStore
+
+final case class ExpireResult(
+    expiredSnapshots: Seq[Long],
+    retainedSnapshots: Seq[Long],
+    dataFilesDeleted: Int,
+    manifestsDeleted: Int)
+
+/**
+ * Snapshot expiry with reachability GC: drop all snapshots except the most
+ * recent `keepLast`, then delete every manifest and data file no retained
+ * snapshot can reach. This realizes the reference's aspired
+ * "consolidate ... to absorb journalized mutations" / idempotent-volume GC
+ * (reference README.md:141-142,163-165) over our snapshot log.
+ *
+ * Reachability is computed over the retained snapshot set only — a file
+ * shared by an expired and a retained snapshot survives (files are
+ * content-immutable, so sharing across snapshots is the common case after
+ * partial rewrites).
+ */
+object ExpireSnapshots {
+
+  def run(store: MetaStore, keepLast: Int = 1): ExpireResult = {
+    val all = store.allSnapshotIds
+    val current = store.currentSnapshotId.getOrElse(sys.error("expire: empty table"))
+    val retained = (all.takeRight(keepLast) :+ current).distinct.sorted
+    val expired = all.filterNot(retained.contains)
+
+    val reachableData = retained.flatMap(store.entries).map(_.path).toSet
+    val reachableManifests = retained.map(store.snapshot).flatMap(_.manifests).toSet
+    val expiredData = expired.flatMap(store.entries).map(_.path).toSet
+    val expiredManifests = expired.map(store.snapshot).flatMap(_.manifests).toSet
+
+    var dataDeleted = 0
+    var manifestsDeleted = 0
+    (expiredData -- reachableData).foreach { p =>
+      if (Files.deleteIfExists(Paths.get(p))) dataDeleted += 1
+    }
+    (expiredManifests -- reachableManifests).foreach { m =>
+      if (Files.deleteIfExists(Paths.get(store.tableDir, "meta", m)))
+        manifestsDeleted += 1
+    }
+    expired.foreach { id =>
+      Files.deleteIfExists(Paths.get(store.tableDir, "meta", s"snap-$id.json"))
+    }
+    ExpireResult(expired, retained, dataDeleted, manifestsDeleted)
+  }
+}

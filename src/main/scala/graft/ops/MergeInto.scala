@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.keys.Keys
+import graft.table.{LineageRecord, MetaStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+final case class MergeResult(
+    snapshotId: Long,
+    runId: String,
+    filesTouched: Int,
+    filesUntouched: Int,
+    updatedOrInserted: Long)
+
+/**
+ * Copy-on-write MERGE INTO keyed on `clip_id`: WHEN MATCHED THEN UPDATE (all
+ * columns from the update side), WHEN NOT MATCHED THEN INSERT.
+ *
+ * The reference has no key-equi join (SURVEY.md §2.3) — its hand-built
+ * key->row index maps (cursor/src/main/java/cursors/Clusters.kt:132-196) are
+ * re-expressed here as Spark joins:
+ *
+ *  1. touched-file discovery = inner join of (clip_id, input_file_name())
+ *     against update keys — only files that actually contain a matched key
+ *     get rewritten (everything else is carried over untouched);
+ *  2. rewrite = full_outer join of touched-file rows with updates, coalescing
+ *     update columns over target columns (matched -> update wins, target-only
+ *     -> kept, update-only -> insert).
+ *
+ * At scale step 1 is a broadcast join when the update batch is small (Spark
+ * AQE decides; `broadcastUpdates` forces it), and step 2 shuffles only the
+ * touched files' rows, not the table.
+ */
+object MergeInto {
+
+  def run(spark: SparkSession, store: MetaStore, updates: DataFrame,
+          keyCol: String = "clip_id",
+          targetBytes: Long = 128L * 1024 * 1024,
+          runId: String = s"merge-${System.currentTimeMillis()}",
+          broadcastUpdates: Boolean = true): MergeResult = {
+    val snapId = store.currentSnapshotId.getOrElse(sys.error("merge: empty table"))
+    val entries = store.entries(snapId)
+    val t0 = System.nanoTime()
+
+    val updKeys0 = updates.select(col(keyCol)).distinct()
+    val updKeys = if (broadcastUpdates) broadcast(updKeys0) else updKeys0
+
+    // 1. which data files contain matched keys?
+    val touchedPaths = store.scan(spark, snapId)
+      .select(col(keyCol), input_file_name().as("_file"))
+      .join(updKeys, keyCol)
+      .select("_file").distinct()
+      .collect().map(r => store.normalizePath(r.getString(0))).toSet
+    val (touched, untouched) = entries.partition(e => touchedPaths.contains(e.path))
+
+    // 2. rewrite touched files + append inserts, preserving cluster order
+    val base =
+      if (touched.nonEmpty) spark.read.parquet(touched.map(_.path): _*)
+      else store.scan(spark, snapId).limit(0) // schema-only frame
+    val dataCols = base.columns.filter(_ != keyCol)
+    val merged = base.alias("t")
+      .join(updates.alias("u"), Seq(keyCol), "full_outer")
+      .select(col(keyCol) +: dataCols.map(c =>
+        coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
+
+    val touchedBytes = math.max(touched.map(_.sizeBytes).sum, 1L)
+    val nFiles = math.max(1, math.ceil(touchedBytes.toDouble / targetBytes).toInt)
+    val outDir = store.newDataDir("merge")
+    val ckey = Keys.zorderKey(21, Seq(col("clip_id")),
+      Cluster.scaledRangeCols(entries, Seq("sr_hz", "dur_ms"), 21))
+    merged
+      .withColumn("_ckey", ckey)
+      .repartitionByRange(nFiles, col("_ckey"))
+      .sortWithinPartitions("_ckey")
+      .drop("_ckey")
+      .write.mode("overwrite").parquet(outDir)
+
+    val newEntries = store.collectStats(spark, outDir)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    store.appendLineage(spark, newEntries.zipWithIndex.map { case (e, p) =>
+      LineageRecord(runId, snapId, "merge", e.path, p, e.rows, e.sizeBytes,
+        wallMs, System.currentTimeMillis(), "done")
+    })
+    val newSnap = store.commit("merge", untouched ++ newEntries, Map(
+      "runId" -> runId,
+      "filesTouched" -> touched.size.toString,
+      "filesUntouched" -> untouched.size.toString))
+    MergeResult(newSnap, runId, touched.size, untouched.size,
+      newEntries.map(_.rows).sum)
+  }
+}

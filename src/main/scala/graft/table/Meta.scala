@@ -1,0 +1,65 @@
+package graft.table
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+
+/**
+ * Metadata model for the Iceberg-shaped table: snapshots point at manifests,
+ * manifests list data files with row counts and per-column min/max stats.
+ *
+ * This is the Spark-first re-expression of the reference's `.meta` sidecar
+ * (cell coords / column names / type mementos,
+ * cursor/src/main/java/cursors/io/ISAMCursor.kt:175-211) plus its aspired
+ * "append-only journal of volume mutations" (reference README.md:141-142,
+ * 163-165): the sidecar becomes a manifest entry with column stats (the
+ * `featureRange` min/max pass, vector-like/src/main/java/vec/ml/
+ * FeatureRange.kt:14-33), the journal becomes the snapshot log.
+ */
+final case class ColStat(min: String, max: String, numeric: Boolean, nullCount: Long)
+
+final case class DataFile(
+    path: String,
+    rows: Long,
+    sizeBytes: Long,
+    stats: Map[String, ColStat]) {
+  def statLong(col: String, lower: Boolean): Option[Long] =
+    stats.get(col).filter(_.numeric).map(s => (if (lower) s.min else s.max).toLong)
+}
+
+final case class ManifestFile(entries: Seq[DataFile])
+
+final case class Snapshot(
+    id: Long,
+    parentId: Long, // -1 = none
+    timestampMs: Long,
+    operation: String, // append | compact | cluster | merge | replace
+    manifests: Seq[String], // manifest file names relative to meta/
+    summary: Map[String, String])
+
+/** Per-item lineage/metrics row, persisted into the metadata side-table
+ * (meta/lineage). The Spark analog of the reference's FibonacciReporter
+ * rows/sec instrumentation (vector-like/src/main/java/vec/util/
+ * FibonacciReporter.kt:15-35). */
+final case class LineageRecord(
+    runId: String,
+    snapshotId: Long,
+    phase: String,
+    item: String,
+    partitionId: Int,
+    rows: Long,
+    bytes: Long,
+    wallMs: Long,
+    tsMs: Long,
+    status: String)
+
+object Json {
+  val mapper: ObjectMapper with ClassTagExtensions = {
+    val m = new ObjectMapper() with ClassTagExtensions
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  def write(v: Any): String = mapper.writeValueAsString(v)
+  def readSnapshot(s: String): Snapshot = mapper.readValue[Snapshot](s)
+  def readManifest(s: String): ManifestFile = mapper.readValue[ManifestFile](s)
+}

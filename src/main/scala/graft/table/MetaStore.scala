@@ -1,0 +1,209 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Filesystem-backed snapshot store with atomic commits.
+ *
+ * Layout:
+ * {{{
+ *   <tableDir>/data/<snapshotTag>/...parquet   data files (immutable once committed)
+ *   <tableDir>/meta/snap-<id>.json             snapshot descriptors
+ *   <tableDir>/meta/manifest-<id>-<uuid>.json  file lists + stats
+ *   <tableDir>/meta/CURRENT                    atomic pointer (current snapshot id)
+ *   <tableDir>/meta/lineage/                   lineage/metrics side-table (parquet)
+ *   <tableDir>/meta/checkpoints/<runId>/       per-item completion markers
+ * }}}
+ *
+ * Commits are single-writer: CURRENT is replaced via write-temp + atomic
+ * rename, with a parent check beforehand (SURVEY.md §7.5 risk item). Data
+ * files are never mutated — maintenance writes new files and commits a new
+ * snapshot, so a reader holding a snapshot id sees a frozen file list
+ * (snapshot isolation). This is the engine analog of the reference's
+ * immutable/idempotent access doctrine (reference README.md:128-132).
+ */
+class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
+
+  private val metaDir: JPath = Paths.get(tableDir, "meta")
+  private val dataDir: JPath = Paths.get(tableDir, "data")
+  Files.createDirectories(metaDir)
+  Files.createDirectories(dataDir)
+  Files.createDirectories(metaDir.resolve("lineage"))
+  Files.createDirectories(metaDir.resolve("checkpoints"))
+
+  private def currentPath = metaDir.resolve("CURRENT")
+
+  def currentSnapshotId: Option[Long] =
+    if (Files.exists(currentPath))
+      Some(new String(Files.readAllBytes(currentPath), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  def snapshot(id: Long): Snapshot =
+    Json.readSnapshot(new String(
+      Files.readAllBytes(metaDir.resolve(s"snap-$id.json")), StandardCharsets.UTF_8))
+
+  def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshot)
+
+  def allSnapshotIds: Seq[Long] = {
+    val it = Files.list(metaDir).iterator()
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    while (it.hasNext) {
+      val name = it.next().getFileName.toString
+      if (name.startsWith("snap-") && name.endsWith(".json"))
+        out += name.stripPrefix("snap-").stripSuffix(".json").toLong
+    }
+    out.sorted.toSeq
+  }
+
+  def entries(snapshotId: Long): Seq[DataFile] = {
+    val snap = snapshot(snapshotId)
+    snap.manifests.flatMap { m =>
+      Json.readManifest(new String(
+        Files.readAllBytes(metaDir.resolve(m)), StandardCharsets.UTF_8)).entries
+    }
+  }
+
+  /** Snapshot-isolated scan: the file list is frozen at commit time. */
+  def scan(spark: SparkSession, snapshotId: Long): DataFrame = {
+    val paths = entries(snapshotId).map(_.path)
+    if (paths.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(paths: _*)
+  }
+
+  def scanCurrent(spark: SparkSession): DataFrame =
+    scan(spark, currentSnapshotId.getOrElse(sys.error(s"$tableDir: no current snapshot")))
+
+  /** Fresh output directory for one maintenance pass. */
+  def newDataDir(tag: String): String = {
+    val d = dataDir.resolve(s"$tag-${UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  /**
+   * Collect manifest entries for every parquet file under `dir` (recursive):
+   * per-file min/max/nullCount for `statsColumns` + row count, via ONE
+   * column-pruned Spark scan grouped by `input_file_name()` — the distributed
+   * analog of the reference's single-pass `featureRange` stats
+   * (vector-like/src/main/java/vec/ml/FeatureRange.kt:14-33).
+   */
+  def collectStats(spark: SparkSession, dir: String): Seq[DataFile] = {
+    val df = spark.read.parquet(dir)
+    val present = statsColumns.filter(df.columns.contains)
+    val numeric = present.filter { c =>
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }.toSet
+    val aggs = present.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    } :+ count(lit(1)).as("_rows")
+    val rows = df
+      .withColumn("_file", input_file_name())
+      .groupBy(col("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val rawPath = r.getAs[String]("_file")
+      val path = normalizePath(rawPath)
+      val stats = present.map { c =>
+        c -> ColStat(
+          Option(r.getAs[String](s"min_$c")).getOrElse(""),
+          Option(r.getAs[String](s"max_$c")).getOrElse(""),
+          numeric.contains(c),
+          r.getAs[Long](s"nulls_$c"))
+      }.toMap
+      DataFile(path, r.getAs[Long]("_rows"), fileSize(path), stats)
+    }.toSeq.sortBy(_.path)
+  }
+
+  def normalizePath(p: String): String = {
+    val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
+    // file:///x -> /x ; file:/x -> /x
+    "/+".r.replaceFirstIn(noScheme, "/")
+  }
+
+  private def fileSize(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.exists()) f.length() else -1L
+  }
+
+  /**
+   * Atomically commit a new snapshot holding exactly `entries`.
+   * Returns the new snapshot id. Fails if another writer moved CURRENT
+   * since `expectedParent` (single-writer check-and-set).
+   */
+  def commit(operation: String, entries: Seq[DataFile],
+             summary: Map[String, String] = Map.empty): Long = synchronized {
+    val parent = currentSnapshotId.getOrElse(-1L)
+    val id = allSnapshotIds.lastOption.getOrElse(0L) + 1L
+    val manifestName = s"manifest-$id-${UUID.randomUUID().toString.take(8)}.json"
+    Files.write(metaDir.resolve(manifestName),
+      Json.write(ManifestFile(entries)).getBytes(StandardCharsets.UTF_8))
+    val snap = Snapshot(id, parent, System.currentTimeMillis(), operation,
+      Seq(manifestName),
+      summary ++ Map("files" -> entries.size.toString,
+                     "rows" -> entries.map(_.rows).sum.toString,
+                     "bytes" -> entries.map(_.sizeBytes).sum.toString))
+    Files.write(metaDir.resolve(s"snap-$id.json"),
+      Json.write(snap).getBytes(StandardCharsets.UTF_8))
+    val tmp = metaDir.resolve(s"CURRENT.tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+    // check-and-set under the store lock
+    val nowParent = currentSnapshotId.getOrElse(-1L)
+    require(nowParent == parent, s"concurrent commit detected: $nowParent != $parent")
+    Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    id
+  }
+
+  // ---- lineage side-table ----
+  def appendLineage(spark: SparkSession, recs: Seq[LineageRecord]): Unit = {
+    if (recs.isEmpty) return
+    import spark.implicits._
+    recs.toDS().write.mode("append").parquet(metaDir.resolve("lineage").toString)
+  }
+
+  def lineage(spark: SparkSession): DataFrame = {
+    val dir = metaDir.resolve("lineage")
+    val hasData = Files.list(dir).iterator().hasNext
+    if (hasData) spark.read.parquet(dir.toString)
+    else spark.emptyDataFrame
+  }
+
+  // ---- checkpoints (resumable maintenance) ----
+  def checkpointDir(runId: String): JPath = {
+    val d = metaDir.resolve("checkpoints").resolve(runId)
+    Files.createDirectories(d)
+    d
+  }
+
+  def markDone(runId: String, item: String): Unit =
+    Files.write(checkpointDir(runId).resolve(s"done-$item"), Array.emptyByteArray)
+
+  def isDone(runId: String, item: String): Boolean =
+    Files.exists(checkpointDir(runId).resolve(s"done-$item"))
+
+  /** Read back a per-item payload written by [[saveItemResult]]. */
+  def saveItemResult(runId: String, item: String, payload: String): Unit =
+    Files.write(checkpointDir(runId).resolve(s"result-$item"),
+      payload.getBytes(StandardCharsets.UTF_8))
+
+  def itemResult(runId: String, item: String): Option[String] = {
+    val p = checkpointDir(runId).resolve(s"result-$item")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else None
+  }
+}
+
+object MetaStore {
+  /** Stats columns for the canonical clip table. */
+  val ClipStatsColumns: Seq[String] = Seq("clip_id", "sr_hz", "dur_ms", "codec")
+
+  def forClips(tableDir: String): MetaStore = new MetaStore(tableDir, ClipStatsColumns)
+}

@@ -1,0 +1,104 @@
+package graft.verify
+
+import graft.audio.Pcm
+import graft.synth.ClipSynth
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-clip verification outcome. */
+final case class VerifyRow(
+    clip_id: String,
+    in_pre: Boolean,
+    in_post: Boolean,
+    transcript_ok: Boolean,
+    meta_ok: Boolean,
+    snr_db: Double,
+    snr_vs_synth_db: Double,
+    pass: Boolean)
+
+final case class VerifyReport(
+    rows: Long,
+    passed: Long,
+    failed: Long,
+    minSnrDb: Double,
+    passRate: Double) {
+  def allPass: Boolean = failed == 0 && rows > 0
+}
+
+final case class JoinedClip(
+    clip_id: String,
+    pre_bytes: Array[Byte], pre_sr: Option[Int], pre_dur: Option[Int],
+    pre_codec: String, pre_transcript: String,
+    post_bytes: Array[Byte], post_sr: Option[Int], post_dur: Option[Int],
+    post_codec: String, post_transcript: String)
+
+/**
+ * The north_rule invariant checker: post-maintenance scan must equal
+ * pre-maintenance scan under snapshot isolation, verified per row by
+ * decoded-PCM allclose at SNR>=30dB plus exact transcript equality
+ * (BASELINE.json:15). The Spark re-expression of the reference's
+ * shard->rejoin cell-equality contract
+ * (cursor/src/test/java/cursors/NinetyDegreeTest.kt:123-133) and its
+ * rewritten-volume digest check (DayJobTest.kt:185-187).
+ */
+object ScanEquality {
+
+  val SnrGateDb = 30.0
+
+  /** Full-outer compare of two scans of the clip table keyed on clip_id. */
+  def compare(spark: SparkSession, pre: DataFrame, post: DataFrame,
+              checkSynth: Boolean = true): Dataset[VerifyRow] = {
+    import spark.implicits._
+    def prep(df: DataFrame, tag: String) = df.select(
+      col("clip_id"),
+      col("bytes").as(s"${tag}_bytes"),
+      col("sr_hz").as(s"${tag}_sr"),
+      col("dur_ms").as(s"${tag}_dur"),
+      col("codec").as(s"${tag}_codec"),
+      col("transcript").as(s"${tag}_transcript"))
+    val joined = prep(pre, "pre").join(prep(post, "post"), Seq("clip_id"), "full_outer")
+      .as[JoinedClip]
+    joined.map { j =>
+      val inPre = j.pre_sr.isDefined
+      val inPost = j.post_sr.isDefined
+      if (!inPre || !inPost)
+        VerifyRow(j.clip_id, inPre, inPost, transcript_ok = false, meta_ok = false,
+          snr_db = -1.0, snr_vs_synth_db = -1.0, pass = false)
+      else {
+        val tOk = j.pre_transcript == j.post_transcript
+        val mOk = j.pre_sr == j.post_sr && j.pre_dur == j.post_dur &&
+          j.pre_codec == j.post_codec
+        val preDec = Pcm.decode(j.pre_codec, j.pre_bytes)
+        val postDec = Pcm.decode(j.post_codec, j.post_bytes)
+        val snr = Pcm.snrDb(preDec, postDec)
+        val snrSynth = if (checkSynth) {
+          // pristine reference signal re-derived from the row index
+          val i = j.clip_id.stripPrefix("clip_").toLong
+          val ref = Pcm.tone(ClipSynth.toneFreqHz(i), j.post_sr.get, j.post_dur.get)
+          Pcm.snrDb(ref, postDec)
+        } else Pcm.PerfectSnrDb
+        val pass = tOk && mOk && snr >= SnrGateDb &&
+          (!checkSynth || snrSynth >= SnrGateDb)
+        VerifyRow(j.clip_id, inPre, inPost, tOk, mOk, snr, snrSynth, pass)
+      }
+    }
+  }
+
+  def compareSnapshots(spark: SparkSession, store: graft.table.MetaStore,
+                       preId: Long, postId: Long,
+                       checkSynth: Boolean = true): Dataset[VerifyRow] =
+    compare(spark, store.scan(spark, preId), store.scan(spark, postId), checkSynth)
+
+  /** Aggregate the per-row outcomes into one report (single tiny job). */
+  def report(rows: Dataset[VerifyRow]): VerifyReport = {
+    val agg = rows.groupBy().agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("passed"),
+      min(col("snr_db")).as("minSnr")).collect()(0)
+    val n = agg.getAs[Long]("n")
+    val passed = agg.getAs[Long]("passed")
+    VerifyReport(n, passed, n - passed,
+      Option(agg.getAs[Double]("minSnr")).getOrElse(-1.0),
+      if (n == 0) 0.0 else passed.toDouble / n)
+  }
+}
