@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * `queries` is the operator-coverage surface: one entry per implemented
+ * operator family from SURVEY.md §2 plus the training-data-pipeline ops.
+ * Every SQL-expressible query carries a DuckDB oracle in `oracleSql` with
+ * IDENTICAL output column names; audio/maintenance queries over the
+ * synthesized clip table are rows-only (no DuckDB view of that table).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full maintenance pass (append -> compact -> Z-order cluster ->
+   * scan-equality verify) on a small synthetic clip table; every returned row
+   * is a per-clip verification verdict. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q63_maintenance_e2e")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries ++
+      graft.queries.Text.queries ++
+      graft.queries.Vector.queries ++
+      graft.queries.Audio.queries
+
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles ++
+      graft.queries.Text.oracles ++
+      graft.queries.Vector.oracles ++
+      graft.queries.Audio.oracles
 }

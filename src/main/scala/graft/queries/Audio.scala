@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.audio.Pcm
+import graft.keys.Keys
+import graft.ops._
+import graft.synth.ClipSynth
+import graft.table.MetaStore
+import graft.verify.ScanEquality
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Audio-payload + maintenance-engine queries. The clip table is synthesized
+ * deterministically (FIXTURES.md §1) — DuckDB has no view of it, so these
+ * entries carry no oracle (rows-only check) EXCEPT the curve-key queries,
+ * which run over lineitem and verify the Catalyst bit-interleave against an
+ * unrolled SQL formula.
+ */
+object Audio {
+
+  private def clipCount(sfDir: String): Long =
+    if (sfDir.contains("0.001")) 300L
+    else if (sfDir.contains("0.1")) 3000L
+    else 1000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Z-order key vs unrolled SQL bit math (8 bits x 2 dims) --
+    "q60_zorder_key" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("px"),
+          (col("l_suppkey") % 256).as("sy"))
+        .withColumn("zkey",
+          Keys.zorderKey(8, Seq.empty, Seq(col("px"), col("sy"))))),
+
+    // -- audio feature extraction over decoded PCM (the multimodal
+    //    decode/feature-extract path; decode is REAL, not stubbed) --
+    "q61_audio_features" -> ((s, d) => {
+      import s.implicits._
+      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+        val pcm = Pcm.decode(c.codec, c.bytes)
+        var peak = 0
+        var sumSq = 0.0
+        var zc = 0
+        var i = 0
+        while (i < pcm.length) {
+          val v = pcm(i).toInt
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumSq += v.toDouble * v
+          if (i > 0 && ((pcm(i - 1) < 0) != (v < 0))) zc += 1
+          i += 1
+        }
+        val rms = if (pcm.length == 0) 0.0 else math.sqrt(sumSq / pcm.length)
+        (c.clip_id, c.codec, c.sr_hz, c.dur_ms, pcm.length, peak,
+          math.round(rms), zc)
+      }.toDF("clip_id", "codec", "sr_hz", "dur_ms", "n_samples", "peak",
+        "rms_rounded", "zero_crossings")
+    }),
+
+    // -- exact audio dedup by payload hash (bytes column) --
+    "q62_audio_dedup" -> ((s, d) => {
+      import s.implicits._
+      val base = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200)
+      val dup = base.map(c => c.copy(clip_id = c.clip_id + "_dup"))
+      base.union(dup).toDF()
+        .groupBy(md5(col("bytes")).as("payload_md5"))
+        .agg(min("clip_id").as("keep_clip_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+    }),
+
+    // -- the flagship maintenance pass: append(small files) -> compact ->
+    //    zorder cluster -> scan-equality verify; returns per-clip verdicts --
+    "q63_maintenance_e2e" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q63-").toString
+      val store = MetaStore.forClips(dir)
+      val n = clipCount(d)
+      Append.run(s, store, ClipSynth.dataset(s, n, 16, maxDurMs = 300).toDF())
+      val s0 = store.currentSnapshotId.get
+      Compact.run(s, store, targetBytes = 8L * 1024 * 1024, runId = "q63-compact")
+      val cl = Cluster.run(s, store, ZOrderCurve,
+        targetBytes = 4L * 1024 * 1024, runId = "q63-cluster")
+      ScanEquality.compareSnapshots(s, store, s0, cl.snapshotId).toDF()
+        .select(col("clip_id"), col("transcript_ok"), col("meta_ok"),
+          col("snr_db"), col("pass"))
+    }),
+
+    // -- manifest stats as a queryable table (the .meta sidecar analog) --
+    "q64_manifest_stats" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q64-").toString
+      val store = MetaStore.forClips(dir)
+      Append.run(s, store, ClipSynth.dataset(s, clipCount(d), 8, maxDurMs = 200).toDF())
+      store.entries(store.currentSnapshotId.get).map { e =>
+        (e.rows, e.sizeBytes > 0,
+          e.statLong("dur_ms", lower = true).getOrElse(-1L),
+          e.statLong("dur_ms", lower = false).getOrElse(-1L),
+          e.stats("clip_id").min, e.stats("clip_id").max)
+      }.toDF("rows", "has_size", "dur_min", "dur_max", "clip_min", "clip_max")
+    })
+  )
+
+  /** Unrolled Morton interleave for the DuckDB oracle: px bit j -> 2j,
+   * sy bit j -> 2j+1, j = 0..7. */
+  private val zExprSql: String = (0 until 8).map { j =>
+    s"((px >> $j) & 1) * ${1L << (2 * j)} + ((sy >> $j) & 1) * ${1L << (2 * j + 1)}"
+  }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q60_zorder_key" ->
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+         |  l_partkey % 256 AS px, l_suppkey % 256 AS sy
+         |  FROM lineitem WHERE l_orderkey <= 500)
+         |SELECT l_orderkey, l_linenumber, px, sy,
+         |  CAST($zExprSql AS BIGINT) AS zkey
+         |FROM b""".stripMargin
+  )
+}

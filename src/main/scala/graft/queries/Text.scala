@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data text pipeline operators over the `documents` table:
+ * exact dedup, MinHash near-dup, SimHash, n-gram Jaccard, language-ID,
+ * quality scoring, token counting, fingerprinting. Every hash is md5-based
+ * so the DuckDB oracle computes bit-identical values.
+ *
+ * The 500-doc corpus has no natural duplicates, so near-dup queries verify
+ * against PLANTED duplicates (self-union with offset ids) — the planted pair
+ * set is the expected output, in both engines.
+ */
+object Text {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  private val words: Column = split(trim(lower(col("text"))), "\\s+")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- exact dedup: canonical row per content hash --
+    "q40_dedup_exact" -> ((s, d) =>
+      docs(s, d)
+        .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000))
+        .groupBy(md5(col("text")).as("content_md5"))
+        .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))),
+
+    // -- token counting: whitespace + alpha/num token classes --
+    "q41_token_count" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(words).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("n_alpha_tokens"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num_tokens"))),
+
+    // -- quality scoring: length / punctuation / caps / mean token length --
+    "q42_quality" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        size(words).as("n_tokens"),
+        round(length(col("text")).cast("double") / size(words), 4)
+          .as("chars_per_token"),
+        round(length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"),
+        round(length(regexp_replace(col("text"), "[^A-Z]", ""))
+          .cast("double") / length(col("text")), 4).as("upper_ratio"))),
+
+    // -- language-ID: stopword-hit heuristic with deterministic tie-break --
+    "q43_langid" -> ((s, d) => {
+      def hits(ws: Seq[String]): Column =
+        size(filter(words, w => w.isInCollection(ws)))
+      val en = hits(Seq("the", "and", "of", "to", "in", "is"))
+      val de = hits(Seq("der", "die", "das", "und", "ist", "nicht"))
+      val fr = hits(Seq("le", "la", "et", "les", "des", "est"))
+      docs(s, d).select(col("doc_id"),
+          en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"))
+        .withColumn("lang_guess",
+          when(col("en_hits") >= col("de_hits") &&
+               col("en_hits") >= col("fr_hits"), "en")
+            .when(col("de_hits") >= col("fr_hits"), "de")
+            .otherwise("fr"))
+    }),
+
+    // -- document fingerprint: md5 of the canonical text form --
+    "q44_fingerprint" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        md5(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " "))).as("fingerprint"))),
+
+    // -- MinHash signatures: 4 md5-keyed hash streams over 8-char shingles
+    //    of the first 256 chars --
+    "q45_minhash" -> ((s, d) => {
+      val body = lower(substring(col("text"), 1, 256))
+      val shingle = explode(expr(
+        "transform(sequence(1, greatest(length(lower(substring(text,1,256))) - 7, 1))," +
+          " i -> substring(lower(substring(text,1,256)), i, 8))"))
+      docs(s, d).select(col("doc_id"), shingle.as("g"))
+        .groupBy("doc_id")
+        .agg(
+          min(md5(concat(lit("0"), col("g")))).as("mh0"),
+          min(md5(concat(lit("1"), col("g")))).as("mh1"),
+          min(md5(concat(lit("2"), col("g")))).as("mh2"),
+          min(md5(concat(lit("3"), col("g")))).as("mh3"))
+    }),
+
+    // -- MinHash LSH dedup: planted duplicates must collide on the full
+    //    signature; bucket-join finds them (shingle -> minhash -> band ->
+    //    bucket-join) --
+    "q46_minhash_dedup" -> ((s, d) => {
+      val doubled = docs(s, d)
+        .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000))
+      val shingle = explode(expr(
+        "transform(sequence(1, greatest(length(lower(substring(text,1,256))) - 7, 1))," +
+          " i -> substring(lower(substring(text,1,256)), i, 8))"))
+      val sigs = doubled.select(col("doc_id"), shingle.as("g"))
+        .groupBy("doc_id")
+        .agg(min(md5(concat(lit("0"), col("g")))).as("mh0"),
+          min(md5(concat(lit("1"), col("g")))).as("mh1"))
+      sigs.groupBy("mh0", "mh1")
+        .agg(count(lit(1)).as("n_members"), min("doc_id").as("canonical_id"))
+        .filter(col("n_members") > 1)
+    }),
+
+    // -- SimHash (16-bit, md5-hex-digit votes per word occurrence) --
+    "q47_simhash" -> ((s, d) => {
+      val perWord = docs(s, d)
+        .select(col("doc_id"), explode(words).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("h", md5(col("w")))
+      val bitVotes = (1 to 16).map { j =>
+        sum(when(substring(col("h"), j, 1).isInCollection(
+          Seq("8", "9", "a", "b", "c", "d", "e", "f")), 1)
+          .otherwise(-1)).as(s"v$j")
+      }
+      val voted = perWord.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      val sim = (1 to 16).map { j =>
+        when(col(s"v$j") > 0, lit(1L << (j - 1))).otherwise(0L)
+      }.reduce(_ + _)
+      voted.select(col("doc_id"), sim.as("simhash16"))
+    }),
+
+    // -- n-gram (word-set) Jaccard near-dup pairs among planted dups --
+    "q48_jaccard_pairs" -> ((s, d) => {
+      val doubled = docs(s, d)
+        .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000))
+        .select(col("doc_id"), col("n_chars"),
+          array_distinct(words).as("ws"))
+      val a = doubled.select(col("doc_id").as("id_a"), col("n_chars"),
+        col("ws").as("ws_a"))
+      val b = doubled.select(col("doc_id").as("id_b"), col("n_chars"),
+        col("ws").as("ws_b"))
+      a.join(b, Seq("n_chars"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jac",
+          round(size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+            size(array_union(col("ws_a"), col("ws_b"))), 4))
+        .filter(col("jac") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jac"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM doubled GROUP BY md5(text)""".stripMargin,
+    "q41_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |  length(text) AS n_chars_measured,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
+        |FROM documents""".stripMargin,
+    "q42_quality" ->
+      """SELECT doc_id, length(text) AS len,
+        |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |  round(length(text)*1.0 /
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')), 4)
+        |    AS chars_per_token,
+        |  round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))*1.0
+        |    / length(text), 4) AS punct_ratio,
+        |  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))*1.0
+        |    / length(text), 4) AS upper_ratio
+        |FROM documents""".stripMargin,
+    "q43_langid" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(ws, x -> x IN ('the','and','of','to','in','is'))) AS en_hits,
+        |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht'))) AS de_hits,
+        |  len(list_filter(ws, x -> x IN ('le','la','et','les','des','est'))) AS fr_hits
+        |FROM w)
+        |SELECT doc_id, en_hits, de_hits, fr_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS lang_guess
+        |FROM h""".stripMargin,
+    "q44_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q45_minhash" ->
+      """WITH t AS (SELECT doc_id, lower(substr(text, 1, 256)) AS s FROM documents),
+        |sh AS (SELECT doc_id,
+        |    substr(s, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, s,
+        |          unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
+        |        FROM t))
+        |SELECT doc_id,
+        |  min(md5('0' || g)) AS mh0, min(md5('1' || g)) AS mh1,
+        |  min(md5('2' || g)) AS mh2, min(md5('3' || g)) AS mh3
+        |FROM sh GROUP BY doc_id""".stripMargin,
+    "q46_minhash_dedup" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |t AS (SELECT doc_id, lower(substr(text, 1, 256)) AS s FROM doubled),
+        |sh AS (SELECT doc_id, substr(s, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, s,
+        |          unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
+        |        FROM t)),
+        |sigs AS (SELECT doc_id, min(md5('0' || g)) AS mh0,
+        |    min(md5('1' || g)) AS mh1
+        |  FROM sh GROUP BY doc_id)
+        |SELECT mh0, mh1, count(*) AS n_members, min(doc_id) AS canonical_id
+        |FROM sigs GROUP BY mh0, mh1 HAVING count(*) > 1""".stripMargin,
+    "q47_simhash" ->
+      """WITH pw AS (
+        |  SELECT doc_id, md5(w) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0),
+        |v AS (SELECT doc_id,
+        |  {VOTES}
+        |FROM pw GROUP BY doc_id)
+        |SELECT doc_id, {SIM} AS simhash16 FROM v"""
+        .stripMargin
+        .replace("{VOTES}", (1 to 16).map(j =>
+          s"sum(CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f') " +
+            s"THEN 1 ELSE -1 END) AS v$j").mkString(",\n  "))
+        .replace("{SIM}", (1 to 16).map(j =>
+          s"(CASE WHEN v$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)").mkString(" + ")),
+    "q48_jaccard_pairs" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, n_chars,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
+        |  FROM (SELECT doc_id, n_chars, text FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 100000, n_chars, text FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.ws, b.ws))*1.0 /
+        |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
+        |FROM doubled a JOIN doubled b ON a.n_chars = b.n_chars
+        |WHERE a.doc_id < b.doc_id
+        |  AND round(len(list_intersect(a.ws, b.ws))*1.0 /
+        |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) >= 0.5""".stripMargin
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.keys.{SpaceFillingCurve => SFC}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + golden checks for the driver-contract query surface at sf0.001. */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("every query runs non-empty at sf0.001") {
+    val counts = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).count()
+    }
+    val empty = counts.filter(_._2 == 0)
+    assert(empty.isEmpty, s"empty queries: ${empty.map(_._1)}")
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("pivot columns reconcile with the plain aggregate") {
+    val piv = SparkEntry.queries("q17_pivot")(spark, sf)
+      .agg(sum(coalesce(col("qty_f"), lit(0L))) +
+        sum(coalesce(col("qty_o"), lit(0L)))).collect()(0).getLong(0)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(sum(col("l_quantity").cast("long"))).collect()(0).getLong(0)
+    assert(piv === total)
+  }
+
+  test("q60 zorder matches the pure core on every row") {
+    SparkEntry.queries("q60_zorder_key")(spark, sf).collect().foreach { r =>
+      val px = r.getAs[Long]("px")
+      val sy = r.getAs[Long]("sy")
+      assert(r.getAs[Long]("zkey") === SFC.zOrder(Array(px, sy), 8))
+    }
+  }
+
+  test("exact dedup finds exactly the planted duplicates") {
+    val df = SparkEntry.queries("q40_dedup_exact")(spark, sf)
+    assert(df.filter(col("n_copies") =!= 2).count() === 0)
+  }
+
+  test("jaccard planted pairs all score 1.0 for self-duplicates") {
+    val pairs = SparkEntry.queries("q48_jaccard_pairs")(spark, sf)
+    val planted = pairs.filter(col("id_b") - col("id_a") === 100000)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("jac") =!= 1.0).count() === 0)
+  }
+
+  test("resample spine has no gaps and covers the date range") {
+    val df = SparkEntry.queries("q19_resample_spine")(spark, sf)
+    val n = df.count()
+    val dist = df.select(countDistinct(col("d"))).collect()(0).getLong(0)
+    assert(n === dist)
+    val minMax = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(datediff(max(to_date(col("o_orderdate"))),
+        min(to_date(col("o_orderdate"))))).collect()(0).getInt(0)
+    assert(n === minMax + 1)
+  }
+
+  test("flagship entry returns all-pass verification rows") {
+    val rows = SparkEntry.entry(spark)
+    assert(rows.count() > 0)
+    assert(rows.filter(col("pass") === false).count() === 0)
+  }
+}
