@@ -10,7 +10,7 @@ import graft.verify.ScanEquality
 import org.apache.spark.sql.SparkSession
 
 /**
- * Two-parallelism maintenance throughput bench (BASELINE.md §3 protocol):
+ * Two-parallelism maintenance throughput bench (BASELINE.md section 3 protocol):
  * the SAME deterministic clip table is built and maintained at local[N] and
  * local[4N]; clips/sec over the timed phases (compact + Z-order cluster) at
  * both levels gives scaling efficiency = (thr_4N / thr_N) / 4, with the
@@ -64,12 +64,16 @@ object ScalingBench {
     val s0 = store.currentSnapshotId.get
     val filesBefore = store.entries(s0).size
 
+    // bin size chosen so the bin count comfortably exceeds 4N cores — at
+    // this sandbox scale a 96 MB target would yield ~8 single-task bins and
+    // cap compaction parallelism at 8 regardless of cores, poisoning the
+    // scaling measurement (at production scale bins >> cores always holds)
     val (cRes, compactSec) = timed {
-      Compact.run(spark, store, targetBytes = 96L * 1024 * 1024,
-        runId = s"bench-compact-$cores", maxConcurrentBins = math.max(2, cores / 4))
+      Compact.run(spark, store, targetBytes = 32L * 1024 * 1024,
+        runId = s"bench-compact-$cores", maxConcurrentBins = cores)
     }
     val (zRes, clusterSec) = timed {
-      Cluster.run(spark, store, ZOrderCurve, targetBytes = 64L * 1024 * 1024,
+      Cluster.run(spark, store, ZOrderCurve, targetBytes = 32L * 1024 * 1024,
         runId = s"bench-cluster-$cores")
     }
     val (rep, verifySec) = timed {
@@ -89,7 +93,7 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nClips = args.lift(0).map(_.toLong).getOrElse(200000L)
-    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val coresN = args.lift(2).map(_.toInt).getOrElse(8)
     val levels = Seq(coresN, coresN * 4)
 
@@ -107,9 +111,9 @@ object ScalingBench {
     val pass = eff >= 0.8
 
     val md =
-      s"""# BENCH/BASELINE — two-parallelism maintenance throughput
+      s"""# BENCH/BASELINE -- two-parallelism maintenance throughput
          |
-         |Protocol: BASELINE.md §3. Same deterministic clip table
+         |Protocol: BASELINE.md section 3. Same deterministic clip table
          |(${nClips} clips, FIXTURES.md §1 generator, maxDurMs=150),
          |identical confs except core count; timed phases = bin-pack
          |compaction + Z-order cluster rewrite; every run gated by

@@ -3,7 +3,7 @@ package graft.ops
 import graft.keys.Keys
 import graft.table.{LineageRecord, MetaStore}
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 sealed trait CurveKind
 case object ZOrderCurve extends CurveKind
@@ -66,12 +66,20 @@ object Cluster {
       else scaledDim(col(c), mins.min, maxs.max, bits)
     }
 
+  /**
+   * @param batches >1 splits the rewrite into that many contiguous key-range
+   *                sub-jobs, each independently checkpointed — the resume
+   *                granularity for very large tables (an interrupted run
+   *                re-plans from the PERSISTED range bounds and skips
+   *                completed batches, so output is identical).
+   */
   def run(spark: SparkSession, store: MetaStore,
           curve: CurveKind = ZOrderCurve,
           targetBytes: Long = 128L * 1024 * 1024,
           runId: String = s"cluster-${System.currentTimeMillis()}",
           hashCols: Seq[String] = Seq("clip_id"),
-          rangeCols: Seq[String] = Seq("sr_hz", "dur_ms")): ClusterResult = {
+          rangeCols: Seq[String] = Seq("sr_hz", "dur_ms"),
+          batches: Int = 1): ClusterResult = {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("cluster: empty table"))
     val entries = store.entries(snapId)
     val totalBytes = entries.map(_.sizeBytes).sum
@@ -83,20 +91,58 @@ object Cluster {
     val key = keyColumn(curve, hashCols.map(col),
       scaledRangeCols(entries, rangeCols, bitsPerDim), bitsPerDim)
     val outDir = store.newDataDir("cluster")
-    df.withColumn("_ckey", key)
-      .repartitionByRange(nFiles, col("_ckey"))
-      .sortWithinPartitions("_ckey")
-      .drop("_ckey")
-      .write.mode("overwrite").parquet(outDir)
+    val keyed = df.withColumn("_ckey", key)
 
-    val newEntries = store.collectStats(spark, outDir)
+    val newEntries: Seq[graft.table.DataFile] =
+      if (batches <= 1) {
+        keyed.repartitionByRange(nFiles, col("_ckey"))
+          .sortWithinPartitions("_ckey")
+          .drop("_ckey")
+          .write.mode("overwrite").parquet(outDir)
+        store.collectStats(spark, outDir)
+      } else {
+        // persist batch bounds once; resumes reuse the SAME plan
+        val bounds: Array[Double] = store.itemResult(runId, "bounds") match {
+          case Some(saved) => saved.split(",").map(_.toDouble)
+          case None =>
+            val probs = (1 until batches).map(_.toDouble / batches).toArray
+            val b = keyed.stat.approxQuantile("_ckey", probs, 0.001)
+            store.saveItemResult(runId, "bounds", b.mkString(","))
+            b
+        }
+        val filesPerBatch = math.max(1, nFiles / batches)
+        (0 until batches).flatMap { b =>
+          val item = s"batch-$b"
+          store.itemResult(runId, item) match {
+            case Some(saved) if store.isDone(runId, item) =>
+              graft.table.Json.mapper.readValue[Seq[graft.table.DataFile]](saved)
+            case _ =>
+              val lo = if (b == 0) None else Some(bounds(b - 1))
+              val hi = if (b == batches - 1) None else Some(bounds(b))
+              val part = keyed
+                .filter(lo.map(col("_ckey") >= _).getOrElse(lit(true)) &&
+                  hi.map(col("_ckey") < _).getOrElse(lit(true)))
+              val batchDir = s"$outDir/batch=$b"
+              part.repartitionByRange(filesPerBatch, col("_ckey"))
+                .sortWithinPartitions("_ckey")
+                .drop("_ckey")
+                .write.mode("overwrite").parquet(batchDir)
+              val es = store.collectStats(spark, batchDir)
+              store.saveItemResult(runId, item, graft.table.Json.write(es))
+              store.markDone(runId, item)
+              es
+          }
+        }
+      }
+
     val wallMs = (System.nanoTime() - t0) / 1000000
     store.appendLineage(spark, newEntries.zipWithIndex.map { case (e, p) =>
       LineageRecord(runId, snapId, s"cluster-$curve", e.path, p, e.rows, e.sizeBytes,
         wallMs, System.currentTimeMillis(), "done")
-    })
+    }.toSeq)
     val newSnap = store.commit("cluster", newEntries, Map(
       "runId" -> runId, "curve" -> curve.toString,
+      "batches" -> batches.toString,
       "filesBefore" -> entries.size.toString))
     ClusterResult(newSnap, runId, entries.size, newEntries.size,
       newEntries.map(_.rows).sum, curve.toString)

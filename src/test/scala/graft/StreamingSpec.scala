@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.ClipStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("windowed streaming agg over events matches the batch equivalent") {
+    // file source needs a directory; copy the single parquet into one
+    val dir = Files.createTempDirectory("graft-stream-").toString
+    spark.read.parquet(s"$sf/events.parquet").write.mode("overwrite").parquet(dir)
+
+    ClipStream.runWindowedOnDir(spark, dir, "stream_out")
+    val streamed = spark.table("stream_out")
+
+    val batch = ClipStream.windowedCounts(spark.read.parquet(dir))
+    assert(streamed.count() === batch.count())
+    val sDiff = streamed.select("win_start", "event_type", "n")
+      .except(batch.select("win_start", "event_type", "n"))
+    assert(sDiff.count() === 0, "streamed rows differ from batch rows")
+  }
+
+  test("stateful sessionize accumulates per-user counts") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[ClipStream.Event]
+    val out = ClipStream.sessionize(events)
+    val got = out.collect().map(r => r.user_id -> r.n_events).toMap
+    val exp = events.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exp)
+  }
+
+  test("salted skew aggregation equals direct aggregation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("q"),
+        max(col("l_partkey")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val salted = graft.ops.SkewAgg.saltedGroupBy(li, Seq("l_returnflag"),
+      "l_orderkey", 16, Seq(
+        graft.ops.SkewAgg.count("n"),
+        graft.ops.SkewAgg.sum("l_quantity", "q_raw"),
+        graft.ops.SkewAgg.max("l_partkey", "mx")))
+      .withColumn("q", col("q_raw").cast("long")).drop("q_raw")
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("q"), r.getAs[Long]("mx"))).toMap
+    assert(salted === direct)
+  }
+
+  test("batched cluster rewrite equals single-pass output set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-batchclust-").toString
+    val store = graft.table.MetaStore.forClips(dir)
+    graft.ops.Append.run(spark, store,
+      graft.synth.ClipSynth.dataset(spark, 1200, 12, maxDurMs = 150).toDF())
+    val s0 = store.currentSnapshotId.get
+    val res = graft.ops.Cluster.run(spark, store, graft.ops.ZOrderCurve,
+      targetBytes = 1L * 1024 * 1024, runId = "batch-clust", batches = 3)
+    val rep = graft.verify.ScanEquality.report(
+      graft.verify.ScanEquality.compareSnapshots(spark, store, s0, res.snapshotId))
+    assert(rep.allPass, s"$rep")
+    // resume: re-running the same runId must skip every batch (markers done)
+    (0 until 3).foreach(b => assert(store.isDone("batch-clust", s"batch-$b")))
+  }
+}
