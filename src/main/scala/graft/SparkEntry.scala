@@ -23,11 +23,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Text.queries ++
       graft.queries.Vector.queries ++
-      graft.queries.Audio.queries
+      graft.queries.Audio.queries ++
+      graft.queries.Extra.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.Vector.oracles ++
-      graft.queries.Audio.oracles
+      graft.queries.Audio.oracles ++
+      graft.queries.Extra.oracles
 }

@@ -3,7 +3,7 @@ package graft.ops
 import graft.keys.Keys
 import graft.table.{LineageRecord, MetaStore}
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, udf}
 
 sealed trait CurveKind
 case object ZOrderCurve extends CurveKind
@@ -95,10 +95,55 @@ object Cluster {
 
     val newEntries: Seq[graft.table.DataFile] =
       if (batches <= 1) {
-        keyed.repartitionByRange(nFiles, col("_ckey"))
-          .sortWithinPartitions("_ckey")
+        // Range boundaries from a COLUMN-PRUNED quantile pass (reads only the
+        // key's input columns — parquet pruning skips the audio payload),
+        // instead of repartitionByRange's sampling job which re-reads full
+        // rows. Explicit file assignment + partitionBy then needs exactly one
+        // shuffle; each _file dir holds one contiguous-key-range file.
+        val probs = (1 until nFiles).map(_.toDouble / nFiles).toArray
+        val bounds: Array[Long] =
+          if (nFiles <= 1) Array.empty
+          else keyed.select("_ckey").stat
+            .approxQuantile("_ckey", probs, 0.001)
+            .map(_.toLong).distinct.sorted
+        val n = bounds.length + 1
+        // Collision-free reducer assignment: pick one int token per key range
+        // such that Spark's HashPartitioning (murmur3 seed 42, pmod n) sends
+        // each token to a DISTINCT reducer. A plain 0..n-1 id would hash-
+        // collide for ~1/e of ranges, giving some reducers 2-3 file groups
+        // and others none — a 2-3x write-stage skew tail (observed).
+        val tokens = new Array[Int](n)
+        val used = new Array[Boolean](n)
+        var cand = 0
+        var i = 0
+        while (i < n) {
+          var t = cand
+          def bucket(v: Int): Int = {
+            val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+            ((h % n) + n) % n
+          }
+          while (used(bucket(t))) t += 1
+          tokens(i) = t
+          used(bucket(t)) = true
+          cand = t + 1
+          i += 1
+        }
+        val bcB = spark.sparkContext.broadcast(bounds)
+        val bcT = spark.sparkContext.broadcast(tokens)
+        val assign = udf((k: Long) => {
+          val b = bcB.value
+          val idx0 = java.util.Arrays.binarySearch(b, k)
+          val idx = if (idx0 >= 0) idx0 + 1 else -(idx0 + 1)
+          bcT.value(idx)
+        })
+        // sort leads with _file so the dynamic-partition writer's required
+        // ordering is satisfied (no extra non-stable sort injected); one
+        // token per partition makes it equivalent to sorting by _ckey alone
+        keyed.withColumn("_file", assign(col("_ckey")))
+          .repartition(n, col("_file"))
+          .sortWithinPartitions("_file", "_ckey")
           .drop("_ckey")
-          .write.mode("overwrite").parquet(outDir)
+          .write.mode("overwrite").partitionBy("_file").parquet(outDir)
         store.collectStats(spark, outDir)
       } else {
         // persist batch bounds once; resumes reuse the SAME plan

@@ -31,6 +31,40 @@ final case class CompactResult(
  */
 object Compact {
 
+  /** One shuffle job for all bins: hash-repartition on the bin id, write
+   * partitionBy(bin), single stats pass over the whole output dir. */
+  private def runSingleJob(spark: SparkSession, store: MetaStore, snapId: Long,
+      entries: Seq[DataFile], kept: Seq[DataFile], singletons: Seq[Seq[DataFile]],
+      toRewrite: Seq[Seq[DataFile]], outDir: String, runId: String): CompactResult = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val binOf: Map[String, Int] = toRewrite.zipWithIndex
+      .flatMap { case (bin, i) => bin.map(f => f.path -> i) }.toMap
+    val bc = spark.sparkContext.broadcast(binOf)
+    val norm = udf((p: String) => {
+      val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
+      bc.value.getOrElse("/+".r.replaceFirstIn(noScheme, "/"), -1)
+    })
+    spark.read.parquet(binOf.keys.toSeq: _*)
+      .withColumn("_bin", norm(input_file_name()))
+      .repartition(toRewrite.size, col("_bin"))
+      .write.mode("overwrite").partitionBy("_bin").parquet(outDir)
+    val newEntries = store.collectStats(spark, outDir)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    store.appendLineage(spark, newEntries.zipWithIndex.map { case (e, p) =>
+      LineageRecord(runId, snapId, "compact", "single-job", p, e.rows,
+        e.sizeBytes, wallMs, System.currentTimeMillis(), "done")
+    })
+    val finalEntries = kept ++ singletons.flatten ++ newEntries
+    val newSnap = store.commit("compact", finalEntries, Map(
+      "runId" -> runId, "mode" -> "single-job",
+      "binsRewritten" -> toRewrite.size.toString,
+      "filesBefore" -> entries.size.toString,
+      "filesAfter" -> finalEntries.size.toString))
+    CompactResult(newSnap, runId, entries.size, finalEntries.size,
+      toRewrite.size, 0, newEntries.map(_.rows).sum)
+  }
+
   /** First-fit-decreasing bin packing by file size. */
   def binPackFFD(files: Seq[DataFile], targetBytes: Long): Seq[Seq[DataFile]] = {
     val bins = scala.collection.mutable.ArrayBuffer[(scala.collection.mutable.ArrayBuffer[DataFile], Long)]()
@@ -46,11 +80,20 @@ object Compact {
     bins.map(_._1.toSeq).toSeq
   }
 
+  /**
+   * @param singleJob true = execute ALL bins in one shuffle job
+   *   (read candidates -> map file->bin via broadcast -> repartition(bin) ->
+   *   write partitionBy(bin)) + one stats pass. Right when bins are small
+   *   and numerous (driver job-submission overhead would dominate the
+   *   per-bin mode). false = independent per-bin jobs with checkpoint
+   *   markers — shuffle-free and resumable, right when bins are large.
+   */
   def run(spark: SparkSession, store: MetaStore,
           targetBytes: Long = 128L * 1024 * 1024,
           smallFileFrac: Double = 0.75,
           runId: String = s"compact-${System.currentTimeMillis()}",
-          maxConcurrentBins: Int = 4): CompactResult = {
+          maxConcurrentBins: Int = 4,
+          singleJob: Boolean = false): CompactResult = {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("compact: empty table"))
     val entries = store.entries(snapId)
     val threshold = (targetBytes * smallFileFrac).toLong
@@ -59,6 +102,11 @@ object Compact {
     // single-file bins gain nothing from a rewrite — keep them in place
     val (toRewrite, singletons) = bins.partition(_.size >= 2)
     val outDir = store.newDataDir(s"compact")
+
+    if (singleJob && toRewrite.nonEmpty) {
+      return runSingleJob(spark, store, snapId, entries, kept, singletons,
+        toRewrite, outDir, runId)
+    }
 
     var skipped = 0
     // lineage writes are buffered and appended ONCE after the pool drains —

@@ -33,16 +33,21 @@ final case class MergeResult(
  */
 object MergeInto {
 
+  /** @param deleteKeys WHEN MATCHED THEN DELETE branch: rows of the target
+   *                     whose key appears here are dropped during the
+   *                     copy-on-write rewrite. */
   def run(spark: SparkSession, store: MetaStore, updates: DataFrame,
           keyCol: String = "clip_id",
           targetBytes: Long = 128L * 1024 * 1024,
           runId: String = s"merge-${System.currentTimeMillis()}",
-          broadcastUpdates: Boolean = true): MergeResult = {
+          broadcastUpdates: Boolean = true,
+          deleteKeys: Option[DataFrame] = None): MergeResult = {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("merge: empty table"))
     val entries = store.entries(snapId)
     val t0 = System.nanoTime()
 
-    val updKeys0 = updates.select(col(keyCol)).distinct()
+    val updKeys0 = deleteKeys.foldLeft(updates.select(col(keyCol)))(
+      (u, dk) => u.unionByName(dk.select(col(keyCol)))).distinct()
     val updKeys = if (broadcastUpdates) broadcast(updKeys0) else updKeys0
 
     // 1. which data files contain matched keys?
@@ -58,10 +63,15 @@ object MergeInto {
       if (touched.nonEmpty) spark.read.parquet(touched.map(_.path): _*)
       else store.scan(spark, snapId).limit(0) // schema-only frame
     val dataCols = base.columns.filter(_ != keyCol)
-    val merged = base.alias("t")
+    val merged0 = base.alias("t")
       .join(updates.alias("u"), Seq(keyCol), "full_outer")
       .select(col(keyCol) +: dataCols.map(c =>
         coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
+    val merged = deleteKeys match {
+      case Some(dk) => merged0.join(
+        broadcast(dk.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+      case None => merged0
+    }
 
     val touchedBytes = math.max(touched.map(_.sizeBytes).sum, 1L)
     val nFiles = math.max(1, math.ceil(touchedBytes.toDouble / targetBytes).toInt)
