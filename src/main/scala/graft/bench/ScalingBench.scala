@@ -45,7 +45,25 @@ object ScalingBench {
       .config("spark.local.dir",
         if (onTmpfs) s"$benchRoot/spark-local" else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.compression.codec", "snappy")
+      // snappy on files and lz4 shuffle (Spark defaults): A/B-measured best.
+      // Uncompressed shuffle was 3x worse at 16 cores (tone PCM compresses
+      // ~4x, so bytes moved dominate on this bandwidth-capped sandbox);
+      // zstd's extra CPU per byte lost to snappy at 16 cores as well.
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_BENCH_CODEC", "snappy"))
+      // 1 MB write buffers: this kernel collapses under MANY concurrent
+      // SMALL writes (measured on tmpfs: 16 writers x 32 KB blocks = 294
+      // MB/s aggregate vs 7.9 GB/s for 4 writers; 16 x 1 MB = 8.6 GB/s).
+      // Spark's defaults are 32 KB (shuffle) and 4 KB (hadoop local fs) —
+      // exactly the pathological regime; thread dumps showed every executor
+      // pinned inside FileOutputStream.writeBytes. Large buffers are the
+      // right call on real clusters too (fewer, larger I/O ops).
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+      .config("spark.hadoop.io.file.buffer.size", "1048576")
+      // sort-based shuffle writer: ONE sequential stream per map task
+      // instead of bypass-merge's per-reducer stream fan-out + concat pass
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -94,10 +112,14 @@ object ScalingBench {
     // comfortably exceed 4N cores — otherwise the 4N level is structurally
     // capped at bin-count-way parallelism and the measurement reports the
     // cap, not the engine (at production scale bins >> cores always holds)
+    // per-bin mode: shuffle-free (each bin is read and rewritten by ONE
+    // task), so it moves HALF the bytes of the single-shuffle-job mode —
+    // the right trade where memory/storage bandwidth, not job-submission
+    // overhead, is the scarce resource
     val (cRes, compactSec) = timed {
       Compact.run(spark, store, targetBytes = 64L * 1024 * 1024,
         runId = s"bench-compact-$cores", maxConcurrentBins = cores,
-        singleJob = true)
+        singleJob = sys.env.get("GRAFT_BENCH_SINGLEJOB").contains("1"))
     }
     require(cRes.binsRewritten > 0,
       s"bench compact was a no-op (files already above threshold)")
@@ -176,6 +198,22 @@ object ScalingBench {
          |storage bandwidth (executor-local disks / S3 aggregate) scales with
          |executor count. tmpfs models cluster-proportional storage so the
          |measurement reflects the engine, not the single shared device.
+         |
+         |Why N=${rN.cores}: this sandbox kernel collapses under many
+         |CONCURRENT writers — measured with dd on tmpfs: 4 writers x 32 KB
+         |blocks sustain 7.9 GB/s aggregate, 16 writers x 32 KB collapse to
+         |294 MB/s (27x), and thread dumps of the 16-core maintenance pass
+         |show executors pinned in FileOutputStream.writeBytes. A real
+         |cluster gives each executor its OWN disks/S3 connections, so write
+         |concurrency scales with executor count; this VM's single kernel
+         |write path does not. N=${rN.cores} -> 4N=${r4N.cores} keeps both
+         |levels inside the regime where the host's storage path still
+         |scales, so the ratio measures the ENGINE's scaling (shuffle,
+         |partitioning, skew), not the host pathology. Engine-side
+         |mitigations applied and kept for cluster use (1 MB write buffers,
+         |sort-based shuffle writer, per-bin shuffle-free compaction,
+         |closure-captured small lookup tables instead of per-row
+         |Broadcast.value) are documented in README.md.
          |
          |All reps, clips/sec at local[${rN.cores}]: ${repLine(runsN)}
          |All reps, clips/sec at local[${r4N.cores}]: ${repLine(runs4N)}

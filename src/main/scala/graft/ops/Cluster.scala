@@ -100,12 +100,14 @@ object Cluster {
         // instead of repartitionByRange's sampling job which re-reads full
         // rows. Explicit file assignment + partitionBy then needs exactly one
         // shuffle; each _file dir holds one contiguous-key-range file.
+        val tq0 = System.nanoTime()
         val probs = (1 until nFiles).map(_.toDouble / nFiles).toArray
         val bounds: Array[Long] =
           if (nFiles <= 1) Array.empty
           else keyed.select("_ckey").stat
             .approxQuantile("_ckey", probs, 0.001)
             .map(_.toLong).distinct.sorted
+        System.err.println(f"[cluster] quantile pass ${(System.nanoTime()-tq0)/1e9}%.1f s")
         val n = bounds.length + 1
         // Collision-free reducer assignment: pick one int token per key range
         // such that Spark's HashPartitioning (murmur3 seed 42, pmod n) sends
@@ -128,23 +130,33 @@ object Cluster {
           cand = t + 1
           i += 1
         }
-        val bcB = spark.sparkContext.broadcast(bounds)
-        val bcT = spark.sparkContext.broadcast(tokens)
+        // capture the (tiny) bound/token arrays in the closure — do NOT use
+        // sparkContext.broadcast here: Broadcast.value goes through a
+        // synchronized block-manager lookup, and calling it PER ROW from all
+        // task threads serializes the whole map stage on one lock (measured:
+        // the stage pinned every core busy-waiting and its wall time was
+        // ~constant regardless of parallelism)
+        val bArr = bounds
+        val tArr = tokens
         val assign = udf((k: Long) => {
-          val b = bcB.value
-          val idx0 = java.util.Arrays.binarySearch(b, k)
+          val idx0 = java.util.Arrays.binarySearch(bArr, k)
           val idx = if (idx0 >= 0) idx0 + 1 else -(idx0 + 1)
-          bcT.value(idx)
+          tArr(idx)
         })
         // sort leads with _file so the dynamic-partition writer's required
         // ordering is satisfied (no extra non-stable sort injected); one
         // token per partition makes it equivalent to sorting by _ckey alone
+        val tw0 = System.nanoTime()
         keyed.withColumn("_file", assign(col("_ckey")))
           .repartition(n, col("_file"))
           .sortWithinPartitions("_file", "_ckey")
           .drop("_ckey")
           .write.mode("overwrite").partitionBy("_file").parquet(outDir)
-        store.collectStats(spark, outDir)
+        System.err.println(f"[cluster] shuffle+sort+write ${(System.nanoTime()-tw0)/1e9}%.1f s")
+        val ts0 = System.nanoTime()
+        val st = store.collectStats(spark, outDir)
+        System.err.println(f"[cluster] stats pass ${(System.nanoTime()-ts0)/1e9}%.1f s")
+        st
       } else {
         // persist batch bounds once; resumes reuse the SAME plan
         val bounds: Array[Double] = store.itemResult(runId, "bounds") match {

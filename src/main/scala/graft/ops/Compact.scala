@@ -38,14 +38,18 @@ object Compact {
       toRewrite: Seq[Seq[DataFile]], outDir: String, runId: String): CompactResult = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
+    // closure-captured map with scheme-prefixed variants precomputed, so the
+    // per-row path is ONE hash lookup — no broadcast (Broadcast.value is a
+    // synchronized lookup; per-row it serializes the stage on one lock) and
+    // no per-row string normalization
+    val paths: Seq[String] = toRewrite.flatten.map(_.path)
     val binOf: Map[String, Int] = toRewrite.zipWithIndex
-      .flatMap { case (bin, i) => bin.map(f => f.path -> i) }.toMap
-    val bc = spark.sparkContext.broadcast(binOf)
-    val norm = udf((p: String) => {
-      val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
-      bc.value.getOrElse("/+".r.replaceFirstIn(noScheme, "/"), -1)
-    })
-    spark.read.parquet(binOf.keys.toSeq: _*)
+      .flatMap { case (bin, i) =>
+        bin.flatMap(f => Seq(f.path -> i, s"file://${f.path}" -> i,
+          s"file:${f.path}" -> i))
+      }.toMap
+    val norm = udf((p: String) => binOf.getOrElse(p, -1))
+    spark.read.parquet(paths: _*)
       .withColumn("_bin", norm(input_file_name()))
       .repartition(toRewrite.size, col("_bin"))
       .write.mode("overwrite").partitionBy("_bin").parquet(outDir)

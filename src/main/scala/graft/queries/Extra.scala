@@ -36,9 +36,10 @@ object Extra {
     //    confirm, so false positives cannot leak into the result --
     "q34_bloom_prefilter" -> ((s, d) => {
       val dim = t(s, d, "part").filter(col("p_size") <= 5)
+      // closure-captured (a BloomFilter is a few KB here) — Broadcast.value
+      // per row would serialize the scan on the block-manager lock
       val bloom = dim.stat.bloomFilter("p_partkey", 2000, 0.01)
-      val bloomBc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+      val mightContain = udf((k: Long) => bloom.mightContain(k))
       t(s, d, "lineitem")
         .filter(mightContain(col("l_partkey"))) // cheap pre-test
         .join(dim, col("l_partkey") === col("p_partkey")) // exact confirm
@@ -90,6 +91,35 @@ object Extra {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))),
 
+    // -- as-of join (absent in the reference; SURVEY §2.3 notes it comes
+    //    free on Spark): each error event picks up the most recent prior
+    //    click by the same user. At scale this is a range-bounded shuffle
+    //    join on user_id; the window dedup keeps only the latest match. --
+    "q55_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("cts"),
+          round(col("value") * 100, 0).cast("long").as("click_cents"))
+      val w = Window.partitionBy("event_id").orderBy(col("cts").desc)
+      err.join(clk, col("user_id") === col("c_user") && col("cts") <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("cts").as("asof_ts"),
+          col("click_cents"))
+    }),
+
+    // -- JSON cell functions (absent in the reference, README.md:150-151
+    //    lists JSON as unimplemented; free on Spark) --
+    "q56_json_props" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"),
+          min("k").as("min_k"), max("k").as("max_k"))),
+
     // -- non-ISO chronology calendar blowout (reference JvmCal
     //    dateWiseCategories covers Iso/ThaiBuddhist/Minguo/Japanese,
     //    cursors/calendar/JvmCal.kt:22-104); needs java.time.chrono, so a
@@ -113,6 +143,25 @@ object Extra {
   )
 
   val oracles: Map[String, String] = Map(
+    "q55_asof_join" ->
+      """WITH e AS (SELECT event_id, ts, user_id FROM events
+        |           WHERE event_type = 'error'),
+        |c AS (SELECT user_id AS c_user, ts AS cts,
+        |        CAST(round(value*100, 0) AS BIGINT) AS click_cents
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT e.event_id, e.user_id, c.cts, c.click_cents,
+        |        row_number() OVER (PARTITION BY e.event_id
+        |                           ORDER BY c.cts DESC) AS rn
+        |      FROM e JOIN c ON e.user_id = c.c_user AND c.cts <= e.ts)
+        |SELECT event_id, user_id, cts AS asof_ts, click_cents
+        |FROM j WHERE rn = 1""".stripMargin,
+    "q56_json_props" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(*) AS n,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q32_csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS sum_key
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
