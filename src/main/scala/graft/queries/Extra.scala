@@ -157,17 +157,17 @@ object Extra {
         |FROM j WHERE rn = 1""".stripMargin,
     "q56_json_props" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n,
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q32_csv_roundtrip" ->
-      """SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS sum_key
+      """SELECT l_returnflag, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_key
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q34_bloom_prefilter" ->
       """SELECT p_brand, count(*) AS n,
-        |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 5 GROUP BY p_brand""".stripMargin,
     "q36_minmax_normalize" ->
@@ -179,8 +179,8 @@ object Extra {
         |FROM b""".stripMargin,
     "q37_typed_agg" ->
       """SELECT l_returnflag,
-        |  sum(COALESCE(NULLIF(CAST(round(l_tax*100,0) AS BIGINT), 0), 0))
-        |    AS tax_sum_nz,
+        |  CAST(sum(COALESCE(NULLIF(CAST(round(l_tax*100,0) AS BIGINT), 0), 0))
+        |    AS BIGINT) AS tax_sum_nz,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q39_typed_variance" ->

@@ -312,8 +312,8 @@ object Relational {
         |    CAST(round(l_discount*100,0) AS BIGINT) AS disc_cents
         |  FROM lineitem)
         |SELECT l_returnflag, l_linestatus,
-        |  sum(qty) AS sum_qty,
-        |  sum(price_cents) AS sum_price_cents,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
         |  round(sum(price_cents)*1.0/count(*), 4) AS avg_price_cents,
         |  round(avg(disc_cents), 4) AS avg_disc_cents,
         |  count(*) AS n
@@ -337,12 +337,12 @@ object Relational {
         |FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q10_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS sum_total_cents
+        |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_total_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "q11_join_broadcast" ->
       """SELECT p_brand,
-        |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS revenue_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 10 GROUP BY p_brand""".stripMargin,
@@ -372,8 +372,8 @@ object Relational {
         |INTERSECT SELECT l_partkey AS k FROM lineitem""".stripMargin,
     "q17_pivot" ->
       """SELECT l_returnflag,
-        |  sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus='F') AS qty_f,
-        |  sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus='O') AS qty_o
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus='F') AS BIGINT) AS qty_f,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus='O') AS BIGINT) AS qty_o
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q18_onehot" ->
       """SELECT o_orderkey,
@@ -402,8 +402,8 @@ object Relational {
     "q21_window_running" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
         |               FROM orders GROUP BY 1)
-        |SELECT d, n, sum(n) OVER (ORDER BY d
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |SELECT d, n, CAST(sum(n) OVER (ORDER BY d
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
         |FROM daily""".stripMargin,
     "q22_calendar" ->
       """WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
@@ -425,7 +425,7 @@ object Relational {
     "q25_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |  COALESCE(l_linestatus, 'ALL') AS status,
-        |  count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q26_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
@@ -438,7 +438,7 @@ object Relational {
         |FROM customer WHERE c_custkey <= 500""".stripMargin,
     "q28_bucket_mod" ->
       """SELECT o_orderkey % 16 AS bucket, count(*) AS n,
-        |  sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY 1""".stripMargin,
     "q29_percentiles" ->
       """SELECT o_orderpriority,
