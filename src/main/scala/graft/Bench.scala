@@ -29,7 +29,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt wraps stdout in [info] noise, so ALSO write the line to a file the
+    // driver can parse unambiguously
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // stop() first so the JSON is the FINAL unwrapped stdout line
+    println(json)
   }
 }

@@ -17,23 +17,36 @@ import org.apache.spark.sql.SparkSession
 object ClusterProbe {
 
   final class StageTimer extends SparkListener {
-    case class S(name: String, tasks: Int, wallMs: Long, taskMsSum: Long, taskMsMax: Long)
+    case class T(wall: Long = 0, cpu: Long = 0, gc: Long = 0, fetchWait: Long = 0,
+                 shufWrite: Long = 0, mx: Long = 0)
+    case class S(name: String, tasks: Int, wallMs: Long, t: T)
     val stages = scala.collection.mutable.ArrayBuffer[S]()
-    private val taskAgg = scala.collection.mutable.Map[Int, (Long, Long)]()
+    private val taskAgg = scala.collection.mutable.Map[Int, T]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
-      val (sum, mx) = taskAgg.getOrElse(t.stageId, (0L, 0L))
-      val d = t.taskInfo.duration
-      taskAgg(t.stageId) = (sum + d, math.max(mx, d))
+      val a = taskAgg.getOrElse(t.stageId, T())
+      val m = t.taskMetrics
+      val (cpu, gc, fw, sw) =
+        if (m == null) (0L, 0L, 0L, 0L)
+        else (m.executorCpuTime / 1000000, m.jvmGCTime,
+          m.shuffleReadMetrics.fetchWaitTime,
+          m.shuffleWriteMetrics.writeTime / 1000000)
+      taskAgg(t.stageId) = T(a.wall + t.taskInfo.duration, a.cpu + cpu,
+        a.gc + gc, a.fetchWait + fw, a.shufWrite + sw,
+        math.max(a.mx, t.taskInfo.duration))
     }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
       val i = sc.stageInfo
       val wall = (for {s <- i.submissionTime; e <- i.completionTime} yield e - s).getOrElse(-1L)
-      val (sum, mx) = taskAgg.getOrElse(i.stageId, (0L, 0L))
-      stages += S(i.name.takeWhile(_ != '\n').take(60), i.numTasks, wall, sum, mx)
+      stages += S(i.name.takeWhile(_ != '\n').take(40), i.numTasks, wall,
+        taskAgg.getOrElse(i.stageId, T()))
     }
     def drainAndPrint(tag: String): Unit = synchronized {
       stages.foreach { s =>
-        System.err.println(f"[stage $tag] ${s.name}%-60s tasks=${s.tasks}%3d wall=${s.wallMs / 1000.0}%6.1fs cpuSum=${s.taskMsSum / 1000.0}%7.1fs taskMax=${s.taskMsMax / 1000.0}%6.1fs")
+        System.err.println(f"[stage $tag] ${s.name}%-40s tasks=${s.tasks}%3d " +
+          f"wall=${s.wallMs / 1000.0}%6.1fs taskSum=${s.t.wall / 1000.0}%7.1fs " +
+          f"cpu=${s.t.cpu / 1000.0}%7.1fs gc=${s.t.gc / 1000.0}%5.1fs " +
+          f"fetchWait=${s.t.fetchWait / 1000.0}%5.1fs shufWrite=${s.t.shufWrite / 1000.0}%5.1fs " +
+          f"taskMax=${s.t.mx / 1000.0}%6.1fs")
       }
       stages.clear(); taskAgg.clear()
     }

@@ -1,0 +1,50 @@
+package graft.functions
+
+/**
+ * Shared SQL expression fragments for embedding math, kept engine-parity-safe:
+ * dot products cast each float to double BEFORE multiplying and fold strictly
+ * left-to-right, so the DuckDB oracle reproduces the exact IEEE sequence
+ * (float-parity recipe). The LSH hyperplanes are pseudo-random +-1 signs from
+ * pure integer arithmetic, so both engines derive bit-identical planes with
+ * no shipped state.
+ */
+object VecExprs {
+
+  /** dot(embedding, q) — requires columns `embedding` and `q`. */
+  val dotExpr: String =
+    "aggregate(zip_with(embedding, q, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** ||embedding|| */
+  val normExpr: String =
+    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+
+  /** ||q|| */
+  val qnormExpr: String =
+    "sqrt(aggregate(transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+
+  /** Random-hyperplane sign bits -> 2^nPlanes buckets. */
+  val nPlanes = 6
+
+  private def sigTermSpark(p: Int): String =
+    s"CASE WHEN aggregate(transform(embedding, (x, i) -> " +
+      s"CASE WHEN pmod($p*1000003 + i*7919, 97) < 48 THEN CAST(x AS DOUBLE) " +
+      s"ELSE -CAST(x AS DOUBLE) END), CAST(0.0 AS DOUBLE), " +
+      s"(acc, v) -> acc + v) > 0.0 THEN ${1 << p} ELSE 0 END"
+
+  /** LSH bucket id over column `embedding` (Spark SQL dialect). */
+  val bucketSpark: String =
+    (0 until nPlanes).map(sigTermSpark).mkString(" + ")
+
+  private def sigTermDuck(p: Int): String =
+    s"CASE WHEN list_aggregate(list_transform(generate_series(1, len(embedding)), " +
+      s"i -> CASE WHEN (($p*1000003 + (i-1)*7919) % 97) < 48 " +
+      s"THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END), " +
+      s"'sum') > 0.0 THEN ${1 << p} ELSE 0 END"
+
+  /** Same bucket id in DuckDB dialect (for the oracle). */
+  val bucketDuck: String =
+    (0 until nPlanes).map(sigTermDuck).mkString(" + ")
+}

@@ -63,10 +63,14 @@ object MergeInto {
       if (touched.nonEmpty) spark.read.parquet(touched.map(_.path): _*)
       else store.scan(spark, snapId).limit(0) // schema-only frame
     val dataCols = base.columns.filter(_ != keyCol)
+    // standard WHEN MATCHED THEN UPDATE semantics: a matched row takes the
+    // update side's value VERBATIM (an explicit NULL overwrites) — keyed off
+    // a match marker, not coalesce, which would silently keep the old value
     val merged0 = base.alias("t")
-      .join(updates.alias("u"), Seq(keyCol), "full_outer")
+      .join(updates.withColumn("_upd", lit(true)).alias("u"),
+        Seq(keyCol), "full_outer")
       .select(col(keyCol) +: dataCols.map(c =>
-        coalesce(col(s"u.$c"), col(s"t.$c")).as(c)): _*)
+        when(col("u._upd"), col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
     val merged = deleteKeys match {
       case Some(dk) => merged0.join(
         broadcast(dk.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")

@@ -34,6 +34,18 @@ object Audio {
         .withColumn("zkey",
           Keys.zorderKey(8, Seq.empty, Seq(col("px"), col("sy"))))),
 
+    // -- Hilbert key vs unrolled Skilling state machine in SQL (8 bits x
+    //    2 dims), mirroring q60's Z-order check for the reference's aspired
+    //    Hilbert ordering (Gilbert.kt:14-94, Ordering.kt:105) --
+    "q66_hilbert_key" -> ((s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("px"),
+          (col("l_suppkey") % 256).as("sy"))
+        .withColumn("hkey",
+          Keys.hilbertKey(8, Seq.empty, Seq(col("px"), col("sy"))))),
+
     // -- audio feature extraction over decoded PCM (the multimodal
     //    decode/feature-extract path; decode is REAL, not stubbed) --
     "q61_audio_features" -> ((s, d) => {
@@ -106,6 +118,51 @@ object Audio {
     s"((px >> $j) & 1) * ${1L << (2 * j)} + ((sy >> $j) & 1) * ${1L << (2 * j + 1)}"
   }.mkString(" + ")
 
+  /** Unrolled Skilling axes->transpose (n=2, b=8) as chained CTEs — the
+   * exact loop structure of SpaceFillingCurve.axesToTranspose emitted as
+   * SQL, so DuckDB independently reproduces every Hilbert key. */
+  private val hilbertOracleSql: String = {
+    val keep = "l_orderkey, l_linenumber, px, sy"
+    val sb = new StringBuilder
+    sb.append(s"""WITH b AS (SELECT $keep, px AS x0, sy AS x1
+                 |  FROM (SELECT l_orderkey, l_linenumber,
+                 |    l_partkey % 256 AS px, l_suppkey % 256 AS sy
+                 |    FROM lineitem WHERE l_orderkey <= 500)),
+                 |""".stripMargin)
+    var prev = "b"
+    var k = 0
+    var q = 128L
+    while (q > 1) { // inverse-undo loop, Q = 128 .. 2
+      val p = q - 1
+      sb.append(
+        s"""a$k AS (SELECT $keep,
+           |  CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0, x1
+           |  FROM $prev),
+           |s$k AS (SELECT $keep,
+           |  CASE WHEN (x1 & $q) != 0 THEN xor(x0, $p)
+           |       ELSE xor(x0, xor(x0, x1) & $p) END AS x0,
+           |  CASE WHEN (x1 & $q) != 0 THEN x1
+           |       ELSE xor(x1, xor(x0, x1) & $p) END AS x1
+           |  FROM a$k),
+           |""".stripMargin)
+      prev = s"s$k"; k += 1; q >>= 1
+    }
+    // Gray encode + t-fold + final xor
+    val tChain = (0 until 7).map { j =>
+      val qq = 128L >> j
+      s"CASE WHEN (x1 & $qq) != 0 THEN ${qq - 1} ELSE 0 END"
+    }.reduce((a, b) => s"xor($a, $b)")
+    val inter = (0 until 8).map { j =>
+      s"((x0 >> $j) & 1) * ${1L << (2 * j + 1)} + ((x1 >> $j) & 1) * ${1L << (2 * j)}"
+    }.mkString(" + ")
+    sb.append(
+      s"""g AS (SELECT $keep, x0, xor(x1, x0) AS x1 FROM $prev),
+         |tt AS (SELECT $keep, x0, x1, $tChain AS t FROM g),
+         |f AS (SELECT $keep, xor(x0, t) AS x0, xor(x1, t) AS x1 FROM tt)
+         |SELECT $keep, CAST($inter AS BIGINT) AS hkey FROM f""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "q60_zorder_key" ->
       s"""WITH b AS (SELECT l_orderkey, l_linenumber,
@@ -113,6 +170,7 @@ object Audio {
          |  FROM lineitem WHERE l_orderkey <= 500)
          |SELECT l_orderkey, l_linenumber, px, sy,
          |  CAST($zExprSql AS BIGINT) AS zkey
-         |FROM b""".stripMargin
+         |FROM b""".stripMargin,
+    "q66_hilbert_key" -> hilbertOracleSql
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.functions.TypedAggs
+import graft.functions.{OneHot, TypedAggs}
+import graft.sources.Fwf
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,14 +52,59 @@ object Extra {
     // -- min-max normalization (reference normalizeFloatColumn,
     //    Cursor.kt:183-254: stats pass then rewrite pass) --
     "q36_minmax_normalize" -> ((s, d) => {
+      // SURVEY §2.8 plan: a global Window.partitionBy() would drag every row
+      // to ONE task; instead one tiny agg(min,max) broadcast-joined back —
+      // the stats pass stays fully parallel and the rewrite pass is map-only
       val cents = round(col("c_acctbal") * 100, 0).cast("long")
-      val w = Window.partitionBy()
-      t(s, d, "customer")
-        .select(col("c_custkey"), cents.as("bal"))
+      val base = t(s, d, "customer").select(col("c_custkey"), cents.as("bal"))
+      val stats = base.agg(min("bal").as("_lo"), max("bal").as("_hi"))
+      base.crossJoin(broadcast(stats))
         .withColumn("bal_norm",
-          round((col("bal") - min("bal").over(w)) * 1.0 /
-            (max("bal").over(w) - min("bal").over(w)), 4))
+          round((col("bal") - col("_lo")) * 1.0 / (col("_hi") - col("_lo")), 4))
         .select(col("c_custkey"), col("bal"), col("bal_norm"))
+    }),
+
+    // -- inverse min-max scaling (reference FeatureRange.deNormalize,
+    //    vec/ml/FeatureRange.kt:38-45): reconstruct raw values from the
+    //    normalized column + stored (lo, hi) — same broadcast-stats shape
+    //    as q36, both directions in one pass --
+    "q58_denormalize" -> ((s, d) => {
+      val cents = round(col("c_acctbal") * 100, 0).cast("long")
+      val base = t(s, d, "customer").select(col("c_custkey"), cents.as("bal"))
+      val stats = base.agg(min("bal").as("_lo"), max("bal").as("_hi"))
+      base.crossJoin(broadcast(stats))
+        .withColumn("bal_norm",
+          round((col("bal") - col("_lo")) * 1.0 / (col("_hi") - col("_lo")), 4))
+        .withColumn("bal_denorm",
+          round(col("bal_norm") * (col("_hi") - col("_lo")) + col("_lo"), 0)
+            .cast("long"))
+        .select(col("c_custkey"), col("bal"), col("bal_norm"), col("bal_denorm"))
+    }),
+
+    // -- generic one-hot with DummySpec drop rules (reference
+    //    Categories.kt:33-77 + DummySpec.kt:6-8): distinct-scan the column,
+    //    indicators synthesized from the DATA, drop-first for the
+    //    reference-dummy encoding --
+    "q59_onehot_dummy" -> ((s, d) =>
+      OneHot.encode(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderpriority", OneHot.DropFirst)),
+
+    // -- fixed-width text round-trip (reference FWF front door,
+    //    Ordering.kt:73-81 / Medium.kt:68-113): write lineitem columns at
+    //    declared widths, read back via substring projections, aggregate --
+    "q67_fwf_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-fwf-").toString
+      val fields = Seq(
+        Fwf.Field("l_orderkey", 1, 10, LongType),
+        Fwf.Field("l_linenumber", 11, 2, IntegerType),
+        Fwf.Field("l_returnflag", 13, 1, StringType, leftAlign = true))
+      Fwf.write(t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag"), dir, fields)
+      Fwf.read(s, dir, fields)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_orderkey").as("sum_key"),
+          max("l_linenumber").as("max_line"))
     }),
 
     // -- typed Aggregator (reference floatSum reducer: null folds as zero) --
@@ -93,21 +139,31 @@ object Extra {
 
     // -- as-of join (absent in the reference; SURVEY §2.3 notes it comes
     //    free on Spark): each error event picks up the most recent prior
-    //    click by the same user. At scale this is a range-bounded shuffle
-    //    join on user_id; the window dedup keeps only the latest match. --
+    //    click by the same user. Scale-safe plan: ONE scan of both event
+    //    kinds, sorted within user_id partitions, carrying the last click
+    //    forward via last(_, ignoreNulls) over a running frame — an
+    //    inequality join + window dedup would materialize every
+    //    (error x prior click) pair per user (quadratic in events/user). --
     "q55_asof_join" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      val err = ev.filter(col("event_type") === "error")
-        .select(col("event_id"), col("ts"), col("user_id"))
-      val clk = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("cts"),
-          round(col("value") * 100, 0).cast("long").as("click_cents"))
-      val w = Window.partitionBy("event_id").orderBy(col("cts").desc)
-      err.join(clk, col("user_id") === col("c_user") && col("cts") <= col("ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("cts").as("asof_ts"),
-          col("click_cents"))
+      val base = t(s, d, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          // click payload struct; null on error rows so the running
+          // last(ignoreNulls) IS the as-of state (clicks sort before
+          // errors at equal ts: cts <= ts is inclusive)
+          when(col("event_type") === "click",
+            struct(col("ts").as("cts"),
+              round(col("value") * 100, 0).cast("long").as("click_cents")))
+            .as("_clk"),
+          when(col("event_type") === "click", 0).otherwise(1).as("_kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("_kind").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("_last", last(col("_clk"), ignoreNulls = true).over(w))
+        .filter(col("_kind") === 1 && col("_last").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("_last.cts").as("asof_ts"),
+          col("_last.click_cents").as("click_cents"))
     }),
 
     // -- JSON cell functions (absent in the reference, README.md:150-151
@@ -122,8 +178,8 @@ object Extra {
 
     // -- non-ISO chronology calendar blowout (reference JvmCal
     //    dateWiseCategories covers Iso/ThaiBuddhist/Minguo/Japanese,
-    //    cursors/calendar/JvmCal.kt:22-104); needs java.time.chrono, so a
-    //    typed map rather than SQL -- rows-only --
+    //    cursors/calendar/JvmCal.kt:22-104; Hijrah beyond it); needs
+    //    java.time.chrono, so a typed map rather than SQL -- rows-only --
     "q65_calendar_chrono" -> ((s, d) => {
       import s.implicits._
       t(s, d, "orders")
@@ -131,18 +187,49 @@ object Extra {
         .as[java.sql.Date]
         .map { sd =>
           val ld = sd.toLocalDate
+          val yearOf = java.time.temporal.ChronoField.YEAR
           val thai = java.time.chrono.ThaiBuddhistDate.from(ld)
           val minguo = java.time.chrono.MinguoDate.from(ld)
+          val jp = java.time.chrono.JapaneseDate.from(ld)
+          val hij = java.time.chrono.HijrahDate.from(ld)
           (sd.toString, ld.getYear,
-            thai.get(java.time.temporal.ChronoField.YEAR),
-            minguo.get(java.time.temporal.ChronoField.YEAR),
+            thai.get(yearOf), minguo.get(yearOf),
+            jp.getEra.toString, jp.get(java.time.temporal.ChronoField.YEAR_OF_ERA),
+            hij.get(yearOf),
             ld.getDayOfWeek.getValue)
         }
-        .toDF("d", "iso_year", "thai_year", "minguo_year", "iso_dow")
+        .toDF("d", "iso_year", "thai_year", "minguo_year",
+          "jp_era", "jp_year_of_era", "hijrah_year", "iso_dow")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_denormalize" ->
+      """WITH b AS (SELECT c_custkey,
+        |    CAST(round(c_acctbal*100,0) AS BIGINT) AS bal FROM customer),
+        |s AS (SELECT min(bal) AS lo, max(bal) AS hi FROM b),
+        |n AS (SELECT c_custkey, bal,
+        |    round((bal - lo) * 1.0 / (hi - lo), 4) AS bal_norm, lo, hi
+        |  FROM b, s)
+        |SELECT c_custkey, bal, bal_norm,
+        |  CAST(round(bal_norm * (hi - lo) + lo, 0) AS BIGINT) AS bal_denorm
+        |FROM n""".stripMargin,
+    "q59_onehot_dummy" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END
+        |    AS o_orderpriority_2_HIGH,
+        |  CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END
+        |    AS o_orderpriority_3_MEDIUM,
+        |  CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END
+        |    AS o_orderpriority_4_NOT_SPECIFIED,
+        |  CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
+        |    AS o_orderpriority_5_LOW
+        |FROM orders""".stripMargin,
+    "q67_fwf_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        |  max(l_linenumber) AS max_line
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q55_asof_join" ->
       """WITH e AS (SELECT event_id, ts, user_id FROM events
         |           WHERE event_type = 'error'),

@@ -191,12 +191,24 @@ object Relational {
 
     // -- window running total over the date spine --
     "q21_window_running" -> ((s, d) => {
+      // distributed prefix sum: an unpartitioned Window.orderBy would move
+      // the whole spine to one task. Instead: running total WITHIN each year
+      // partition + broadcast per-year offsets (triangular self-join on the
+      // tiny per-year table) — every stage stays parallel at any spine size
       val daily = t(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("d"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("d"))
+        .withColumn("yy", year(col("d")))
+      val wy = Window.partitionBy(col("yy")).orderBy(col("d"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.select(col("d"), col("n"), sum("n").over(w).as("running_n"))
+      val perYear = daily.groupBy("yy").agg(sum("n").as("ytot"))
+      val off = perYear.as("a")
+        .join(perYear.as("b"), col("b.yy") < col("a.yy"), "left")
+        .groupBy(col("a.yy").as("yy"))
+        .agg(coalesce(sum(col("b.ytot")), lit(0L)).as("off"))
+      daily.join(broadcast(off), "yy")
+        .select(col("d"), col("n"),
+          (sum("n").over(wy) + col("off")).as("running_n"))
     }),
 
     // -- calendar feature blowout (reference JvmCal.dateWiseCategories) --

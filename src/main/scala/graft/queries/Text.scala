@@ -126,21 +126,40 @@ object Text {
       voted.select(col("doc_id"), sim.as("simhash16"))
     }),
 
-    // -- n-gram (word-set) Jaccard near-dup pairs among planted dups --
+    // -- n-gram (word-set) Jaccard near-dup pairs: LSH band join generates
+    //    the candidates (4 single-minhash bands, computed PER ROW with
+    //    array_min/transform — no explode shuffle), exact Jaccard confirms.
+    //    A blocking join on a low-cardinality key (e.g. doc length) is a
+    //    disguised near-cartesian product at scale; band-bucket equality
+    //    keeps the candidate set proportional to true near-dups. --
     "q48_jaccard_pairs" -> ((s, d) => {
+      def mh(k: Int) = expr(
+        "array_min(transform(sequence(1, greatest(length(lower(substring(text,1,256))) - 7, 1)), " +
+          s"i -> md5(concat('$k', substring(lower(substring(text,1,256)), i, 8)))))")
       val doubled = docs(s, d)
         .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000))
-        .select(col("doc_id"), col("n_chars"),
-          array_distinct(words).as("ws"))
-      val a = doubled.select(col("doc_id").as("id_a"), col("n_chars"),
-        col("ws").as("ws_a"))
-      val b = doubled.select(col("doc_id").as("id_b"), col("n_chars"),
-        col("ws").as("ws_b"))
-      a.join(b, Seq("n_chars"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("jac",
-          round(size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
-            size(array_union(col("ws_a"), col("ws_b"))), 4))
+      val base = doubled.select(
+        Seq(col("doc_id"), array_distinct(words).as("ws")) ++
+          (0 to 3).map(k => mh(k).as(s"mh$k")): _*)
+      val bands = base.select(col("doc_id"), explode(array(
+          (0 to 3).map(k => struct(lit(k).as("band"), col(s"mh$k").as("h"))): _*))
+          .as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+      // band join moves only (id, band, hash); word sets rejoin on the
+      // (small) candidate list afterwards
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val ws = base.select(col("doc_id"), col("ws"))
+      cand
+        .join(ws.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+        .join(ws.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+        .withColumn("inter",
+          size(array_intersect(col("ws_a"), col("ws_b"))).cast("double"))
+        .withColumn("jac", round(col("inter") /
+          (size(col("ws_a")) + size(col("ws_b")) - col("inter")), 4))
         .filter(col("jac") >= 0.5)
         .select(col("id_a"), col("id_b"), col("jac"))
     })
@@ -235,17 +254,34 @@ object Text {
           s"(CASE WHEN v$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)").mkString(" + ")),
     "q48_jaccard_pairs" ->
       """WITH doubled AS (
-        |  SELECT doc_id, n_chars,
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |t AS (SELECT doc_id, lower(substr(text, 1, 256)) AS s,
         |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
-        |  FROM (SELECT doc_id, n_chars, text FROM documents
-        |        UNION ALL
-        |        SELECT doc_id + 100000, n_chars, text FROM documents))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.ws, b.ws))*1.0 /
-        |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) AS jac
-        |FROM doubled a JOIN doubled b ON a.n_chars = b.n_chars
-        |WHERE a.doc_id < b.doc_id
-        |  AND round(len(list_intersect(a.ws, b.ws))*1.0 /
-        |    (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 4) >= 0.5""".stripMargin
+        |  FROM doubled),
+        |sh AS (SELECT doc_id, substr(s, CAST(i AS INTEGER), 8) AS g
+        |  FROM (SELECT doc_id, s,
+        |          unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
+        |        FROM t)),
+        |sigs AS (SELECT doc_id,
+        |    min(md5('0' || g)) AS mh0, min(md5('1' || g)) AS mh1,
+        |    min(md5('2' || g)) AS mh2, min(md5('3' || g)) AS mh3
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, mh0 AS h FROM sigs
+        |  UNION ALL SELECT doc_id, 1, mh1 FROM sigs
+        |  UNION ALL SELECT doc_id, 2, mh2 FROM sigs
+        |  UNION ALL SELECT doc_id, 3, mh3 FROM sigs),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+        |j AS (SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(ta.ws, tb.ws))*1.0 /
+        |      (len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws))), 4)
+        |      AS jac
+        |  FROM cand c
+        |  JOIN t ta ON ta.doc_id = c.id_a
+        |  JOIN t tb ON tb.doc_id = c.id_b)
+        |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5""".stripMargin
   )
 }

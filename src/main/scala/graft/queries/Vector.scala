@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.functions.VecExprs
+import graft.ops.VecIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,53 +17,29 @@ object Vector {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
-  // left-to-right fold of double products — deterministic on both engines
-  private val dotExpr =
-    "aggregate(zip_with(embedding, q, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-  private val normExpr =
-    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-  private val qnormExpr =
-    "sqrt(aggregate(transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-
-  // ---- LSH scale path: 6 random-hyperplane sign bits -> 64 buckets ----
-  // Hyperplane weights are pseudo-random +-1 from pure integer arithmetic
-  // ((p*1000003 + i*7919) mod 97 < 48), so BOTH engines derive bit-identical
-  // planes with no shipped state. Per-plane sign = left-to-right fold of
-  // +-x_i doubles (float-parity recipe).
-  private val nPlanes = 6
-
-  private def sigTermSpark(p: Int): String =
-    s"CASE WHEN aggregate(transform(embedding, (x, i) -> " +
-      s"CASE WHEN pmod($p*1000003 + i*7919, 97) < 48 THEN CAST(x AS DOUBLE) " +
-      s"ELSE -CAST(x AS DOUBLE) END), CAST(0.0 AS DOUBLE), " +
-      s"(acc, v) -> acc + v) > 0.0 THEN ${1 << p} ELSE 0 END"
-
-  private val bucketSpark: String =
-    (0 until nPlanes).map(sigTermSpark).mkString(" + ")
-
-  private def sigTermDuck(p: Int): String =
-    s"CASE WHEN list_aggregate(list_transform(generate_series(1, len(embedding)), " +
-      s"i -> CASE WHEN (($p*1000003 + (i-1)*7919) % 97) < 48 " +
-      s"THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END), " +
-      s"'sum') > 0.0 THEN ${1 << p} ELSE 0 END"
-
-  private val bucketDuck: String =
-    (0 until nPlanes).map(sigTermDuck).mkString(" + ")
+  // expression fragments shared with the write-time index builder
+  // (graft.functions.VecExprs / graft.ops.VecIndex)
+  private val dotExpr = VecExprs.dotExpr
+  private val normExpr = VecExprs.normExpr
+  private val qnormExpr = VecExprs.qnormExpr
+  private val bucketDuck = VecExprs.bucketDuck
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- ANN, LSH-bucketed: candidates share the query's hyperplane-sign
-    //    bucket; exact cosine only over candidates. At scale the bucket
-    //    column is precomputed at write time and the probe is a pruned
-    //    bucket-equality join, not a cross join. --
+    // -- ANN, LSH-bucketed: the bucket assignment lives in the PERSISTED
+    //    write-time index (graft.ops.VecIndex); the probe is a pruned
+    //    bucket-equality join against the stored index, then an embedding
+    //    fetch for the (small) candidate list only — no corpus-wide bucket
+    //    recompute per query. --
     "q53_ann_lsh" -> ((s, d) => {
-      val b = emb(s, d).withColumn("bkt", expr(bucketSpark))
-      val q = b.filter(col("vec_id") === 0)
-        .select(col("bkt").as("qbkt"), col("embedding").as("q"))
-      b.join(broadcast(q), col("bkt") === col("qbkt"))
+      val idx = VecIndex.buckets(s, VecIndex.ensure(s, s"$d/embeddings.parquet"))
+      val qb = idx.filter(col("vec_id") === 0).select(col("bkt").as("qbkt"))
+      val cand = idx.join(broadcast(qb), col("bkt") === col("qbkt"))
         .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("bkt"))
+      val q = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q"))
+      emb(s, d).join(cand, "vec_id")
+        .crossJoin(broadcast(q))
         .select(col("vec_id"), col("bkt"),
           round(expr(dotExpr) / (expr(normExpr) * expr(qnormExpr)), 4)
             .as("cosine"))
@@ -69,15 +47,27 @@ object Vector {
         .limit(10)
     }),
 
-    // -- ANN, IVF-style: coarse cells = labels with mean centroids; probe
-    //    assigns the query to its nearest centroid (nprobe=1), exact cosine
-    //    only within that cell. --
+    // -- persisted-index audit (rows-only): stored buckets vs a fresh
+    //    recompute; n_stale must be 0 after any source rewrite because
+    //    VecIndex.ensure fingerprints the source and rebuilds on change --
+    "q57_ann_index_persisted" -> ((s, d) => {
+      val idx = VecIndex.buckets(s, VecIndex.ensure(s, s"$d/embeddings.parquet"))
+      val fresh = emb(s, d)
+        .select(col("vec_id"), expr(VecExprs.bucketSpark).as("bkt_fresh"))
+      idx.join(fresh, "vec_id")
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("bkt") === col("bkt_fresh"), 0L).otherwise(1L))
+            .as("n_stale"))
+    }),
+
+    // -- ANN, IVF-style: coarse cells = labels with mean centroids FROM THE
+    //    PERSISTED INDEX; probe assigns the query to its nearest centroid
+    //    (nprobe=1), exact cosine only within that cell. --
     "q54_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(avg(col("x").cast("double")).as("mean_x"))
+      val cent = VecIndex.centroids(s,
+        VecIndex.ensure(s, s"$d/embeddings.parquet"))
       val qflat = e.filter(col("vec_id") === 0)
         .select(posexplode(col("embedding")).as(Seq("pos", "qx")))
       val cell = cent.join(broadcast(qflat), "pos")

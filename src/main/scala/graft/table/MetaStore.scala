@@ -50,14 +50,17 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshot)
 
   def allSnapshotIds: Seq[Long] = {
-    val it = Files.list(metaDir).iterator()
-    val out = scala.collection.mutable.ArrayBuffer[Long]()
-    while (it.hasNext) {
-      val name = it.next().getFileName.toString
-      if (name.startsWith("snap-") && name.endsWith(".json"))
-        out += name.stripPrefix("snap-").stripSuffix(".json").toLong
-    }
-    out.sorted.toSeq
+    val stream = Files.list(metaDir)
+    try {
+      val it = stream.iterator()
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("snap-") && name.endsWith(".json"))
+          out += name.stripPrefix("snap-").stripSuffix(".json").toLong
+      }
+      out.sorted.toSeq
+    } finally stream.close()
   }
 
   def entries(snapshotId: Long): Seq[DataFile] = {
@@ -171,7 +174,8 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
 
   def lineage(spark: SparkSession): DataFrame = {
     val dir = metaDir.resolve("lineage")
-    val hasData = Files.list(dir).iterator().hasNext
+    val stream = Files.list(dir)
+    val hasData = try stream.iterator().hasNext finally stream.close()
     if (hasData) spark.read.parquet(dir.toString)
     else spark.emptyDataFrame
   }

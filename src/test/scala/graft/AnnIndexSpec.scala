@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.VecExprs
+import graft.ops.{Append, Compact, VecIndex}
+import graft.table.MetaStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The persisted ANN index must SURVIVE a maintenance pass: compaction
+ * rewrites the table's files, but rows are unchanged, so the write-time
+ * bucket/centroid side-tables stay valid and the probe answers from the
+ * index must equal a fresh brute-force computed over the post-maintenance
+ * scan.
+ */
+class AnnIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic synthetic embeddings: 200 vecs x 8 dims, 4 labels. */
+  private def synthEmbeddings = {
+    (0 until 200).map { i =>
+      val v = (0 until 8).map(j =>
+        (((i * 31 + j * 17) % 97) - 48).toFloat / 48.0f).toArray
+      (i.toLong, s"label_${i % 4}", v)
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("bucket/centroid index survives compaction (rows unchanged)") {
+    val tableDir = Files.createTempDirectory("graft-ann-table-").toString
+    val indexDir = Files.createTempDirectory("graft-ann-index-").toString
+    val store = new MetaStore(tableDir, Seq("vec_id", "label"))
+
+    // append as many SMALL files so compaction has work to do
+    Append.run(spark, store, synthEmbeddings.repartition(16))
+    val preScan = store.scanCurrent(spark)
+    VecIndex.build(spark, preScan, indexDir, sourceFingerprint = "spec")
+
+    val c = Compact.run(spark, store, targetBytes = 64L * 1024 * 1024,
+      runId = "ann-spec-compact")
+    assert(c.binsRewritten > 0, "compaction must actually rewrite files")
+    val postScan = store.scanCurrent(spark)
+    assert(postScan.count() === 200)
+
+    // 1. stored buckets still match a fresh recompute over the REWRITTEN table
+    val stored = VecIndex.buckets(spark, indexDir)
+      .select(col("vec_id"), col("bkt"))
+    val fresh = postScan
+      .select(col("vec_id"), expr(VecExprs.bucketSpark).as("bkt_fresh"))
+    val stale = stored.join(fresh, "vec_id")
+      .filter(col("bkt") =!= col("bkt_fresh")).count()
+    assert(stale === 0L, "persisted buckets diverged after maintenance")
+
+    // 2. index-probed top-5 for a query vector == brute-force top-5 on the
+    //    post-maintenance scan, restricted to the query's bucket
+    val qid = 7L
+    val qbkt = stored.filter(col("vec_id") === qid).select("bkt").as[Int].head()
+    val q = postScan.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q"))
+    def topk(cands: org.apache.spark.sql.DataFrame) = cands
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr(VecExprs.dotExpr) /
+          (expr(VecExprs.normExpr) * expr(VecExprs.qnormExpr)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val viaIndex = topk(postScan.join(
+      stored.filter(col("bkt") === qbkt).select("vec_id"), "vec_id"))
+    val bruteInBucket = topk(postScan.join(
+      postScan.select(col("vec_id"),
+        expr(VecExprs.bucketSpark).as("b2")).filter(col("b2") === qbkt)
+        .select("vec_id"), "vec_id"))
+    assert(viaIndex === bruteInBucket)
+    assert(viaIndex.nonEmpty)
+
+    // 3. centroids from the index equal centroids recomputed post-maintenance
+    val storedCent = VecIndex.centroids(spark, indexDir)
+    val freshCent = postScan
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg(col("x").cast("double")).as("mean_fresh"))
+    val centDiff = storedCent.join(freshCent, Seq("label", "pos"))
+      .filter(abs(col("mean_x") - col("mean_fresh")) > 1e-9).count()
+    assert(centDiff === 0L)
+  }
+
+  test("ensure() rebuilds when the source parquet changes") {
+    val src = Files.createTempDirectory("graft-ann-src-").toString
+    synthEmbeddings.repartition(2).write.mode("overwrite").parquet(src)
+    val d1 = VecIndex.ensure(spark, src)
+    val n1 = VecIndex.buckets(spark, d1).count()
+    assert(n1 === 200)
+    // append more rows -> fingerprint changes -> rebuild picks them up
+    (200 until 250).map { i =>
+      (i.toLong, s"label_${i % 4}",
+        (0 until 8).map(j => (i + j).toFloat / 100f).toArray)
+    }.toDF("vec_id", "label", "embedding")
+      .write.mode("append").parquet(src)
+    val d2 = VecIndex.ensure(spark, src)
+    assert(d2 === d1)
+    assert(VecIndex.buckets(spark, d2).count() === 250)
+  }
+}

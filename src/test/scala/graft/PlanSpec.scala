@@ -71,6 +71,19 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().length === 64)
   }
 
+  test("no unpartitioned Window in any query plan (one-task scale gate)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    // a Window with empty partitionSpec moves EVERY row to one task — the
+    // canonical silent scale-killer; gate every registered query against it
+    SparkEntry.queries.foreach { case (name, f) =>
+      val df = f(spark, sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name plans a global (unpartitioned) Window")
+    }
+  }
+
   test("events hourly agg partial-aggregates before the shuffle (q30)") {
     val p = plan(SparkEntry.queries("q30_events_hourly")(spark, sf))
     // two HashAggregate phases (partial + final) around one exchange
