@@ -72,6 +72,19 @@ object Cluster {
    *                granularity for very large tables (an interrupted run
    *                re-plans from the PERSISTED range bounds and skips
    *                completed batches, so output is identical).
+   *
+   *                Cost trade-off, deliberate: each batch filters the FULL
+   *                input scan by its key range (B batches = B scans of the
+   *                column-pruned key inputs + payload of matching rows).
+   *                File-level pruning cannot help here — the curve key
+   *                interleaves hash bits, so before clustering every input
+   *                file spans nearly the whole key space. The alternative
+   *                (batching by input FILES) would resume without re-reading
+   *                but loses global range layout: file batches overlap in
+   *                key space, so the output would not be one contiguous
+   *                range per file. We keep global layout and pay the
+   *                re-scan, which at 100 TB is bounded by B * scan cost and
+   *                amortized by choosing B ~ cluster-failure MTBF, not small.
    */
   def run(spark: SparkSession, store: MetaStore,
           curve: CurveKind = ZOrderCurve,

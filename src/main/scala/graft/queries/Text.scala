@@ -20,6 +20,12 @@ object Text {
 
   private val words: Column = split(trim(lower(col("text"))), "\\s+")
 
+  /** k-th minhash over 8-char shingles of the first 256 chars, map-side
+   * (array_min over a transform — no explode, no shuffle). */
+  private def minhashCol(k: Int): Column = expr(
+    "array_min(transform(sequence(1, greatest(length(lower(substring(text,1,256))) - 7, 1)), " +
+      s"i -> md5(concat('$k', substring(lower(substring(text,1,256)), i, 8)))))")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: canonical row per content hash --
     "q40_dedup_exact" -> ((s, d) =>
@@ -75,35 +81,23 @@ object Text {
           " +", " "))).as("fingerprint"))),
 
     // -- MinHash signatures: 4 md5-keyed hash streams over 8-char shingles
-    //    of the first 256 chars --
-    "q45_minhash" -> ((s, d) => {
-      val body = lower(substring(col("text"), 1, 256))
-      val shingle = explode(expr(
-        "transform(sequence(1, greatest(length(lower(substring(text,1,256))) - 7, 1))," +
-          " i -> substring(lower(substring(text,1,256)), i, 8))"))
-      docs(s, d).select(col("doc_id"), shingle.as("g"))
-        .groupBy("doc_id")
-        .agg(
-          min(md5(concat(lit("0"), col("g")))).as("mh0"),
-          min(md5(concat(lit("1"), col("g")))).as("mh1"),
-          min(md5(concat(lit("2"), col("g")))).as("mh2"),
-          min(md5(concat(lit("3"), col("g")))).as("mh3"))
-    }),
+    //    of the first 256 chars. Computed PER ROW with array_min/transform —
+    //    an explode + groupBy would shuffle one row per shingle (~250x the
+    //    corpus); this form is map-only, no shuffle at all. --
+    "q45_minhash" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), minhashCol(0).as("mh0"),
+        minhashCol(1).as("mh1"), minhashCol(2).as("mh2"),
+        minhashCol(3).as("mh3"))),
 
     // -- MinHash LSH dedup: planted duplicates must collide on the full
-    //    signature; bucket-join finds them (shingle -> minhash -> band ->
-    //    bucket-join) --
+    //    signature; per-row signatures (no explode shuffle), then ONE
+    //    groupBy on the band bucket --
     "q46_minhash_dedup" -> ((s, d) => {
       val doubled = docs(s, d)
         .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000))
-      val shingle = explode(expr(
-        "transform(sequence(1, greatest(length(lower(substring(text,1,256))) - 7, 1))," +
-          " i -> substring(lower(substring(text,1,256)), i, 8))"))
-      val sigs = doubled.select(col("doc_id"), shingle.as("g"))
-        .groupBy("doc_id")
-        .agg(min(md5(concat(lit("0"), col("g")))).as("mh0"),
-          min(md5(concat(lit("1"), col("g")))).as("mh1"))
-      sigs.groupBy("mh0", "mh1")
+      doubled
+        .select(col("doc_id"), minhashCol(0).as("mh0"), minhashCol(1).as("mh1"))
+        .groupBy("mh0", "mh1")
         .agg(count(lit(1)).as("n_members"), min("doc_id").as("canonical_id"))
         .filter(col("n_members") > 1)
     }),
@@ -133,14 +127,11 @@ object Text {
     //    disguised near-cartesian product at scale; band-bucket equality
     //    keeps the candidate set proportional to true near-dups. --
     "q48_jaccard_pairs" -> ((s, d) => {
-      def mh(k: Int) = expr(
-        "array_min(transform(sequence(1, greatest(length(lower(substring(text,1,256))) - 7, 1)), " +
-          s"i -> md5(concat('$k', substring(lower(substring(text,1,256)), i, 8)))))")
       val doubled = docs(s, d)
         .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000))
       val base = doubled.select(
         Seq(col("doc_id"), array_distinct(words).as("ws")) ++
-          (0 to 3).map(k => mh(k).as(s"mh$k")): _*)
+          (0 to 3).map(k => minhashCol(k).as(s"mh$k")): _*)
       val bands = base.select(col("doc_id"), explode(array(
           (0 to 3).map(k => struct(lit(k).as("band"), col(s"mh$k").as("h"))): _*))
           .as("bh"))

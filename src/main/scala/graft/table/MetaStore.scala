@@ -136,6 +136,13 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     if (f.exists()) f.length() else -1L
   }
 
+  /** Max data-file entries per manifest shard. One giant JSON manifest
+   * makes the driver's commit/read O(table files) in a single blob — at
+   * 10^12 rows (~10^5-10^6 files at 128 MB) that is the known Iceberg
+   * bottleneck Iceberg shards manifests for. Sharding keeps each manifest
+   * bounded; `entries()` already concatenates over `snap.manifests`. */
+  var manifestShardSize: Int = 10000
+
   /**
    * Atomically commit a new snapshot holding exactly `entries`.
    * Returns the new snapshot id. Fails if another writer moved CURRENT
@@ -145,11 +152,16 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
              summary: Map[String, String] = Map.empty): Long = synchronized {
     val parent = currentSnapshotId.getOrElse(-1L)
     val id = allSnapshotIds.lastOption.getOrElse(0L) + 1L
-    val manifestName = s"manifest-$id-${UUID.randomUUID().toString.take(8)}.json"
-    Files.write(metaDir.resolve(manifestName),
-      Json.write(ManifestFile(entries)).getBytes(StandardCharsets.UTF_8))
+    val shards = if (entries.isEmpty) Seq(entries) else
+      entries.grouped(manifestShardSize).toSeq
+    val manifestNames = shards.map { shard =>
+      val name = s"manifest-$id-${UUID.randomUUID().toString.take(8)}.json"
+      Files.write(metaDir.resolve(name),
+        Json.write(ManifestFile(shard)).getBytes(StandardCharsets.UTF_8))
+      name
+    }
     val snap = Snapshot(id, parent, System.currentTimeMillis(), operation,
-      Seq(manifestName),
+      manifestNames,
       summary ++ Map("files" -> entries.size.toString,
                      "rows" -> entries.map(_.rows).sum.toString,
                      "bytes" -> entries.map(_.sizeBytes).sum.toString))

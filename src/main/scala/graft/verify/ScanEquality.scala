@@ -68,20 +68,28 @@ object ScanEquality {
     if (!checkSynth) {
       def dig(df: DataFrame, tag: String) = df.select(
         col("clip_id"),
+        lit(1).as(s"${tag}_present"), // row-presence marker (bytes may be null)
         md5(col("bytes")).as(s"${tag}_md5"),
         col("sr_hz").as(s"${tag}_sr"),
         col("dur_ms").as(s"${tag}_dur"),
         col("codec").as(s"${tag}_codec"),
         col("transcript").as(s"${tag}_transcript"))
+      // persisted: the fast branch AND the mismatch-id derivation both read
+      // this ~50-bytes/row frame, so the payload is md5-scanned exactly ONCE
+      // per side; with AQE, an EMPTY mismatch set then propagates and the
+      // decode branch's payload scans are skipped at runtime entirely.
+      // (~20 MB/M clips, session-lifetime cache; bench/maintenance sessions
+      // are per-run so this does not accumulate.)
       val j = dig(pre, "pre").join(dig(post, "post"), Seq("clip_id"), "full_outer")
-      val inPre = col("pre_md5").isNotNull
-      val inPost = col("post_md5").isNotNull
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inPre = col("pre_present").isNotNull
+      val inPost = col("post_present").isNotNull
       val both = inPre && inPost
       val tOk = col("pre_transcript") <=> col("post_transcript")
       val mOk = col("pre_sr") <=> col("post_sr") &&
         col("pre_dur") <=> col("post_dur") &&
         col("pre_codec") <=> col("post_codec")
-      val digEq = col("pre_md5") === col("post_md5")
+      val digEq = col("pre_md5") <=> col("post_md5") // null-safe: null==null bytes
       val fast = j.filter(!both || digEq).select(
         col("clip_id"),
         inPre.as("in_pre"), inPost.as("in_post"),

@@ -178,4 +178,19 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(phases.exists(_.startsWith("cluster")), s"phases=$phases")
     assert(ln.filter(col("rows") <= 0).count() === 0)
   }
+
+  test("manifests shard at commit; entries() and expire see all shards") {
+    val dir = Files.createTempDirectory("graft-shard-manifest-").toString
+    val store = MetaStore.forClips(dir)
+    store.manifestShardSize = 3
+    Append.run(spark, store, ClipSynth.dataset(spark, 200, 10).toDF())
+    val snap = store.currentSnapshot.get
+    assert(snap.manifests.size === 4, s"10 files / shard=3 -> 4 manifests, got ${snap.manifests}")
+    assert(store.entries(snap.id).size === 10)
+    assert(store.scanCurrent(spark).count() === 200)
+    // a second commit over the sharded snapshot still round-trips
+    val c = Compact.run(spark, store, targetBytes = 64L * 1024 * 1024,
+      runId = "shard-compact")
+    assert(store.entries(c.snapshotId).map(_.rows).sum === 200)
+  }
 }

@@ -76,6 +76,19 @@ class OneHotFwfSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(3)).toSeq === Seq(0.1, 2.5, 13.0))
   }
 
+  test("CSV zero-elision round-trip (reference WriteCSV behavior)") {
+    val dir = Files.createTempDirectory("graft-csv-ze-").toString
+    val src = Seq((1L, 0, "a"), (2L, 5, "b"), (0L, 7, "c"))
+      .toDF("k", "v", "tag")
+    graft.sources.Csv.writeZeroElided(src, dir)
+    // zeros really are elided in the raw text
+    val raw = spark.read.text(dir).collect().map(_.getString(0)).toSet
+    assert(raw.contains("1,,a") && raw.contains(",7,c"), raw.toString)
+    val back = graft.sources.Csv.readZeroElided(spark, dir, src.schema)
+    assert(back.orderBy("tag").collect().toSeq ===
+      src.orderBy("tag").collect().toSeq)
+  }
+
   test("FWF write -> read round-trip is exact") {
     val dir = Files.createTempDirectory("graft-fwf-rt-").toString
     val fields = Seq(
