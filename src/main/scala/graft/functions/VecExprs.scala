@@ -25,7 +25,10 @@ object VecExprs {
     "sqrt(aggregate(transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
 
-  /** Random-hyperplane sign bits -> 2^nPlanes buckets. */
+  /** Random-hyperplane sign bits -> 2^nPlanes buckets (default index width;
+   * callers needing finer buckets pass their own plane count — more planes =
+   * smaller buckets = fewer candidate pairs, lower recall for non-identical
+   * near-dups). */
   val nPlanes = 6
 
   private def sigTermSpark(p: Int): String =
@@ -38,6 +41,9 @@ object VecExprs {
   val bucketSpark: String =
     (0 until nPlanes).map(sigTermSpark).mkString(" + ")
 
+  def bucketSparkN(n: Int): String =
+    (0 until n).map(sigTermSpark).mkString(" + ")
+
   private def sigTermDuck(p: Int): String =
     s"CASE WHEN list_aggregate(list_transform(generate_series(1, len(embedding)), " +
       s"i -> CASE WHEN (($p*1000003 + (i-1)*7919) % 97) < 48 " +
@@ -47,4 +53,7 @@ object VecExprs {
   /** Same bucket id in DuckDB dialect (for the oracle). */
   val bucketDuck: String =
     (0 until nPlanes).map(sigTermDuck).mkString(" + ")
+
+  def bucketDuckN(n: Int): String =
+    (0 until n).map(sigTermDuck).mkString(" + ")
 }

@@ -47,6 +47,37 @@ object Vector {
         .limit(10)
     }),
 
+    // -- embedding-cosine near-dup DEDUP: planted duplicate vectors are
+    //    found via LSH bucket-equality candidates (per-row bucket expr, no
+    //    corpus cross join), confirmed by exact cosine >= 0.99. The
+    //    embedding analog of q46's text LSH dedup. --
+    "q49_embedding_dedup" -> ((s, d) => {
+      // 10 planes = 1024 buckets: at corpus scale the candidate count is
+      // quadratic in bucket size, so dedup wants finer buckets than the
+      // 64-bucket ANN index (identical vectors collide in ALL buckets, so
+      // planted-dup recall is unaffected)
+      val doubled = emb(s, d)
+        .unionAll(emb(s, d).withColumn("vec_id", col("vec_id") + 100000))
+        .select(col("vec_id"), col("embedding"),
+          expr(VecExprs.bucketSparkN(10)).as("bkt"))
+      val a = doubled.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("bkt"))
+      val b = doubled.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("bkt"))
+      val dotPair =
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      def nrm(c: String) =
+        s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+      a.join(b, Seq("bkt"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(expr(dotPair) / (expr(nrm("ea")) * expr(nrm("eb"))), 4)
+            .as("cosine"))
+        .filter(col("cosine") >= 0.99)
+    }),
+
     // -- persisted-index audit (rows-only): stored buckets vs a fresh
     //    recompute; n_stale must be 0 after any source rewrite because
     //    VecIndex.ensure fingerprints the source and rebuilds on change --
@@ -120,6 +151,24 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_embedding_dedup" ->
+      s"""WITH doubled AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ${VecExprs.bucketDuckN(10)} AS bkt FROM doubled),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |    round(
+         |      list_aggregate(list_transform(
+         |        generate_series(1, len(a.embedding)),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)), 'sum')
+         |      / (sqrt(list_aggregate(list_transform(a.embedding,
+         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         |         * sqrt(list_aggregate(list_transform(b2.embedding,
+         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)
+         |      AS cosine
+         |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99""".stripMargin,
     "q53_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketDuck AS bkt FROM embeddings),
          |q AS (SELECT bkt AS qbkt, embedding AS qe FROM b WHERE vec_id = 0),
