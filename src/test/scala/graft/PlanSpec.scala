@@ -71,6 +71,15 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().length === 64)
   }
 
+  test("ANN probes read the persisted index, not a corpus recompute (q53/q54)") {
+    val p53 = plan(SparkEntry.queries("q53_ann_lsh")(spark, sf))
+    assert(p53.contains("graft-vecindex"),
+      s"q53 does not scan the persisted bucket index:\n$p53")
+    val p54 = plan(SparkEntry.queries("q54_ann_ivf")(spark, sf))
+    assert(p54.contains("graft-vecindex"),
+      s"q54 does not scan the persisted centroid table:\n$p54")
+  }
+
   test("no unpartitioned Window in any query plan (one-task scale gate)") {
     import org.apache.spark.sql.catalyst.plans.logical.Window
     // a Window with empty partitionSpec moves EVERY row to one task — the

@@ -71,4 +71,41 @@ class StreamingSpec extends AnyFunSuite {
     // resume: re-running the same runId must skip every batch (markers done)
     (0 until 3).foreach(b => assert(store.isDone("batch-clust", s"batch-$b")))
   }
+
+  test("streaming ingest commits one snapshot per batch, exactly-once on replay") {
+    import graft.streaming.StreamAppend
+    import graft.table.MetaStore
+    val srcDir = Files.createTempDirectory("graft-ingest-src-").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt-").toString
+    val tableDir = Files.createTempDirectory("graft-ingest-table-").toString
+    val store = MetaStore.forClips(tableDir)
+
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.limit(100).write.mode("overwrite").parquet(srcDir)
+
+    val src = spark.readStream.schema(ClipStream.eventSchema).parquet(srcDir)
+    val q = StreamAppend.start(store, src, ckpt, "ingest_q")
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val n1 = store.scanCurrent(spark).count()
+    assert(n1 === 100)
+    val batchIds = StreamAppend.committedBatchIds(store)
+    assert(batchIds.nonEmpty)
+
+    // at-least-once replay of an already-committed batch must be a no-op
+    val snapsBefore = store.allSnapshotIds.size
+    StreamAppend.commitBatch(store, ev.limit(100), batchIds.head)
+    assert(store.allSnapshotIds.size === snapsBefore, "replayed batch re-committed")
+    assert(store.scanCurrent(spark).count() === 100)
+
+    // a second file of NEW data arrives -> new batch, new snapshot
+    ev.orderBy(org.apache.spark.sql.functions.col("event_id").desc).limit(50)
+      .write.mode("append").parquet(srcDir)
+    val q2 = StreamAppend.start(store, spark.readStream
+      .schema(ClipStream.eventSchema).parquet(srcDir), ckpt, "ingest_q2")
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(store.scanCurrent(spark).count() === 150)
+  }
 }
