@@ -176,6 +176,55 @@ object Extra {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"),
           min("k").as("min_k"), max("k").as("max_k"))),
 
+    // -- non-ISO chronologies, driver-checked (reference JvmCal
+    //    dateWiseCategories, cursors/calendar/JvmCal.kt:22-104): Spark side
+    //    uses the real java.time chronologies; the oracle re-derives each
+    //    calendar arithmetically (Thai = ISO+543, Minguo = ISO-1911,
+    //    Japanese era from the public era start dates), so the two engines
+    //    cross-check genuinely different computations. Hijrah is table-based
+    //    (Umm al-Qura) and stays in rows-only q65. --
+    "q68_calendar_eras" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select(to_date(col("o_orderdate")).as("dt")).distinct()
+        .as[java.sql.Date]
+        .map { sd =>
+          val ld = sd.toLocalDate
+          val yearOf = java.time.temporal.ChronoField.YEAR
+          val jp = java.time.chrono.JapaneseDate.from(ld)
+          (sd.toString, ld.getYear,
+            java.time.chrono.ThaiBuddhistDate.from(ld).get(yearOf),
+            java.time.chrono.MinguoDate.from(ld).get(yearOf),
+            jp.getEra.toString,
+            jp.get(java.time.temporal.ChronoField.YEAR_OF_ERA))
+        }
+        .toDF("d", "iso_year", "thai_year", "minguo_year",
+          "jp_era", "jp_year_of_era")
+    }),
+
+    // -- per-column shard write + positional rejoin (reference per-column
+    //    ISAM volumes, NinetyDegreeTest.kt:97-137; positional concat join,
+    //    cursors/macros/Join.kt:11-27). Shards share a row id minted ONCE at
+    //    write time from the declared total order (RowId: range partition +
+    //    per-partition offsets, no one-task Window); the rejoin is then a
+    //    plain equi-join on row_id and must reproduce every cell. --
+    "q69_shard_rejoin" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-shard-").toString
+      val base = graft.ops.RowId.withRowId(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"),
+          col("l_returnflag")),
+        "row_id", col("l_orderkey"), col("l_linenumber"))
+      base.select("row_id", "l_orderkey", "l_linenumber", "qty")
+        .write.mode("overwrite").parquet(s"$dir/a")
+      base.select("row_id", "price_cents", "l_returnflag")
+        .write.mode("overwrite").parquet(s"$dir/b")
+      s.read.parquet(s"$dir/a").join(s.read.parquet(s"$dir/b"), "row_id")
+        .select("row_id", "l_orderkey", "l_linenumber", "qty",
+          "price_cents", "l_returnflag")
+    }),
+
     // -- non-ISO chronology calendar blowout (reference JvmCal
     //    dateWiseCategories covers Iso/ThaiBuddhist/Minguo/Japanese,
     //    cursors/calendar/JvmCal.kt:22-104; Hijrah beyond it); needs
@@ -204,6 +253,27 @@ object Extra {
   )
 
   val oracles: Map[String, String] = Map(
+    "q68_calendar_eras" ->
+      """WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+        |SELECT CAST(dt AS VARCHAR) AS d, year(dt) AS iso_year,
+        |  year(dt) + 543 AS thai_year, year(dt) - 1911 AS minguo_year,
+        |  CASE WHEN dt >= DATE '2019-05-01' THEN 'Reiwa'
+        |       WHEN dt >= DATE '1989-01-08' THEN 'Heisei'
+        |       WHEN dt >= DATE '1926-12-25' THEN 'Showa'
+        |       WHEN dt >= DATE '1912-07-30' THEN 'Taisho'
+        |       ELSE 'Meiji' END AS jp_era,
+        |  CASE WHEN dt >= DATE '2019-05-01' THEN year(dt) - 2018
+        |       WHEN dt >= DATE '1989-01-08' THEN year(dt) - 1988
+        |       WHEN dt >= DATE '1926-12-25' THEN year(dt) - 1925
+        |       WHEN dt >= DATE '1912-07-30' THEN year(dt) - 1911
+        |       ELSE year(dt) - 1867 END AS jp_year_of_era
+        |FROM dd""".stripMargin,
+    "q69_shard_rejoin" ->
+      """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS row_id,
+        |  l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_cents,
+        |  l_returnflag
+        |FROM lineitem""".stripMargin,
     "q58_denormalize" ->
       """WITH b AS (SELECT c_custkey,
         |    CAST(round(c_acctbal*100,0) AS BIGINT) AS bal FROM customer),
