@@ -97,6 +97,73 @@ object Audio {
           col("snr_db"), col("pass"))
     }),
 
+    // -- resample + loudness-normalize pipeline (decode → linear-interp
+    //    resample to a canonical 16 kHz → peak normalize), scored against the
+    //    ANALYTIC reference tone regenerated at the target rate — the
+    //    canonicalization pass a training pipeline runs before featurization.
+    //    SNR floor depends on source rate + codec (linear interp of a tone at
+    //    f/fs≈0.14 bounds ~20 dB; pcm16le@44.1k ≳ 40 dB). --
+    "q70_audio_resample" -> ((s, d) => {
+      import s.implicits._
+      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+        val i = c.clip_id.stripPrefix("clip_").toLong
+        val pcm = Pcm.decode(c.codec, c.bytes)
+        val rs = graft.audio.Dsp.resampleLinear(pcm, c.sr_hz, 16000)
+        val ref = Pcm.tone(ClipSynth.toneFreqHz(i), 16000, c.dur_ms)
+        val n = math.min(rs.length, ref.length)
+        val snr = Pcm.snrDb(java.util.Arrays.copyOf(ref, n),
+          java.util.Arrays.copyOf(rs, n))
+        val norm = graft.audio.Dsp.peakNormalize(rs, 30000)
+        (c.clip_id, c.codec, c.sr_hz, pcm.length, rs.length,
+          math.round(snr * 10.0) / 10.0, graft.audio.Dsp.peak(norm))
+      }.toDF("clip_id", "codec", "sr_hz", "n_in", "n_out", "snr_db", "peak_norm")
+    }),
+
+    // -- frame-level features (silence-pad → trim → 25 ms / 10 ms analysis
+    //    grid → per-frame RMS): the frame-sample op for audio payloads;
+    //    per-row arrays only, so the pass stays partition-parallel with zero
+    //    shuffle before the final projection. --
+    "q71_audio_frames" -> ((s, d) => {
+      import s.implicits._
+      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+        val pcm = Pcm.decode(c.codec, c.bytes)
+        val padN = c.sr_hz * 50 / 1000
+        val padded = new Array[Short](pcm.length + 2 * padN)
+        System.arraycopy(pcm, 0, padded, padN, pcm.length)
+        val trimmed = graft.audio.Dsp.trimSilence(padded, 0)
+        val fl = graft.audio.Dsp.frameLen(c.sr_hz, 25)
+        val starts = graft.audio.Dsp.frameStarts(trimmed.length, c.sr_hz, 25, 10)
+        var active = 0
+        var maxRms = 0.0
+        starts.foreach { st =>
+          val r = graft.audio.Dsp.rms(trimmed, st, fl)
+          if (r > 1000.0) active += 1
+          if (r > maxRms) maxRms = r
+        }
+        (c.clip_id, c.sr_hz, pcm.length, padded.length, trimmed.length,
+          starts.length, active, math.round(maxRms))
+      }.toDF("clip_id", "sr_hz", "n_samples", "n_padded", "n_trimmed",
+        "n_frames", "n_active", "max_frame_rms")
+    }),
+
+    // -- audio↔metadata consistency check (Goertzel tone verification): does
+    //    the payload actually carry its labeled frequency? Power at the
+    //    labeled bin vs the loudest of three decoy bins; the label-QC gate a
+    //    pipeline runs before trusting (audio, transcript/label) pairs. --
+    "q72_audio_tonecheck" -> ((s, d) => {
+      import s.implicits._
+      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+        val i = c.clip_id.stripPrefix("clip_").toLong
+        val pcm = Pcm.decode(c.codec, c.bytes)
+        val f = ClipSynth.toneFreqHz(i)
+        val decoys = Array(math.max(100.0, f - 60.0), f + 60.0, f * 2.0)
+        val (pSig, pOff) = graft.audio.Dsp.toneCheck(pcm, c.sr_hz, f, decoys)
+        val ratio = if (pOff > 0) pSig / pOff else Double.MaxValue
+        (c.clip_id, c.sr_hz, f, math.round(math.min(ratio, 1e6)),
+          pSig > 4.0 * pOff)
+      }.toDF("clip_id", "sr_hz", "freq_hz", "sig_to_decoy", "label_ok")
+    }),
+
     // -- manifest stats as a queryable table (the .meta sidecar analog) --
     "q64_manifest_stats" -> ((s, d) => {
       import s.implicits._

@@ -1,0 +1,96 @@
+package graft
+
+import graft.audio.{Dsp, Pcm}
+import graft.synth.ClipSynth
+import org.scalatest.funsuite.AnyFunSuite
+
+class AudioDspSpec extends AnyFunSuite {
+
+  test("linear resample of a pure tone tracks the analytic tone at the target rate") {
+    // clean pcm16 path: 8k -> 16k of a 440 Hz tone must stay close to the
+    // analytically regenerated 16 kHz tone (linear-interp error only)
+    val src = Pcm.tone(440.0, 8000, 500)
+    val rs = Dsp.resampleLinear(src, 8000, 16000)
+    val ref = Pcm.tone(440.0, 16000, 500)
+    val n = math.min(rs.length, ref.length)
+    val snr = Pcm.snrDb(java.util.Arrays.copyOf(ref, n), java.util.Arrays.copyOf(rs, n))
+    assert(snr > 30.0, s"8k->16k resample SNR $snr")
+    // downsample: 44.1k -> 16k
+    val src2 = Pcm.tone(440.0, 44100, 500)
+    val rs2 = Dsp.resampleLinear(src2, 44100, 16000)
+    val n2 = math.min(rs2.length, ref.length)
+    val snr2 = Pcm.snrDb(java.util.Arrays.copyOf(ref, n2), java.util.Arrays.copyOf(rs2, n2))
+    assert(snr2 > 35.0, s"44.1k->16k resample SNR $snr2")
+    // identity + determinism
+    assert(Dsp.resampleLinear(src, 8000, 8000) eq src)
+    assert(Dsp.resampleLinear(src, 8000, 16000).toSeq === rs.toSeq)
+  }
+
+  test("peakNormalize hits the target peak exactly and preserves silence") {
+    val t = Pcm.tone(300.0, 8000, 100, amplitude = 0.3)
+    val g = Dsp.peakNormalize(t, 30000)
+    assert(Dsp.peak(g) === 30000)
+    assert(Dsp.peakNormalize(new Array[Short](64), 30000).forall(_ == 0))
+    // already at target -> no-op (same instance)
+    assert(Dsp.peakNormalize(g, 30000) eq g)
+  }
+
+  test("trimSilence strips exactly the sub-threshold margins") {
+    val x: Array[Short] = Array(0, 0, 2, -5, 900, -900, 3, 0, 0, 0)
+    assert(Dsp.trimSilence(x, 0).toSeq === Seq(2, -5, 900, -900, 3))
+    assert(Dsp.trimSilence(x, 5).toSeq === Seq(900, -900).map(_.toShort))
+    assert(Dsp.trimSilence(Array[Short](0, 0), 0).length === 0)
+  }
+
+  test("frame grid covers the clip with the 25/10 ms convention") {
+    // 1 s @ 16 kHz: frames of 400 samples every 160 -> last start 97*160
+    val starts = Dsp.frameStarts(16000, 16000, 25, 10)
+    assert(starts.head === 0)
+    assert(starts.last === 15520)
+    assert(starts.length === 98)
+    assert(Dsp.frameLen(16000, 25) === 400)
+    // too-short clip -> no frames
+    assert(Dsp.frameStarts(300, 16000, 25, 10).isEmpty)
+  }
+
+  test("Goertzel verifies true tone labels and flags mislabeled clips, every codec") {
+    (0L until 60L).foreach { i =>
+      val c = ClipSynth.clip(i, maxDurMs = 200)
+      val pcm = Pcm.decode(c.codec, c.bytes)
+      val f = ClipSynth.toneFreqHz(i)
+      val decoys = Array(math.max(100.0, f - 60.0), f + 60.0, f * 2.0)
+      val (pSig, pOff) = Dsp.toneCheck(pcm, c.sr_hz, f, decoys)
+      assert(pSig > 4.0 * pOff, s"clip $i (${c.codec}@${c.sr_hz}) sig=$pSig off=$pOff")
+      // mislabeled: claim a frequency 100 Hz away -> check must fail
+      val (pBad, pTrue) = Dsp.toneCheck(pcm, c.sr_hz, f + 100.0, Array(f))
+      assert(pBad < pTrue, s"clip $i mislabel not caught")
+    }
+  }
+
+  test("q70/q71/q72 audio queries run and report sane values at sf0.001") {
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val rs = SparkEntry.queries("q70_audio_resample")(spark, sf)
+    val rows = rs.collect()
+    assert(rows.length === 300)
+    // every clip normalizes to the target peak and clears the codec-dependent
+    // SNR floor (worst case: ulaw @ 8 kHz with a high tone)
+    assert(rows.forall(_.getAs[Int]("peak_norm") === 30000))
+    assert(rows.forall(_.getAs[Double]("snr_db") > 15.0))
+    assert(rows.filter(r => r.getAs[String]("codec") == "pcm16le" &&
+      r.getAs[Int]("sr_hz") == 44100).forall(_.getAs[Double]("snr_db") > 35.0))
+
+    val fr = SparkEntry.queries("q71_audio_frames")(spark, sf).collect()
+    assert(fr.length === 300)
+    // trim removes the zero pad (up to a few boundary-zero tone samples)
+    assert(fr.forall { r =>
+      val d = r.getAs[Int]("n_samples") - r.getAs[Int]("n_trimmed")
+      d >= 0 && d <= 4
+    })
+    assert(fr.forall(r => r.getAs[Int]("n_active") > 0))
+
+    val tc = SparkEntry.queries("q72_audio_tonecheck")(spark, sf).collect()
+    assert(tc.length === 300)
+    assert(tc.forall(_.getAs[Boolean]("label_ok")))
+  }
+}
