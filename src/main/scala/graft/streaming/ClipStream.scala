@@ -62,6 +62,32 @@ object ClipStream {
       }
   }
 
+  /** Streaming exact dedup on event_id with BOUNDED state: a duplicate
+   * arriving within the watermark horizon is dropped, and dedup state for
+   * ids older than the watermark is evicted. A plain `dropDuplicates` on a
+   * stream keeps every id forever — unbounded state at 100 TB; the
+   * watermarked variant is the scale-safe form. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each error pairs with the same user's
+   * clicks in the preceding 5 minutes. Watermarks on BOTH sides plus the
+   * time-bound condition let Spark evict buffered rows once they can no
+   * longer match — without them the join buffers both streams forever. */
+  def errorClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"),
+        col("value").as("click_value"))
+      .withWatermark("cts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("ets"),
+        col("event_id").as("error_id"))
+      .withWatermark("ets", "10 minutes")
+    errors.join(clicks, expr(
+      "e_user = c_user AND cts BETWEEN ets - INTERVAL 5 MINUTES AND ets"))
+  }
+
   /** Wire a parquet-dir file source through `windowedCounts` into an
    * in-memory table named `queryName`; returns after all available data is
    * processed (synchronous smoke path). */

@@ -72,6 +72,43 @@ class StreamingSpec extends AnyFunSuite {
     (0 until 3).foreach(b => assert(store.isDone("batch-clust", s"batch-$b")))
   }
 
+  test("watermarked streaming dedup drops duplicates, keeps state bounded semantics") {
+    val dir = Files.createTempDirectory("graft-dedup-src-").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet").limit(400)
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir) // full duplicate arrival
+
+    val q = ClipStream.dedupEvents(
+      spark.readStream.schema(ClipStream.eventSchema).parquet(dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    assert(spark.table("dedup_out").count() === 400)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() === 400)
+  }
+
+  test("stream-stream interval join matches the batch equivalent") {
+    val dir = Files.createTempDirectory("graft-ssjoin-src-").toString
+    spark.read.parquet(s"$sf/events.parquet").write.mode("overwrite").parquet(dir)
+
+    val q = ClipStream.errorClickJoin(
+      spark.readStream.schema(ClipStream.eventSchema).parquet(dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // withWatermark is a no-op on a batch DataFrame, so the same plan
+    // definition doubles as the batch oracle
+    val batch = ClipStream.errorClickJoin(spark.read.parquet(dir))
+    assert(spark.table("ssjoin_out").count() === batch.count())
+    assert(spark.table("ssjoin_out")
+      .select("error_id", "cts").except(batch.select("error_id", "cts"))
+      .count() === 0)
+  }
+
   test("streaming ingest commits one snapshot per batch, exactly-once on replay") {
     import graft.streaming.StreamAppend
     import graft.table.MetaStore
