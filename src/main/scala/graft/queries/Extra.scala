@@ -216,10 +216,14 @@ object Extra {
           round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"),
           col("l_returnflag")),
         "row_id", col("l_orderkey"), col("l_linenumber"))
-      base.select("row_id", "l_orderkey", "l_linenumber", "qty")
-        .write.mode("overwrite").parquet(s"$dir/a")
-      base.select("row_id", "price_cents", "l_returnflag")
-        .write.mode("overwrite").parquet(s"$dir/b")
+        .persist() // two shard writes below; without this each re-runs the
+                   // range-sample + sort + zip lineage from the scan
+      try {
+        base.select("row_id", "l_orderkey", "l_linenumber", "qty")
+          .write.mode("overwrite").parquet(s"$dir/a")
+        base.select("row_id", "price_cents", "l_returnflag")
+          .write.mode("overwrite").parquet(s"$dir/b")
+      } finally base.unpersist()
       s.read.parquet(s"$dir/a").join(s.read.parquet(s"$dir/b"), "row_id")
         .select("row_id", "l_orderkey", "l_linenumber", "qty",
           "price_cents", "l_returnflag")

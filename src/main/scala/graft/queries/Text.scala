@@ -18,6 +18,16 @@ object Text {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
+  /** CPU-dense per-row work (md5 shingle minhash ≈ 1000 digests/row) must
+   * not inherit parallelism from the file count: the test corpus is ONE
+   * parquet split, which would pin the whole map stage to one task. A
+   * round-robin repartition costs one tiny-row shuffle and buys
+   * cores-wide parallelism for the expensive projection; at production
+   * scale the scan already has splits and the same plan stays balanced
+   * even when a few huge files dominate. */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private val words: Column = split(trim(lower(col("text"))), "\\s+")
 
   /** Shingle body, hoisted to its own column: referencing the lowered
@@ -90,7 +100,7 @@ object Text {
     //    an explode + groupBy would shuffle one row per shingle (~250x the
     //    corpus); this form is map-only, no shuffle at all. --
     "q45_minhash" -> ((s, d) =>
-      docs(s, d).withColumn("_body", bodyCol)
+      fanOut(docs(s, d)).withColumn("_body", bodyCol)
         .select(col("doc_id"), minhashCol(0).as("mh0"),
           minhashCol(1).as("mh1"), minhashCol(2).as("mh2"),
           minhashCol(3).as("mh3"))),
@@ -99,8 +109,8 @@ object Text {
     //    signature; per-row signatures (no explode shuffle), then ONE
     //    groupBy on the band bucket --
     "q46_minhash_dedup" -> ((s, d) => {
-      val doubled = docs(s, d)
-        .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000))
+      val doubled = fanOut(docs(s, d)
+        .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000)))
       doubled.withColumn("_body", bodyCol)
         .select(col("doc_id"), minhashCol(0).as("mh0"), minhashCol(1).as("mh1"))
         .groupBy("mh0", "mh1")
@@ -110,7 +120,7 @@ object Text {
 
     // -- SimHash (16-bit, md5-hex-digit votes per word occurrence) --
     "q47_simhash" -> ((s, d) => {
-      val perWord = docs(s, d)
+      val perWord = fanOut(docs(s, d))
         .select(col("doc_id"), explode(words).as("w"))
         .filter(length(col("w")) > 0)
         .withColumn("h", md5(col("w")))
@@ -127,19 +137,24 @@ object Text {
     }),
 
     // -- n-gram (word-set) Jaccard near-dup pairs: LSH band join generates
-    //    the candidates (4 single-minhash bands, computed PER ROW with
-    //    array_min/transform — no explode shuffle), exact Jaccard confirms.
-    //    A blocking join on a low-cardinality key (e.g. doc length) is a
-    //    disguised near-cartesian product at scale; band-bucket equality
-    //    keeps the candidate set proportional to true near-dups. --
+    //    the candidates, exact Jaccard confirms. Band strength matters as
+    //    much as band count: a single-minhash band collides with probability
+    //    s (any two docs sharing ONE hot min-shingle bucket together — on
+    //    templated corpora that made one bucket hold ~20% of the corpus, a
+    //    quadratic candidate blowup). Bands of r=2 minhashes collide with
+    //    probability s^2, and b=4 × r=2 puts the LSH S-curve threshold at
+    //    (1/b)^(1/r) = 0.5 — exactly this query's Jaccard cutoff. Measured
+    //    at sf0.1: 5.78M candidate pair-expansions (max bucket 1982) with
+    //    r=1 vs 238k (max 324) with r=2. --
     "q48_jaccard_pairs" -> ((s, d) => {
-      val doubled = docs(s, d)
-        .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000))
+      val doubled = fanOut(docs(s, d)
+        .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000)))
       val base = doubled.withColumn("_body", bodyCol).select(
         Seq(col("doc_id"), array_distinct(words).as("ws")) ++
-          (0 to 3).map(k => minhashCol(k).as(s"mh$k")): _*)
+          (0 to 7).map(k => minhashCol(k).as(s"mh$k")): _*)
       val bands = base.select(col("doc_id"), explode(array(
-          (0 to 3).map(k => struct(lit(k).as("band"), col(s"mh$k").as("h"))): _*))
+          (0 to 3).map(b => struct(lit(b).as("band"),
+            md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("h"))): _*))
           .as("bh"))
         .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
       // ONE groupBy materializes the band buckets (a self-join would
@@ -271,13 +286,15 @@ object Text {
         |        FROM t)),
         |sigs AS (SELECT doc_id,
         |    min(md5('0' || g)) AS mh0, min(md5('1' || g)) AS mh1,
-        |    min(md5('2' || g)) AS mh2, min(md5('3' || g)) AS mh3
+        |    min(md5('2' || g)) AS mh2, min(md5('3' || g)) AS mh3,
+        |    min(md5('4' || g)) AS mh4, min(md5('5' || g)) AS mh5,
+        |    min(md5('6' || g)) AS mh6, min(md5('7' || g)) AS mh7
         |  FROM sh GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, 0 AS band, mh0 AS h FROM sigs
-        |  UNION ALL SELECT doc_id, 1, mh1 FROM sigs
-        |  UNION ALL SELECT doc_id, 2, mh2 FROM sigs
-        |  UNION ALL SELECT doc_id, 3, mh3 FROM sigs),
+        |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS h FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sigs),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),

@@ -17,6 +17,12 @@ object Vector {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** See Text.fanOut: the test corpus is one parquet split, and per-row
+   * 384-dim dot products must not run on one task because the FILE count is
+   * one. Round-robin repartition decouples map parallelism from layout. */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   // expression fragments shared with the write-time index builder
   // (graft.functions.VecExprs / graft.ops.VecIndex)
   private val dotExpr = VecExprs.dotExpr
@@ -56,8 +62,8 @@ object Vector {
       // quadratic in bucket size, so dedup wants finer buckets than the
       // 64-bucket ANN index (identical vectors collide in ALL buckets, so
       // planted-dup recall is unaffected)
-      val doubled = emb(s, d)
-        .unionAll(emb(s, d).withColumn("vec_id", col("vec_id") + 100000))
+      val doubled = fanOut(emb(s, d)
+        .unionAll(emb(s, d).withColumn("vec_id", col("vec_id") + 100000)))
         .select(col("vec_id"), col("embedding"),
           expr(VecExprs.bucketSparkN(10)).as("bkt"))
       val a = doubled.select(col("vec_id").as("id_a"),
@@ -128,7 +134,7 @@ object Vector {
     "q51_cosine_topk" -> ((s, d) => {
       val q = emb(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("q"))
-      emb(s, d).crossJoin(broadcast(q))
+      fanOut(emb(s, d)).crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           round(expr(dotExpr) / (expr(normExpr) * expr(qnormExpr)), 4)
