@@ -229,6 +229,46 @@ object Extra {
           "price_cents", "l_returnflag")
     }),
 
+    // -- bitset pack (reference Categories.kt:79-98 packs indicator columns
+    //    into a bitset): the category index becomes a bit position and a
+    //    bit_or aggregate packs each customer's SET of order priorities into
+    //    one long — the dictionary+bitmask form the reference builds row-wise,
+    //    re-expressed as a codegen'd aggregate --
+    "q73_bitset_pack" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"),
+          expr("shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(substring(o_orderpriority, 1, 1) AS INT))").as("mask"))
+        .groupBy("o_custkey")
+        .agg(expr("bit_or(mask)").as("prio_bits"), count(lit(1)).as("n_orders"))
+        .withColumn("n_prios", bit_count(col("prio_bits")))),
+
+    // -- GROUPING SETS (beyond rollup/cube q25: arbitrary set list) --
+    "q74_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          |    AS sum_cents
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |""".stripMargin)
+    }),
+
+    // -- lead/lag/ntile windows (partitioned by customer — never a global
+    //    one-task window) --
+    "q75_window_leadlag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("next_cents", lead(col("cents"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .drop("o_orderdate")
+    }),
+
     // -- non-ISO chronology calendar blowout (reference JvmCal
     //    dateWiseCategories covers Iso/ThaiBuddhist/Minguo/Japanese,
     //    cursors/calendar/JvmCal.kt:22-104; Hijrah beyond it); needs
@@ -257,6 +297,30 @@ object Extra {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_bitset_pack" ->
+      """SELECT o_custkey,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(substr(o_orderpriority, 1, 1) AS INT))
+        |    AS prio_bits,
+        |  count(*) AS n_orders,
+        |  bit_count(bit_or(CAST(1 AS BIGINT)
+        |    << CAST(substr(o_orderpriority, 1, 1) AS INT))) AS n_prios
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q74_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q75_window_leadlag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |  lag(CAST(round(o_totalprice * 100, 0) AS BIGINT), 1)
+        |    OVER w AS prev_cents,
+        |  lead(CAST(round(o_totalprice * 100, 0) AS BIGINT), 1)
+        |    OVER w AS next_cents,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q68_calendar_eras" ->
       """WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
         |SELECT CAST(dt AS VARCHAR) AS d, year(dt) AS iso_year,
