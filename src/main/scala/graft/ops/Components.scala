@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components by min-label propagation, for near-duplicate
+ * clustering: LSH + exact-confirm emits PAIRS, but a dedup pipeline keeps
+ * one canonical document per transitive CLUSTER (A~B, B~C ⇒ {A,B,C}).
+ *
+ * Each iteration is one shuffle (neighbor-min groupBy); the loop runs to the
+ * component diameter, with `localCheckpoint` truncating lineage so plans
+ * don't nest per iteration. Near-dup graphs are short-diameter (dup groups
+ * are near-cliques), so convergence is a handful of passes. At extreme
+ * component sizes the two-phase star-contraction algorithm (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond") drops in behind the same
+ * signature.
+ */
+object Components {
+
+  /** Label every node of the undirected edge list with the minimum node id
+   * of its component. Returns (id, cluster_id); only nodes that appear in
+   * an edge are labeled. */
+  def minLabel(edges: DataFrame, a: String = "id_a", b: String = "id_b",
+               maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionAll(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val merged = labels.unionAll(nbrMin)
+        .groupBy("id").agg(min("lbl").as("nl"))
+      val joined = labels.withColumnRenamed("lbl", "ol").join(merged, "id")
+        .localCheckpoint()
+      changed = joined.filter(col("nl") < col("ol")).count()
+      labels = joined.select(col("id"), col("nl").as("lbl")).localCheckpoint()
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("lbl", "cluster_id")
+  }
+}

@@ -87,6 +87,21 @@ object Text {
             .otherwise("fr"))
     }),
 
+    // -- BPE-style pre-tokenization count (the GPT-2 split regex, ASCII
+    //    classes so Java regex and DuckDB RE2 agree byte-for-byte):
+    //    contractions | space?letters | space?digits | space?other | space
+    //    runs. The count a pipeline budgets context length with BEFORE the
+    //    expensive real tokenizer pass. --
+    "q78_bpe_tokens" -> ((s, d) => {
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+" +
+        "| ?[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+      docs(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .as("n_bpe_tokens"),
+        size(regexp_extract_all(col("text"), lit(" ?[^A-Za-z0-9 \\t\\n\\r]+"),
+          lit(0))).as("n_other_tokens"))
+    }),
+
     // -- document fingerprint: md5 of the canonical text form --
     "q44_fingerprint" -> ((s, d) =>
       docs(s, d).select(
@@ -146,7 +161,20 @@ object Text {
     //    (1/b)^(1/r) = 0.5 — exactly this query's Jaccard cutoff. Measured
     //    at sf0.1: 5.78M candidate pair-expansions (max bucket 1982) with
     //    r=1 vs 238k (max 324) with r=2. --
-    "q48_jaccard_pairs" -> ((s, d) => {
+    "q48_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+
+    // -- transitive near-dup CLUSTERS: pairs say A~B and B~C, but the dedup
+    //    pipeline keeps ONE canonical doc per {A,B,C} — connected components
+    //    (ops/Components min-label propagation) over the q48 pair graph,
+    //    cross-checked against a recursive-CTE fixpoint in DuckDB. --
+    "q77_dup_clusters" -> ((s, d) =>
+      graft.ops.Components.minLabel(jaccardPairs(s, d).select("id_a", "id_b"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc_id")))
+  )
+
+  /** q48 body, shared with q77: LSH band candidates + exact-Jaccard confirm. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
       val doubled = fanOut(docs(s, d)
         .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000)))
       val base = doubled.withColumn("_body", bodyCol).select(
@@ -183,10 +211,17 @@ object Text {
           (size(col("ws_a")) + size(col("ws_b")) - col("inter")), 4))
         .filter(col("jac") >= 0.5)
         .select(col("id_a"), col("id_b"), col("jac"))
-    })
-  )
+  }
 
   val oracles: Map[String, String] = Map(
+    "q78_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+'))
+        |    AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, ' ?[^A-Za-z0-9 \t\n\r]+'))
+        |    AS n_other_tokens
+        |FROM documents""".stripMargin,
     "q40_dedup_exact" ->
       """WITH doubled AS (
         |  SELECT doc_id, text FROM documents
@@ -274,37 +309,53 @@ object Text {
         .replace("{SIM}", (1 to 16).map(j =>
           s"(CASE WHEN v$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)").mkString(" + ")),
     "q48_jaccard_pairs" ->
-      """WITH doubled AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
-        |t AS (SELECT doc_id, lower(substr(text, 1, 256)) AS s,
-        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
-        |  FROM doubled),
-        |sh AS (SELECT doc_id, substr(s, CAST(i AS INTEGER), 8) AS g
-        |  FROM (SELECT doc_id, s,
-        |          unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
-        |        FROM t)),
-        |sigs AS (SELECT doc_id,
-        |    min(md5('0' || g)) AS mh0, min(md5('1' || g)) AS mh1,
-        |    min(md5('2' || g)) AS mh2, min(md5('3' || g)) AS mh3,
-        |    min(md5('4' || g)) AS mh4, min(md5('5' || g)) AS mh5,
-        |    min(md5('6' || g)) AS mh6, min(md5('7' || g)) AS mh7
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS h FROM sigs
-        |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sigs
-        |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sigs
-        |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sigs),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
-        |j AS (SELECT c.id_a, c.id_b,
-        |    round(len(list_intersect(ta.ws, tb.ws))*1.0 /
-        |      (len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws))), 4)
-        |      AS jac
-        |  FROM cand c
-        |  JOIN t ta ON ta.doc_id = c.id_a
-        |  JOIN t tb ON tb.doc_id = c.id_b)
-        |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5""".stripMargin
+      s"WITH $jaccardCtes\nSELECT id_a, id_b, jac FROM j WHERE jac >= 0.5",
+    "q77_dup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, count(*) AS n_members, max(id) AS max_doc_id
+         |FROM lab GROUP BY cluster_id""".stripMargin
   )
+
+  /** Shared CTE chain of the q48 oracle (doubled corpus → shingles → 8
+   * minhash streams → r=2 bands → candidates → exact Jaccard `j`). */
+  private lazy val jaccardCtes: String =
+    """doubled AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+      |t AS (SELECT doc_id, lower(substr(text, 1, 256)) AS s,
+      |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ws
+      |  FROM doubled),
+      |sh AS (SELECT doc_id, substr(s, CAST(i AS INTEGER), 8) AS g
+      |  FROM (SELECT doc_id, s,
+      |          unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
+      |        FROM t)),
+      |sigs AS (SELECT doc_id,
+      |    min(md5('0' || g)) AS mh0, min(md5('1' || g)) AS mh1,
+      |    min(md5('2' || g)) AS mh2, min(md5('3' || g)) AS mh3,
+      |    min(md5('4' || g)) AS mh4, min(md5('5' || g)) AS mh5,
+      |    min(md5('6' || g)) AS mh6, min(md5('7' || g)) AS mh7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS h FROM sigs
+      |  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sigs
+      |  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sigs
+      |  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sigs),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+      |j AS (SELECT c.id_a, c.id_b,
+      |    round(len(list_intersect(ta.ws, tb.ws))*1.0 /
+      |      (len(ta.ws) + len(tb.ws) - len(list_intersect(ta.ws, tb.ws))), 4)
+      |      AS jac
+      |  FROM cand c
+      |  JOIN t ta ON ta.doc_id = c.id_a
+      |  JOIN t tb ON tb.doc_id = c.id_b)""".stripMargin
 }

@@ -124,6 +124,24 @@ object Vector {
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(10)
     }),
+    // -- int8 symmetric quantization (vector compression before serving /
+    //    index build): per-vector absmax scale, q_i = round(x_i * 127 /
+    //    absmax). Output carries the scale + a digest of the quantized
+    //    array (the array itself hashes engine-dependently) + range probes.
+    //    Map-only per row; at 100 TB this is the pass that shrinks the
+    //    embedding column 4x before the ANN index rebuild. --
+    "q76_embedding_quantize" -> ((s, d) => {
+      val absmax = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+      val quant = s"transform(embedding, x -> " +
+        s"CAST(round(CAST(x AS DOUBLE) * 127.0 / $absmax) AS INT))"
+      fanOut(emb(s, d)).select(
+        col("vec_id"), col("label"),
+        round(expr(absmax), 6).as("scale"),
+        expr(s"md5(concat_ws(',', $quant))").as("quant_md5"),
+        expr(s"array_min($quant)").as("q_min"),
+        expr(s"array_max($quant)").as("q_max"))
+    }),
+
     // -- L2 norms --
     "q50_embedding_norm" -> ((s, d) =>
       emb(s, d).select(col("vec_id"),
@@ -157,6 +175,19 @@ object Vector {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_embedding_quantize" ->
+      """WITH b AS (SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS am
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label, am,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / am) AS INT)) AS qv
+        |  FROM b)
+        |SELECT vec_id, label, round(am, 6) AS scale,
+        |  md5(array_to_string(qv, ',')) AS quant_md5,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q""".stripMargin,
     "q49_embedding_dedup" ->
       s"""WITH doubled AS (
          |  SELECT vec_id, embedding FROM embeddings
