@@ -46,6 +46,23 @@ object Audio {
         .withColumn("hkey",
           Keys.hilbertKey(8, Seq.empty, Seq(col("px"), col("sy"))))),
 
+    // -- generalized Hilbert over an ARBITRARY 200x150 rectangle (reference
+    //    Gilbert.kt:14-94 enumerates any w×h; the Skilling key of q66 is
+    //    power-of-2 only). Per-row key = O(log wh) block descent
+    //    (SpaceFillingCurve.gilbertXY2D); the oracle re-enumerates the SAME
+    //    block recursion as a recursive CTE in DuckDB and joins cells to
+    //    rows — two independent engines walking the split arithmetic. --
+    "q79_gilbert_key" -> ((s, d) => {
+      val gk = udf((px: Int, sy: Int) =>
+        graft.keys.SpaceFillingCurve.gilbertXY2D(200, 150, px, sy))
+      s.read.parquet(s"$d/lineitem.parquet")
+        .filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 200).cast("int").as("px"),
+          (col("l_suppkey") % 150).cast("int").as("sy"))
+        .withColumn("gkey", gk(col("px"), col("sy")))
+    }),
+
     // -- audio feature extraction over decoded PCM (the multimodal
     //    decode/feature-extract path; decode is REAL, not stubbed) --
     "q61_audio_features" -> ((s, d) => {
@@ -230,7 +247,94 @@ object Audio {
     sb.toString
   }
 
+  /** Recursive-CTE enumeration of the generalized Hilbert blocks for a W×H
+   * rectangle — the exact split arithmetic of SpaceFillingCurve.split,
+   * emitted as SQL so DuckDB independently walks the recursion. */
+  private def gilbertOracleSql(wDim: Int, hDim: Int): String = {
+    def half(v: String) = s"CAST(trunc(CAST($v AS DOUBLE)/2) AS BIGINT)"
+    s"""WITH RECURSIVE blocks(x, y, ax, ay, bx, by, d0) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST($wDim AS BIGINT),
+       |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST($hDim AS BIGINT),
+       |         CAST(0 AS BIGINT)
+       |  UNION ALL
+       |  SELECT u.c['x'], u.c['y'], u.c['ax'], u.c['ay'], u.c['bx'],
+       |         u.c['by'], u.c['d0']
+       |  FROM (
+       |    SELECT CASE WHEN big THEN [c1, c2] ELSE [c1, c2, c3] END AS ch FROM (
+       |      SELECT big,
+       |        struct_pack(x := x, y := y,
+       |          ax := CASE WHEN big THEN ax2 ELSE bx2 END,
+       |          ay := CASE WHEN big THEN ay2 ELSE by2 END,
+       |          bx := CASE WHEN big THEN bx ELSE ax2 END,
+       |          by := CASE WHEN big THEN by ELSE ay2 END,
+       |          d0 := d0) AS c1,
+       |        struct_pack(
+       |          x := CASE WHEN big THEN x + ax2 ELSE x + bx2 END,
+       |          y := CASE WHEN big THEN y + ay2 ELSE y + by2 END,
+       |          ax := CASE WHEN big THEN ax - ax2 ELSE ax END,
+       |          ay := CASE WHEN big THEN ay - ay2 ELSE ay END,
+       |          bx := CASE WHEN big THEN bx ELSE bx - bx2 END,
+       |          by := CASE WHEN big THEN by ELSE by - by2 END,
+       |          d0 := CASE WHEN big THEN d0 + w2*h ELSE d0 + w2*h2 END) AS c2,
+       |        struct_pack(
+       |          x := x + (ax - dax) + (bx2 - dbx),
+       |          y := y + (ay - day) + (by2 - dby),
+       |          ax := -bx2, ay := -by2,
+       |          bx := -(ax - ax2), by := -(ay - ay2),
+       |          d0 := d0 + w2*h2 + w*(h - h2)) AS c3
+       |      FROM (
+       |        SELECT x, y, ax, ay, bx, by, d0, w, h, dax, day, dbx, dby,
+       |          2*w > 3*h AS big,
+       |          CASE WHEN NOT (2*w > 3*h) AND (h2p % 2 = 1 AND h > 2)
+       |               THEN bx2p + dbx ELSE bx2p END AS bx2,
+       |          CASE WHEN NOT (2*w > 3*h) AND (h2p % 2 = 1 AND h > 2)
+       |               THEN by2p + dby ELSE by2p END AS by2,
+       |          CASE WHEN NOT (2*w > 3*h) AND (h2p % 2 = 1 AND h > 2)
+       |               THEN h2p + 1 ELSE h2p END AS h2,
+       |          CASE WHEN (2*w > 3*h) AND (w2p % 2 = 1 AND w > 2)
+       |               THEN ax2p + dax ELSE ax2p END AS ax2,
+       |          CASE WHEN (2*w > 3*h) AND (w2p % 2 = 1 AND w > 2)
+       |               THEN ay2p + day ELSE ay2p END AS ay2,
+       |          CASE WHEN (2*w > 3*h) AND (w2p % 2 = 1 AND w > 2)
+       |               THEN w2p + 1 ELSE w2p END AS w2
+       |        FROM (
+       |          SELECT *, abs(ax + ay) AS w, abs(bx + by) AS h,
+       |            sign(ax) AS dax, sign(ay) AS day,
+       |            sign(bx) AS dbx, sign(by) AS dby,
+       |            ${half("ax")} AS ax2p, ${half("ay")} AS ay2p,
+       |            ${half("bx")} AS bx2p, ${half("by")} AS by2p,
+       |            abs(${half("ax")} + ${half("ay")}) AS w2p,
+       |            abs(${half("bx")} + ${half("by")}) AS h2p
+       |          FROM blocks
+       |          WHERE abs(ax + ay) > 1 AND abs(bx + by) > 1
+       |        )
+       |      )
+       |    )
+       |  ), unnest(ch) AS u(c)
+       |),
+       |term AS (
+       |  SELECT x, y, ax, ay, bx, by, d0, abs(ax+ay) AS w, abs(bx+by) AS h
+       |  FROM blocks WHERE abs(ax+ay) = 1 OR abs(bx+by) = 1
+       |),
+       |cells AS (
+       |  SELECT CASE WHEN h = 1 THEN x + sign(ax)*i ELSE x + sign(bx)*i END AS cx,
+       |         CASE WHEN h = 1 THEN y + sign(ay)*i ELSE y + sign(by)*i END AS cy,
+       |         d0 + i AS d
+       |  FROM (SELECT *, unnest(generate_series(0,
+       |          CASE WHEN h = 1 THEN w ELSE h END - 1)) AS i FROM term)
+       |),
+       |src AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(l_partkey % $wDim AS INT) AS px,
+       |    CAST(l_suppkey % $hDim AS INT) AS sy
+       |  FROM lineitem WHERE l_orderkey <= 500
+       |)
+       |SELECT s.l_orderkey, s.l_linenumber, s.px, s.sy, c.d AS gkey
+       |FROM src s JOIN cells c ON c.cx = s.px AND c.cy = s.sy""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q79_gilbert_key" -> gilbertOracleSql(200, 150),
     "q60_zorder_key" ->
       s"""WITH b AS (SELECT l_orderkey, l_linenumber,
          |  l_partkey % 256 AS px, l_suppkey % 256 AS sy

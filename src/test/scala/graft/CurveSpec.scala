@@ -136,4 +136,25 @@ class CurveSpec extends AnyFunSuite {
       .distinct().count()
     assert(distinctKeys > 900, s"hot key not spread: $distinctKeys")
   }
+
+  test("gilbert covers ARBITRARY rectangles: bijective, adjacent, descent == generative") {
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 2), (2, 3), (5, 3), (3, 5), (7, 7),
+      (16, 12), (1, 9), (13, 1), (127, 33), (200, 150))) {
+      val m = graft.keys.SpaceFillingCurve.gilbertMap(w, h)
+      assert(m.size === w * h, s"${w}x$h not covering")
+      val ds = m.values.toSeq.sorted
+      assert(ds === (0L until w.toLong * h).toSeq, s"${w}x$h not bijective")
+      val inv = m.map(_.swap)
+      (1L until w.toLong * h).foreach { d =>
+        val (x0, y0) = inv(d - 1); val (x1, y1) = inv(d)
+        assert(math.abs(x0 - x1) + math.abs(y0 - y1) === 1,
+          s"${w}x$h step $d not adjacent")
+      }
+      // per-point descent must agree with the generative enumeration
+      m.foreach { case ((x, y), d) =>
+        assert(graft.keys.SpaceFillingCurve.gilbertXY2D(w, h, x, y) === d,
+          s"${w}x$h descent($x,$y)")
+      }
+    }
+  }
 }
