@@ -176,6 +176,41 @@ object Extra {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"),
           min("k").as("min_k"), max("k").as("max_k"))),
 
+    // -- gaps-and-islands sessionization (batch form of the streaming
+    //    mapGroupsWithState sessionizer): a >30-min silence starts a new
+    //    session; session number = running count of gap flags. Both windows
+    //    are user-partitioned — parallel by key, never one-task. --
+    "q80_sessions" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("_gap",
+          // exact microsecond arithmetic: the ts column is µs-precision and
+          // truncate-to-seconds would move events across the 30-min boundary
+          when(unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(wOrd).cast("timestamp")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum(col("_gap")).over(wRun))
+        .groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts")).cast("timestamp")).as("sess_start_us"),
+          unix_micros(max(col("ts")).cast("timestamp")).as("sess_end_us"))
+        .withColumn("dur_us", col("sess_end_us") - col("sess_start_us"))
+    }),
+
+    // -- RANGE-frame rolling aggregate: per-customer trailing-7-day order
+    //    total, frame bounded by VALUE distance (days), not row count --
+    "q81_rolling_range" -> ((s, d) => {
+      val base = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("day_no"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("day_no"))
+        .rangeBetween(-6, Window.currentRow)
+      base.withColumn("sum_7d", sum(col("cents")).over(w))
+        .withColumn("n_7d", count(lit(1)).over(w))
+    }),
+
     // -- non-ISO chronologies, driver-checked (reference JvmCal
     //    dateWiseCategories, cursors/calendar/JvmCal.kt:22-104): Spark side
     //    uses the real java.time chronologies; the oracle re-derives each
@@ -297,6 +332,35 @@ object Extra {
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_sessions" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events),
+        |g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      THEN 1 ELSE 0 END AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, ts,
+        |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM g)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+        |  count(*) AS n_events,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS sess_start_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS sess_end_us,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+        |FROM s GROUP BY user_id, sess_no""".stripMargin,
+    "q81_rolling_range" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS day_no,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, day_no, cents,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS sum_7d,
+        |  count(*) OVER w AS n_7d
+        |FROM b
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q73_bitset_pack" ->
       """SELECT o_custkey,
         |  bit_or(CAST(1 AS BIGINT) << CAST(substr(o_orderpriority, 1, 1) AS INT))
