@@ -181,6 +181,24 @@ object Audio {
       }.toDF("clip_id", "sr_hz", "freq_hz", "sig_to_decoy", "label_ok")
     }),
 
+    // -- transcode maintenance e2e: append mixed-codec clips -> rewrite all
+    //    to pcm16le@16kHz (ops/Transcode: map-only decode→resample→encode)
+    //    -> signal-level verify vs the ORIGINAL snapshot (old payload
+    //    resampled to target = reference; SNR >= 20 dB + meta). The audio
+    //    analog of a canonicalizing compaction; returns per-clip verdicts. --
+    "q82_transcode_e2e" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q82-").toString
+      val store = MetaStore.forClips(dir)
+      Append.run(s, store,
+        ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).toDF())
+      val s0 = store.currentSnapshotId.get
+      val res = Transcode.run(s, store, Pcm.Pcm16le, 16000, runId = "q82")
+      Transcode.verify(s, store, s0, res.snapshotId, Pcm.Pcm16le, 16000,
+        minSnrDb = 20.0)
+        .select(col("clip_id"), round(col("snr_db"), 1).as("snr_db"),
+          col("meta_ok"), col("transcript_ok"), col("pass"))
+    }),
+
     // -- manifest stats as a queryable table (the .meta sidecar analog) --
     "q64_manifest_stats" -> ((s, d) => {
       import s.implicits._

@@ -67,6 +67,40 @@ class AudioDspSpec extends AnyFunSuite {
     }
   }
 
+  test("transcode pass rewrites to canonical codec/rate, SNR-gated, snapshot-isolated") {
+    import graft.ops.{Append, Transcode}
+    import graft.table.MetaStore
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-transcode-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 300, 8, maxDurMs = 200).toDF())
+    val s0 = store.currentSnapshotId.get
+    val res = Transcode.run(spark, store, Pcm.Pcm16le, 16000, runId = "t-spec")
+    assert(res.clips === 300)
+    val v = Transcode.verify(spark, store, s0, res.snapshotId,
+      Pcm.Pcm16le, 16000, minSnrDb = 20.0).collect()
+    assert(v.length === 300)
+    assert(v.forall(_.getAs[Boolean]("pass")),
+      v.filterNot(_.getAs[Boolean]("pass")).take(3).mkString("; "))
+    // every new-row payload really is 16 kHz pcm16le
+    val n = store.scanCurrent(spark)
+    assert(n.filter(org.apache.spark.sql.functions.col("codec") =!= Pcm.Pcm16le).count() === 0)
+    assert(n.filter(org.apache.spark.sql.functions.col("sr_hz") =!= 16000).count() === 0)
+    // snapshot isolation: the pre-transcode snapshot still reads the originals
+    assert(store.scan(spark, s0)
+      .filter(org.apache.spark.sql.functions.col("codec") === Pcm.Ulaw).count() > 0)
+    // idempotence: rerun produces identical payload digests
+    val res2 = Transcode.run(spark, store, Pcm.Pcm16le, 16000, runId = "t-spec2")
+    val d1 = store.scan(spark, res.snapshotId)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("bytes")).as("h"))
+    val d2 = store.scan(spark, res2.snapshotId)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("bytes")).as("h"))
+    assert(d1.except(d2).count() === 0 && d2.except(d1).count() === 0)
+  }
+
   test("q70/q71/q72 audio queries run and report sane values at sf0.001") {
     val spark = TestSpark.spark
     val sf = "/root/testdata/sf0.001"
