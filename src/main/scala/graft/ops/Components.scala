@@ -23,8 +23,12 @@ object Components {
    * an edge are labeled. */
   def minLabel(edges: DataFrame, a: String = "id_a", b: String = "id_b",
                maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .unionAll(edges.select(col(b).as("src"), col(a).as("dst")))
+    // materialize the (possibly expensive) edge pipeline ONCE before the
+    // symmetric union — both union branches read the checkpointed rows
+    // instead of re-running the upstream plan per branch
+    val e0 = edges.select(col(a).as("src"), col(b).as("dst")).localCheckpoint()
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()

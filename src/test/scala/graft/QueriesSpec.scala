@@ -63,6 +63,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(n === minMax + 1)
   }
 
+  test("Components.minLabel: chain, clique, and isolated-pair components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: needs >1 iteration), clique {10,11,12},
+    // pair {20,21}; labels must be each component's min id
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val got = graft.ops.Components.minLabel(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got === want)
+  }
+
   test("flagship entry returns all-pass verification rows") {
     val rows = SparkEntry.entry(spark)
     assert(rows.count() > 0)
