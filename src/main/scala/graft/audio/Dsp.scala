@@ -115,6 +115,148 @@ object Dsp {
     p / (n.toDouble * n.toDouble)
   }
 
+  /** In-place iterative radix-2 Cooley–Tukey FFT (decimation in time).
+   * `re.length` must be a power of two; `im` same length. StrictMath
+   * twiddles keep results bit-identical across JVMs/partitions. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, s"fft length $n not a power of 2")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * StrictMath.PI / len
+      val wr = StrictMath.cos(ang); val wi = StrictMath.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+          val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  private def nextPow2(n: Int): Int = {
+    var p = 1
+    while (p < n) p <<= 1
+    p
+  }
+
+  /** Hann-windowed zero-padded power spectrum of `in(from until from+len)`:
+   * returns fftN/2 bins where fftN = max(256, nextPow2(len)); bin k is
+   * frequency k*srHz/fftN. */
+  def powerSpectrum(in: Array[Short], from: Int, len: Int): Array[Double] = {
+    val fftN = math.max(256, nextPow2(len))
+    val re = new Array[Double](fftN)
+    val im = new Array[Double](fftN)
+    var k = 0
+    while (k < len) {
+      val w = 0.5 - 0.5 * StrictMath.cos(2.0 * StrictMath.PI * k / (len - 1))
+      re(k) = in(from + k).toDouble * w
+      k += 1
+    }
+    fft(re, im)
+    val out = new Array[Double](fftN / 2)
+    k = 0
+    while (k < out.length) { out(k) = re(k) * re(k) + im(k) * im(k); k += 1 }
+    out
+  }
+
+  /** Dominant frequency of `in(from until from+len)`: coarse FFT argmax
+   * (excluding DC) then two parabolic refinement passes on Goertzel power —
+   * sub-0.5 Hz on clean-to-μ-law tones, which makes `round()` of the
+   * estimate a codec- and sample-rate-invariant signature. Returns 0 for
+   * silent/too-short input. */
+  def dominantFreqHz(in: Array[Short], srHz: Int, from: Int, len: Int): Double = {
+    if (len < 32) return 0.0
+    val ps = powerSpectrum(in, from, len)
+    val fftN = ps.length * 2
+    var p = 1; var best = 0.0
+    var k = 1
+    while (k < ps.length) { if (ps(k) > best) { best = ps(k); p = k }; k += 1 }
+    if (best <= 0.0) return 0.0
+    val seg = java.util.Arrays.copyOfRange(in, from, from + len)
+    var f0 = p.toDouble * srHz / fftN
+    var delta = srHz.toDouble / fftN
+    var it = 0
+    while (it < 2) {
+      val ym = goertzelPower(seg, srHz, math.max(1.0, f0 - delta))
+      val y0 = goertzelPower(seg, srHz, f0)
+      val yp = goertzelPower(seg, srHz, f0 + delta)
+      val den = ym - 2.0 * y0 + yp
+      if (den != 0.0) {
+        val off = 0.5 * (ym - yp) / den
+        f0 += math.max(-1.0, math.min(1.0, off)) * delta
+      }
+      delta /= 4.0
+      it += 1
+    }
+    f0
+  }
+
+  def dominantFreqHz(in: Array[Short], srHz: Int): Double =
+    dominantFreqHz(in, srHz, 0, in.length)
+
+  /** Power-weighted mean frequency of a `powerSpectrum` output. */
+  def spectralCentroidHz(power: Array[Double], srHz: Int): Double = {
+    val fftN = power.length * 2
+    var num = 0.0; var den = 0.0
+    var k = 0
+    while (k < power.length) {
+      num += k.toDouble * srHz / fftN * power(k); den += power(k)
+      k += 1
+    }
+    if (den == 0.0) 0.0 else num / den
+  }
+
+  /** Codec/sample-rate-invariant content signature: dominant frequency (Hz,
+   * rounded) per `segMs` segment after resampling to a canonical 8 kHz.
+   * Two payloads carrying the same underlying signal — any codec, any source
+   * rate — produce the same track; the audio analog of the text pipeline's
+   * document fingerprint. */
+  def pitchTrack(in: Array[Short], srHz: Int, segMs: Int = 100): Array[Long] = {
+    val canon = resampleLinear(in, srHz, 8000)
+    val segN = 8000 * segMs / 1000
+    if (canon.length < 32) return Array.empty
+    pitchTrackSegs(canon, math.max(1, canon.length / segN))
+  }
+
+  /** Pitch track with a CALLER-CHOSEN segment count over the canonical-rate
+   * signal. Deriving nSeg from trusted duration METADATA (not payload
+   * length) makes the track immune to the ±1-sample payload-length jitter
+   * different source rates leave after canonicalization — two encodings of
+   * the same signal always slice into the same grid. */
+  def pitchTrackSegs(canon8k: Array[Short], nSeg: Int): Array[Long] = {
+    if (canon8k.length < 32 || nSeg <= 0) return Array.empty
+    Array.tabulate(nSeg) { s =>
+      val from = (s.toLong * canon8k.length / nSeg).toInt
+      val to = ((s + 1).toLong * canon8k.length / nSeg).toInt
+      if (to - from < 32) 0L
+      else StrictMath.round(dominantFreqHz(canon8k, 8000, from, to - from))
+    }
+  }
+
   /** Tone-label verification: power at the labeled frequency vs the max over
    * `offFreqs` decoys. Returns (pSignal, pOffMax). A clip genuinely carrying
    * its labeled tone has pSignal >> pOffMax — the audio↔metadata consistency

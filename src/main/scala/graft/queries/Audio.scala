@@ -199,6 +199,83 @@ object Audio {
           col("meta_ok"), col("transcript_ok"), col("pass"))
     }),
 
+    // -- training-chunk segmentation: explode each clip into fixed 50 ms /
+    //    25 ms-hop windows, re-encoding every window as a standalone pcm16le
+    //    payload — the frame-sample op that turns a clip table into a
+    //    fixed-shape training-example table. Pure flatMap: partition-
+    //    parallel, zero shuffle. --
+    "q83_audio_segments" -> ((s, d) => {
+      import s.implicits._
+      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).flatMap { c =>
+        val pcm = Pcm.decode(c.codec, c.bytes)
+        val fl = graft.audio.Dsp.frameLen(c.sr_hz, 50)
+        graft.audio.Dsp.frameStarts(pcm.length, c.sr_hz, 50, 25)
+          .iterator.zipWithIndex.map { case (st, idx) =>
+            val seg = java.util.Arrays.copyOfRange(pcm, st, st + fl)
+            val bytes = Pcm.pcm16leEncode(seg)
+            (c.clip_id, idx, st * 1000L / c.sr_hz, seg.length,
+              math.round(graft.audio.Dsp.rms(seg, 0, seg.length)),
+              bytes.length, java.security.MessageDigest.getInstance("MD5")
+                .digest(bytes).map("%02x".format(_)).mkString)
+          }
+      }.toDF("clip_id", "seg_idx", "start_ms", "n_samples", "rms_rounded",
+        "n_bytes", "seg_md5")
+    }),
+
+    // -- codec/sample-rate-invariant near-dup detection: FFT+Goertzel-refined
+    //    dominant-frequency track per 100 ms (metadata-informed grid) over
+    //    the 8 kHz canonical signal. Exact byte dedup (q62) misses the same
+    //    recording stored as ulaw@8k vs pcm16le@16k; the pitch-track
+    //    fingerprint collapses them. Plants one transcoded + one re-coded
+    //    variant per clip and reports fingerprint clusters with MORE
+    //    DISTINCT PAYLOADS than exact dedup would merge. --
+    "q84_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val base = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200)
+      def variant(suffix: String, codec: String, rate: Int) = base.map { c =>
+        val pcm = Pcm.decode(c.codec, c.bytes)
+        val rs = graft.audio.Dsp.resampleLinear(pcm, c.sr_hz, rate)
+        graft.synth.Clip(c.clip_id + suffix, Pcm.encode(codec, rs), rate,
+          c.dur_ms, codec, c.transcript)
+      }
+      base.union(variant("_t16", Pcm.Pcm16le, 16000))
+        .union(variant("_u8", Pcm.Ulaw, 8000))
+        .map { c =>
+          val canon = graft.audio.Dsp.resampleLinear(
+            Pcm.decode(c.codec, c.bytes), c.sr_hz, 8000)
+          val track = graft.audio.Dsp.pitchTrackSegs(canon,
+            math.max(1, c.dur_ms / 100))
+          val payloadMd5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(c.bytes).map("%02x".format(_)).mkString
+          (c.clip_id, track.mkString(","), payloadMd5)
+        }.toDF("clip_id", "fp", "payload_md5")
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("payload_md5")).as("n_distinct_payloads"),
+          min("clip_id").as("keep_clip_id"))
+        .filter(col("n_distinct_payloads") > 1)
+    }),
+
+    // -- clip-level spectral profile: Hann/FFT power spectrum -> dominant
+    //    frequency (parabolic Goertzel refinement) + spectral centroid; the
+    //    estimate is checked against the labeled tone frequency, replacing
+    //    q72's fixed decoy probes with a full-spectrum search. --
+    "q85_audio_spectrum" -> ((s, d) => {
+      import s.implicits._
+      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+        val i = c.clip_id.stripPrefix("clip_").toLong
+        val pcm = Pcm.decode(c.codec, c.bytes)
+        val f = graft.audio.Dsp.dominantFreqHz(pcm, c.sr_hz)
+        val ps = graft.audio.Dsp.powerSpectrum(pcm, 0, pcm.length)
+        val cen = graft.audio.Dsp.spectralCentroidHz(ps, c.sr_hz)
+        val labeled = ClipSynth.toneFreqHz(i)
+        (c.clip_id, c.codec, c.sr_hz, labeled,
+          math.round(f * 10.0) / 10.0, math.round(cen),
+          math.abs(f - labeled) < 2.0)
+      }.toDF("clip_id", "codec", "sr_hz", "labeled_hz", "dominant_hz",
+        "centroid_hz", "label_ok")
+    }),
+
     // -- manifest stats as a queryable table (the .meta sidecar analog) --
     "q64_manifest_stats" -> ((s, d) => {
       import s.implicits._

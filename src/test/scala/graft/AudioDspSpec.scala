@@ -101,6 +101,101 @@ class AudioDspSpec extends AnyFunSuite {
     assert(d1.except(d2).count() === 0 && d2.except(d1).count() === 0)
   }
 
+  test("fft matches the O(n^2) DFT and satisfies Parseval") {
+    val n = 256
+    val rng = new scala.util.Random(7)
+    val sig = Array.fill(n)(rng.nextDouble() * 2 - 1)
+    val re = sig.clone(); val im = new Array[Double](n)
+    Dsp.fft(re, im)
+    // direct DFT at a handful of bins
+    for (k <- Seq(0, 1, 17, 100, 255)) {
+      var dr = 0.0; var di = 0.0
+      for (t <- 0 until n) {
+        val a = -2.0 * math.Pi * k * t / n
+        dr += sig(t) * math.cos(a); di += sig(t) * math.sin(a)
+      }
+      assert(math.abs(re(k) - dr) < 1e-8 && math.abs(im(k) - di) < 1e-8,
+        s"bin $k: (${re(k)},${im(k)}) vs ($dr,$di)")
+    }
+    val timeE = sig.map(x => x * x).sum
+    val freqE = (0 until n).map(k => re(k) * re(k) + im(k) * im(k)).sum / n
+    assert(math.abs(timeE - freqE) < 1e-8)
+  }
+
+  test("dominantFreqHz recovers the labeled tone within 0.5 Hz for every codec/rate") {
+    (0L until 80L).foreach { i =>
+      val c = ClipSynth.clip(i, maxDurMs = 200)
+      val pcm = Pcm.decode(c.codec, c.bytes)
+      val f = Dsp.dominantFreqHz(pcm, c.sr_hz)
+      val want = ClipSynth.toneFreqHz(i)
+      assert(math.abs(f - want) < 0.5,
+        s"clip $i (${c.codec}@${c.sr_hz}, dur=${c.dur_ms}): got $f want $want")
+    }
+  }
+
+  test("pitch-track fingerprint is invariant across codec and sample rate") {
+    (0L until 40L).foreach { i =>
+      val c = ClipSynth.clip(i, maxDurMs = 200)
+      val pcm = Pcm.decode(c.codec, c.bytes)
+      val nSeg = math.max(1, c.dur_ms / 100)
+      def track(codec: String, rate: Int): Seq[Long] = {
+        val enc = Pcm.encode(codec, Dsp.resampleLinear(pcm, c.sr_hz, rate))
+        val canon = Dsp.resampleLinear(Pcm.decode(codec, enc), rate, 8000)
+        Dsp.pitchTrackSegs(canon, nSeg).toSeq
+      }
+      val base = track(c.codec, c.sr_hz)
+      assert(base === track(Pcm.Pcm16le, 16000), s"clip $i t16 variant diverged")
+      assert(base === track(Pcm.Ulaw, 8000), s"clip $i u8 variant diverged")
+      // a different tone must NOT collide
+      val other = Pcm.tone(ClipSynth.toneFreqHz(i) + 40.0, c.sr_hz, c.dur_ms)
+      assert(base !== Dsp.pitchTrackSegs(
+        Dsp.resampleLinear(other, c.sr_hz, 8000), nSeg).toSeq)
+    }
+  }
+
+  test("q83 segment explode matches the frame-grid arithmetic") {
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q83_audio_segments")(spark, sf)
+    import org.apache.spark.sql.functions._
+    val perClip = df.groupBy("clip_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected: frameStarts over the decoded length with the 50/25 grid
+    (0L until 300L).foreach { i =>
+      val c = ClipSynth.clip(i, maxDurMs = 200)
+      val n = Pcm.decode(c.codec, c.bytes).length
+      val want = Dsp.frameStarts(n, c.sr_hz, 50, 25).length
+      val got = perClip.getOrElse(c.clip_id, 0L)
+      assert(got === want.toLong, s"clip $i: $got segments, want $want")
+    }
+    // segments are real pcm16le payloads: 2 bytes per sample
+    assert(df.filter(col("n_bytes") =!= col("n_samples") * 2).count() === 0)
+  }
+
+  test("q84 fingerprint dedup merges every planted cross-codec variant") {
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q84_audio_fingerprint")(spark, sf)
+    import org.apache.spark.sql.functions._
+    val rows = df.collect()
+    // every cluster mixes md5-distinct payloads by construction
+    assert(rows.forall(_.getAs[Long]("n_distinct_payloads") > 1))
+    // all 300 base clips have their two planted variants merged: every
+    // cluster has >= 3 members and the member total covers all 900 rows
+    // minus nothing (tracks are metadata-grid-aligned, so variants of the
+    // same clip can never split)
+    assert(rows.map(_.getAs[Long]("n_members")).sum === 900L)
+  }
+
+  test("q85 spectral profile flags every label consistent at sf0.001") {
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q85_audio_spectrum")(spark, sf)
+    import org.apache.spark.sql.functions._
+    assert(df.count() === 300)
+    assert(df.filter(col("label_ok") === false).count() === 0)
+  }
+
   test("q70/q71/q72 audio queries run and report sane values at sf0.001") {
     val spark = TestSpark.spark
     val sf = "/root/testdata/sf0.001"
