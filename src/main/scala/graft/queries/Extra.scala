@@ -328,10 +328,79 @@ object Extra {
         }
         .toDF("d", "iso_year", "thai_year", "minguo_year",
           "jp_era", "jp_year_of_era", "hijrah_year", "iso_dow")
+    }),
+
+    // -- headline multi-join analytics, TPC-H Q5 shape: revenue per nation
+    //    for one region over a date window. Fact-fact join shuffles on the
+    //    join keys; both dims are broadcast (nation=25, region=5 rows — the
+    //    plan a 100 TB run needs). Revenue is integerized PER ROW
+    //    (round(p*(1-d)*100) as long) so the sum is exact integer
+    //    arithmetic — no float accumulation-order sensitivity. --
+    "q86_revenue_by_nation" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01"
+          && col("o_orderdate") < "1998-01-01")
+      t(s, d, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100, 0).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // -- headline top-k, TPC-H Q3 shape: 10 highest-revenue unshipped
+    //    orders in a segment. Partial-agg + TakeOrderedAndProject: only 10
+    //    rows per partition survive to the driver; (revenue, orderkey)
+    //    ordering makes the cut deterministic even under revenue ties. --
+    "q87_shipping_priority" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, d, "orders").filter(col("o_orderdate") < "1997-06-01")
+      t(s, d, "lineitem").filter(col("l_shipdate") > "1997-06-01")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100, 0).cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q86_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q87_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate  > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
     "q80_sessions" ->
       """WITH e AS (SELECT user_id, ts, event_id FROM events),
         |g AS (SELECT user_id, ts, event_id,

@@ -48,6 +48,14 @@ class PlanSpec extends AnyFunSuite {
       .contains("LeftAnti"))
   }
 
+  test("headline joins broadcast dims and plan top-k as TakeOrdered (q86/q87)") {
+    val p86 = plan(SparkEntry.queries("q86_revenue_by_nation")(spark, sf))
+    assert(p86.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, s"dims not broadcast:\n$p86")
+    val p87 = plan(SparkEntry.queries("q87_shipping_priority")(spark, sf))
+    assert(p87.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p87")
+  }
+
   test("cluster rewrite plan range-partitions on the curve key") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .withColumn("_ckey", Keys.zorderKey(21, Seq(col("l_orderkey")),
