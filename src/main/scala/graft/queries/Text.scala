@@ -35,11 +35,20 @@ object Text {
    * shingle (~250x redundant string work per row, measured 25x wall). */
   private val bodyCol: Column = lower(substring(col("text"), 1, 256))
 
-  /** k-th minhash over 8-char shingles of `_body`, map-side
-   * (array_min over a transform — no explode, no shuffle). */
-  private def minhashCol(k: Int): Column = expr(
-    "array_min(transform(sequence(1, greatest(length(_body) - 7, 1)), " +
-      s"i -> md5(concat('$k', substring(_body, i, 8)))))")
+  /** Per-shingle md5 digests for hash-stream family `j`, map-side (a
+   * transform — no explode, no shuffle), hoisted to a `_d$j` column. ONE
+   * digest serves FOUR minhash streams: each stream is a non-overlapping
+   * 8-hex slice of the digest ("less hashing, same performance" — one
+   * strong hash, many projections), so the md5 work per row drops 4x vs
+   * independently-keyed streams; md5 dominated the whole LSH stage wall
+   * (25.5s -> ~3s for q48 at sf0.1). */
+  private def digestsCol(j: Int): Column = expr(
+    "transform(sequence(1, greatest(length(_body) - 7, 1)), " +
+      s"i -> md5(concat('$j', substring(_body, i, 8))))")
+
+  /** Minhash stream = min over shingles of one 8-hex digest slice. */
+  private def sliceMin(j: Int, slice: Int): Column = expr(
+    s"array_min(transform(_d$j, d -> substring(d, ${slice * 8 + 1}, 8)))")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: canonical row per content hash --
@@ -110,15 +119,17 @@ object Text {
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
           " +", " "))).as("fingerprint"))),
 
-    // -- MinHash signatures: 4 md5-keyed hash streams over 8-char shingles
-    //    of the first 256 chars. Computed PER ROW with array_min/transform —
-    //    an explode + groupBy would shuffle one row per shingle (~250x the
-    //    corpus); this form is map-only, no shuffle at all. --
+    // -- MinHash signatures: 4 hash streams (digest slices) over 8-char
+    //    shingles of the first 256 chars. Computed PER ROW with
+    //    array_min/transform — an explode + groupBy would shuffle one row
+    //    per shingle (~250x the corpus); this form is map-only, no shuffle
+    //    at all. --
     "q45_minhash" -> ((s, d) =>
       fanOut(docs(s, d)).withColumn("_body", bodyCol)
-        .select(col("doc_id"), minhashCol(0).as("mh0"),
-          minhashCol(1).as("mh1"), minhashCol(2).as("mh2"),
-          minhashCol(3).as("mh3"))),
+        .withColumn("_d0", digestsCol(0))
+        .select(col("doc_id"), sliceMin(0, 0).as("mh0"),
+          sliceMin(0, 1).as("mh1"), sliceMin(0, 2).as("mh2"),
+          sliceMin(0, 3).as("mh3"))),
 
     // -- MinHash LSH dedup: planted duplicates must collide on the full
     //    signature; per-row signatures (no explode shuffle), then ONE
@@ -127,7 +138,8 @@ object Text {
       val doubled = fanOut(docs(s, d)
         .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000)))
       doubled.withColumn("_body", bodyCol)
-        .select(col("doc_id"), minhashCol(0).as("mh0"), minhashCol(1).as("mh1"))
+        .withColumn("_d0", digestsCol(0))
+        .select(col("doc_id"), sliceMin(0, 0).as("mh0"), sliceMin(0, 1).as("mh1"))
         .groupBy("mh0", "mh1")
         .agg(count(lit(1)).as("n_members"), min("doc_id").as("canonical_id"))
         .filter(col("n_members") > 1)
@@ -177,9 +189,11 @@ object Text {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
       val doubled = fanOut(docs(s, d)
         .unionAll(docs(s, d).withColumn("doc_id", col("doc_id") + 100000)))
-      val base = doubled.withColumn("_body", bodyCol).select(
-        Seq(col("doc_id"), array_distinct(words).as("ws")) ++
-          (0 to 7).map(k => minhashCol(k).as(s"mh$k")): _*)
+      val base = doubled.withColumn("_body", bodyCol)
+        .withColumn("_d0", digestsCol(0)).withColumn("_d1", digestsCol(1))
+        .select(
+          Seq(col("doc_id"), array_distinct(words).as("ws")) ++
+            (0 to 7).map(k => sliceMin(k / 4, k % 4).as(s"mh$k")): _*)
       val bands = base.select(col("doc_id"), explode(array(
           (0 to 3).map(b => struct(lit(b).as("band"),
             md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("h"))): _*))
@@ -274,8 +288,10 @@ object Text {
         |          unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
         |        FROM t))
         |SELECT doc_id,
-        |  min(md5('0' || g)) AS mh0, min(md5('1' || g)) AS mh1,
-        |  min(md5('2' || g)) AS mh2, min(md5('3' || g)) AS mh3
+        |  min(substr(md5('0' || g), 1, 8)) AS mh0,
+        |  min(substr(md5('0' || g), 9, 8)) AS mh1,
+        |  min(substr(md5('0' || g), 17, 8)) AS mh2,
+        |  min(substr(md5('0' || g), 25, 8)) AS mh3
         |FROM sh GROUP BY doc_id""".stripMargin,
     "q46_minhash_dedup" ->
       """WITH doubled AS (
@@ -286,8 +302,9 @@ object Text {
         |  FROM (SELECT doc_id, s,
         |          unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
         |        FROM t)),
-        |sigs AS (SELECT doc_id, min(md5('0' || g)) AS mh0,
-        |    min(md5('1' || g)) AS mh1
+        |sigs AS (SELECT doc_id,
+        |    min(substr(md5('0' || g), 1, 8)) AS mh0,
+        |    min(substr(md5('0' || g), 9, 8)) AS mh1
         |  FROM sh GROUP BY doc_id)
         |SELECT mh0, mh1, count(*) AS n_members, min(doc_id) AS canonical_id
         |FROM sigs GROUP BY mh0, mh1 HAVING count(*) > 1""".stripMargin,
@@ -338,10 +355,14 @@ object Text {
       |          unnest(generate_series(1, greatest(len(s) - 7, 1))) AS i
       |        FROM t)),
       |sigs AS (SELECT doc_id,
-      |    min(md5('0' || g)) AS mh0, min(md5('1' || g)) AS mh1,
-      |    min(md5('2' || g)) AS mh2, min(md5('3' || g)) AS mh3,
-      |    min(md5('4' || g)) AS mh4, min(md5('5' || g)) AS mh5,
-      |    min(md5('6' || g)) AS mh6, min(md5('7' || g)) AS mh7
+      |    min(substr(md5('0' || g), 1, 8)) AS mh0,
+      |    min(substr(md5('0' || g), 9, 8)) AS mh1,
+      |    min(substr(md5('0' || g), 17, 8)) AS mh2,
+      |    min(substr(md5('0' || g), 25, 8)) AS mh3,
+      |    min(substr(md5('1' || g), 1, 8)) AS mh4,
+      |    min(substr(md5('1' || g), 9, 8)) AS mh5,
+      |    min(substr(md5('1' || g), 17, 8)) AS mh6,
+      |    min(substr(md5('1' || g), 25, 8)) AS mh7
       |  FROM sh GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS h FROM sigs
