@@ -39,10 +39,13 @@ object Components {
         .select(col("dst").as("id"), col("lbl"))
       val merged = labels.unionAll(nbrMin)
         .groupBy("id").agg(min("lbl").as("nl"))
+      // ONE checkpoint per iteration: `labels` re-reads the same
+      // materialized rows (a select over a checkpointed plan is
+      // lineage-free); a second checkpoint would re-materialize.
       val joined = labels.withColumnRenamed("lbl", "ol").join(merged, "id")
         .localCheckpoint()
       changed = joined.filter(col("nl") < col("ol")).count()
-      labels = joined.select(col("id"), col("nl").as("lbl")).localCheckpoint()
+      labels = joined.select(col("id"), col("nl").as("lbl"))
       iter += 1
     }
     sym.unpersist()
