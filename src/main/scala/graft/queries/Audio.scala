@@ -4,7 +4,7 @@ import graft.audio.Pcm
 import graft.keys.Keys
 import graft.ops._
 import graft.synth.ClipSynth
-import graft.table.MetaStore
+import graft.table.{MetaStore, Pred}
 import graft.verify.ScanEquality
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -274,6 +274,29 @@ object Audio {
           math.abs(f - labeled) < 2.0)
       }.toDF("clip_id", "codec", "sr_hz", "labeled_hz", "dominant_hz",
         "centroid_hz", "label_ok")
+    }),
+
+    // -- zonemap file skipping: cluster on (sr_hz, dur_ms) Z-order, then
+    //    probe a dur_ms range through the manifest min/max stats — whole
+    //    files whose stats exclude the range are never opened
+    //    (table/Pruning.scala). The scan-side payoff of the cluster rewrite:
+    //    at 100 TB the same probe touches only the files whose key range
+    //    intersects the predicate. Result rows are identical to
+    //    scan+filter by construction; files_kept/files_total carry the
+    //    skip evidence into the output. --
+    "q88_pruned_scan" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q88-").toString
+      val store = MetaStore.forClips(dir)
+      Append.run(s, store,
+        ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 300).toDF())
+      Cluster.run(s, store, ZOrderCurve, targetBytes = 1L * 1024 * 1024,
+        runId = "q88-cluster", hashCols = Seq.empty,
+        rangeCols = Seq("sr_hz", "dur_ms"))
+      val ps = store.scanCurrentPruned(s,
+        Seq(Pred.Between("dur_ms", 120L, 180L)))
+      ps.df.select(col("clip_id"), col("sr_hz"), col("dur_ms"))
+        .withColumn("files_kept", lit(ps.filesKept))
+        .withColumn("files_total", lit(ps.filesTotal))
     }),
 
     // -- manifest stats as a queryable table (the .meta sidecar analog) --

@@ -81,6 +81,17 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
   def scanCurrent(spark: SparkSession): DataFrame =
     scan(spark, currentSnapshotId.getOrElse(sys.error(s"$tableDir: no current snapshot")))
 
+  /** Zonemap scan: skip whole data files whose manifest min/max stats prove
+   * they cannot match `preds` (see [[Pruning]]); result rows are identical to
+   * `scan(...).filter(Pred.and(preds))` by construction. */
+  def scanPruned(spark: SparkSession, snapshotId: Long,
+                 preds: Seq[Pred]): PrunedScan =
+    Pruning.scan(spark, entries(snapshotId), preds)
+
+  def scanCurrentPruned(spark: SparkSession, preds: Seq[Pred]): PrunedScan =
+    scanPruned(spark,
+      currentSnapshotId.getOrElse(sys.error(s"$tableDir: no current snapshot")), preds)
+
   /** Fresh output directory for one maintenance pass. */
   def newDataDir(tag: String): String = {
     val d = dataDir.resolve(s"$tag-${UUID.randomUUID().toString.take(8)}")

@@ -1,0 +1,153 @@
+package graft.table
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Manifest-stats file pruning (zonemaps): evaluate simple predicates against
+ * each data file's per-column min/max BEFORE reading it, and scan only the
+ * files that may contain a match. This is the scan-side payoff of the curve
+ * cluster rewrite — after `Cluster.run` each file covers a tight key range,
+ * so a range predicate on a clustered dim touches a small file subset. The
+ * reference reaches the same goal through its ordered ISAM access
+ * (cursor/src/main/java/cursors/context/Ordering.kt:36-58: binary search over
+ * the sorted medium) and the `.meta` sidecar ranges; here the sidecar is the
+ * manifest and the "binary search" is file elimination.
+ *
+ * Safety contract: pruning is an IO optimization ONLY. `mayMatch` must be
+ * conservative (keep on any uncertainty: missing stats, unparseable numeric,
+ * mixed-null files), and [[MetaStore.scanPruned]] re-applies the predicate as
+ * a real Spark filter over the kept files, so results are identical to
+ * `scan(...).filter(...)` by construction even if a stat were wrong.
+ */
+sealed trait Pred {
+  def column: String
+
+  /** The exact Spark filter this predicate stands for (comparisons are
+   * null-rejecting, matching `mayMatch`'s assumption that nulls never match). */
+  def toColumn: Column
+
+  /** false ONLY when the file's stats PROVE no row can match. */
+  def mayMatch(f: DataFile): Boolean
+}
+
+object Pred {
+
+  /** min/max are stored as strings (MetaStore.collectStats casts); compare
+   * numerically when the column is numeric, lexicographically otherwise.
+   * None = can't decide (unparseable) — caller must keep the file. */
+  private def cmp(statVal: String, v: Any, numeric: Boolean): Option[Int] =
+    if (!numeric) Some(statVal.compareTo(v.toString))
+    else
+      try Some(BigDecimal(statVal).compare(BigDecimal(v.toString)))
+      catch { case _: NumberFormatException => None }
+
+  /** Evaluate one bound test against a file's stat for `column`; keep (true)
+   * when stats are absent or undecidable. `test(min,max)` returns true if a
+   * match is still possible. */
+  private def statTest(f: DataFile, column: String)(
+      test: (String, String, Boolean) => Option[Boolean]): Boolean =
+    f.stats.get(column) match {
+      case None => true // no stats for this column -> cannot prune
+      case Some(s) =>
+        if (s.nullCount >= f.rows) false // all-null file: comparisons never match
+        else test(s.min, s.max, s.numeric).getOrElse(true)
+    }
+
+  final case class GtEq(column: String, v: Any) extends Pred {
+    def toColumn: Column = col(column) >= lit(v)
+    def mayMatch(f: DataFile): Boolean =
+      statTest(f, column)((_, max, num) => cmp(max, v, num).map(_ >= 0))
+  }
+
+  final case class Gt(column: String, v: Any) extends Pred {
+    def toColumn: Column = col(column) > lit(v)
+    def mayMatch(f: DataFile): Boolean =
+      statTest(f, column)((_, max, num) => cmp(max, v, num).map(_ > 0))
+  }
+
+  final case class LtEq(column: String, v: Any) extends Pred {
+    def toColumn: Column = col(column) <= lit(v)
+    def mayMatch(f: DataFile): Boolean =
+      statTest(f, column)((min, _, num) => cmp(min, v, num).map(_ <= 0))
+  }
+
+  final case class Lt(column: String, v: Any) extends Pred {
+    def toColumn: Column = col(column) < lit(v)
+    def mayMatch(f: DataFile): Boolean =
+      statTest(f, column)((min, _, num) => cmp(min, v, num).map(_ < 0))
+  }
+
+  final case class EqualTo(column: String, v: Any) extends Pred {
+    def toColumn: Column = col(column) === lit(v)
+    def mayMatch(f: DataFile): Boolean =
+      statTest(f, column) { (min, max, num) =>
+        for (lo <- cmp(min, v, num); hi <- cmp(max, v, num))
+          yield lo <= 0 && hi >= 0
+      }
+  }
+
+  /** Inclusive range — the canonical post-cluster probe shape. */
+  final case class Between(column: String, lo: Any, hi: Any) extends Pred {
+    def toColumn: Column = col(column) >= lit(lo) && col(column) <= lit(hi)
+    def mayMatch(f: DataFile): Boolean =
+      statTest(f, column) { (min, max, num) =>
+        for (a <- cmp(max, lo, num); b <- cmp(min, hi, num))
+          yield a >= 0 && b <= 0
+      }
+  }
+
+  final case class InSet(column: String, vs: Seq[Any]) extends Pred {
+    def toColumn: Column = col(column).isin(vs: _*)
+    def mayMatch(f: DataFile): Boolean =
+      statTest(f, column) { (min, max, num) =>
+        val checks = vs.map { v =>
+          for (lo <- cmp(min, v, num); hi <- cmp(max, v, num))
+            yield lo <= 0 && hi >= 0
+        }
+        if (checks.exists(_.isEmpty)) None // any undecidable member -> keep
+        else Some(checks.exists(_.contains(true)))
+      }
+  }
+
+  def and(preds: Seq[Pred]): Column =
+    preds.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))
+}
+
+/** Result of a pruned scan: the filtered DataFrame plus the skip evidence. */
+final case class PrunedScan(
+    df: DataFrame,
+    filesKept: Int,
+    filesTotal: Int,
+    rowsKeptUpperBound: Long,
+    rowsTotal: Long) {
+  def filesSkipped: Int = filesTotal - filesKept
+}
+
+object Pruning {
+
+  /** Prune `entries` to the files that may satisfy ALL of `preds`. */
+  def keep(entries: Seq[DataFile], preds: Seq[Pred]): Seq[DataFile] =
+    entries.filter(f => preds.forall(_.mayMatch(f)))
+
+  /**
+   * Read only the surviving files, then re-apply the predicate exactly —
+   * identical semantics to `scan + filter` regardless of stats quality.
+   * When everything is pruned, the schema is preserved by scanning one
+   * file under a constant-false filter (footer-only read; Catalyst folds
+   * it to an empty relation).
+   */
+  def scan(spark: SparkSession, entries: Seq[DataFile],
+           preds: Seq[Pred]): PrunedScan = {
+    val kept = keep(entries, preds)
+    val base =
+      if (entries.isEmpty) spark.emptyDataFrame
+      else if (kept.isEmpty)
+        spark.read.parquet(entries.head.path).filter(lit(false))
+      else spark.read.parquet(kept.map(_.path): _*)
+    PrunedScan(
+      base.filter(Pred.and(preds)),
+      kept.size, entries.size,
+      kept.map(_.rows).sum, entries.map(_.rows).sum)
+  }
+}
