@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.table.{DataFile, MetaStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level delta between two snapshots of the same table. */
+final case class SnapshotDiff(
+    fromId: Long,
+    toId: Long,
+    added: Seq[DataFile],
+    removed: Seq[DataFile]) {
+  def churnedFiles: Int = added.size + removed.size
+}
+
+/**
+ * Incremental reads between snapshots (CDC) over the immutable-file store.
+ * Because data files are never mutated (MetaStore doctrine; reference
+ * README.md:128-132 immutability + its aspired append-only journal,
+ * README.md:141-142), the delta between ANY two snapshots is fully described
+ * by the file-list set difference — so every read here is bounded by the
+ * CHURN between the snapshots, never by table size. At 100 TB a day's
+ * incremental consumer reads the day's appended/rewritten files only.
+ *
+ * Three surfaces:
+ *  - [[fileDiff]]: the added/removed file lists (driver-side, manifest-only).
+ *  - [[appendedRows]]: exact new-rows read when every step in (from, to] is
+ *    an append — the common streaming-ingest consumer path.
+ *  - [[rowChanges]]: row-level insert/update/delete classification between
+ *    any two snapshots, by full-outer-joining ONLY the churned files on the
+ *    key. Pure rewrites (compact / cluster) move rows between files without
+ *    changing them, so they classify as `rewritten` and are dropped — a
+ *    compaction is invisible to CDC consumers by construction.
+ */
+object Changes {
+
+  def fileDiff(store: MetaStore, fromId: Long, toId: Long): SnapshotDiff = {
+    val before = store.entries(fromId).map(e => e.path -> e).toMap
+    val after = store.entries(toId).map(e => e.path -> e).toMap
+    SnapshotDiff(fromId, toId,
+      after.view.filterKeys(!before.contains(_)).values.toSeq.sortBy(_.path),
+      before.view.filterKeys(!after.contains(_)).values.toSeq.sortBy(_.path))
+  }
+
+  /** Walk the parent chain from `toId` back to `fromId`; the snapshot ops
+   * crossed, newest first. Fails if `fromId` is not an ancestor. */
+  def operationsBetween(store: MetaStore, fromId: Long, toId: Long): Seq[String] = {
+    var id = toId
+    val ops = scala.collection.mutable.ArrayBuffer[String]()
+    while (id != fromId) {
+      require(id > fromId && id != -1L,
+        s"snapshot $fromId is not an ancestor of $toId")
+      val s = store.snapshot(id)
+      ops += s.operation
+      id = s.parentId
+    }
+    ops.toSeq
+  }
+
+  /**
+   * Rows appended in (fromId, toId]. Exact by construction when every
+   * snapshot crossed is an append (enforced): appends never remove files,
+   * so the added files hold exactly the new rows.
+   */
+  def appendedRows(spark: SparkSession, store: MetaStore,
+                   fromId: Long, toId: Long): DataFrame = {
+    val ops = operationsBetween(store, fromId, toId)
+    require(ops.forall(_ == "append"),
+      s"appendedRows needs an append-only range, saw: ${ops.mkString(",")}; " +
+        "use rowChanges for ranges crossing rewrites")
+    val d = fileDiff(store, fromId, toId)
+    if (d.added.isEmpty) store.scan(spark, toId).limit(0)
+    else spark.read.parquet(d.added.map(_.path): _*)
+  }
+
+  /**
+   * Row-level CDC: one row per key whose content differs between the
+   * snapshots, with `change_type` in {insert, update, delete}. Reads ONLY
+   * churned files; untouched files cannot contribute changes (immutable) and
+   * are never opened. Requires `keyCol` to be unique per snapshot (the clip
+   * table's contract). Content equality is a fingerprint over every non-key
+   * column (xxhash64 — covers the binary payload), so a compaction that only
+   * relocates rows yields an empty result.
+   */
+  def rowChanges(spark: SparkSession, store: MetaStore,
+                 fromId: Long, toId: Long,
+                 keyCol: String = "clip_id"): DataFrame = {
+    val d = fileDiff(store, fromId, toId)
+    def read(fs: Seq[DataFile]): Option[DataFrame] =
+      if (fs.isEmpty) None else Some(spark.read.parquet(fs.map(_.path): _*))
+    (read(d.removed), read(d.added)) match {
+      case (None, None) =>
+        store.scan(spark, toId).limit(0)
+          .select(col(keyCol), lit("").as("change_type")).limit(0)
+      case (oldOpt, newOpt) =>
+        val schema = oldOpt.getOrElse(newOpt.get)
+        val dataCols = schema.columns.filter(_ != keyCol).sorted
+        val fp = xxhash64(dataCols.map(col): _*)
+        def side(dfo: Option[DataFrame], tag: String) =
+          dfo.getOrElse(schema.limit(0))
+            .select(col(keyCol), fp.as(s"_fp_$tag"))
+        side(oldOpt, "old").join(side(newOpt, "new"), Seq(keyCol), "full_outer")
+          .withColumn("change_type",
+            when(col("_fp_old").isNull, "insert")
+              .when(col("_fp_new").isNull, "delete")
+              .when(col("_fp_old") =!= col("_fp_new"), "update")
+              .otherwise("rewritten"))
+          .filter(col("change_type") =!= "rewritten")
+          .select(col(keyCol), col("change_type"))
+    }
+  }
+}

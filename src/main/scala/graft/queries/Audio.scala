@@ -299,6 +299,35 @@ object Audio {
         .withColumn("files_total", lit(ps.filesTotal))
     }),
 
+    // -- incremental CDC read between snapshots (ops/Changes.scala): reads
+    //    ONLY churned files (manifest set-diff of the immutable file lists),
+    //    so the consumer cost is bounded by churn, never table size. The
+    //    compaction between the two probed ranges produces a ZERO delta
+    //    (pure rewrite — carried in compact_delta_rows); the merge's planted
+    //    update/insert/delete keys are classified exactly. --
+    "q89_incremental_cdc" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q89-").toString
+      val store = MetaStore.forClips(dir)
+      Append.run(s, store,
+        ClipSynth.dataset(s, clipCount(d), 8, maxDurMs = 150).toDF())
+      val s1 = store.currentSnapshotId.get
+      Compact.run(s, store, targetBytes = 512L * 1024, runId = "q89-compact")
+      val s2 = store.currentSnapshotId.get
+      val updKeys = (0L until 20L).map(ClipSynth.clipId)
+      val delKeys = (20L until 30L).map(ClipSynth.clipId)
+      val upd = store.scanCurrent(s).filter(col("clip_id").isin(updKeys: _*))
+        .withColumn("transcript", concat(col("transcript"), lit(" v2")))
+      val ins = ClipSynth.dataset(s, 5, 1, maxDurMs = 150).toDF()
+        .withColumn("clip_id", concat(lit("ins_"), col("clip_id")))
+      MergeInto.run(s, store, upd.unionByName(ins), runId = "q89-merge",
+        deleteKeys = Some(delKeys.toDF("clip_id")))
+      val s3 = store.currentSnapshotId.get
+      val compactDelta = Changes.rowChanges(s, store, s1, s2).count()
+      Changes.rowChanges(s, store, s2, s3)
+        .withColumn("compact_delta_rows", lit(compactDelta))
+    }),
+
     // -- manifest stats as a queryable table (the .meta sidecar analog) --
     "q64_manifest_stats" -> ((s, d) => {
       import s.implicits._
