@@ -273,4 +273,49 @@ object Dsp {
     }
     (pSig, pOff)
   }
+
+  /**
+   * Energy-based voice/tone activity detection over the frame-RMS grid with
+   * hangover smoothing: a frame is active when rms > `threshold`; an active
+   * run stays open across up to `hangoverFrames` consecutive inactive frames
+   * (bridging short intra-utterance dips) and closes after that. Returns
+   * [start, end) SAMPLE ranges of the detected segments, clamped to the
+   * clip. The utterance-segmentation primitive of an ASR data pipeline:
+   * per-row array work, so the Spark pass is partition-parallel with zero
+   * shuffle.
+   */
+  def vadSegments(in: Array[Short], srHz: Int, frameMs: Int, hopMs: Int,
+                  threshold: Double, hangoverFrames: Int): Array[(Int, Int)] = {
+    val starts = frameStarts(in.length, srHz, frameMs, hopMs)
+    if (starts.isEmpty) {
+      // clip shorter than one frame: all-or-nothing on whole-clip RMS
+      return if (rms(in, 0, in.length) > threshold && in.length > 0)
+        Array((0, in.length))
+      else Array.empty
+    }
+    val fl = frameLen(srHz, frameMs)
+    val segs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var segStart = -1 // sample index of the open segment, -1 = closed
+    var lastActiveEnd = -1 // sample end of the last ACTIVE frame in the run
+    var silentRun = 0
+    var f = 0
+    while (f < starts.length) {
+      val st = starts(f)
+      if (rms(in, st, fl) > threshold) {
+        if (segStart < 0) segStart = st
+        lastActiveEnd = math.min(st + fl, in.length)
+        silentRun = 0
+      } else if (segStart >= 0) {
+        silentRun += 1
+        if (silentRun > hangoverFrames) {
+          segs += ((segStart, lastActiveEnd))
+          segStart = -1
+          silentRun = 0
+        }
+      }
+      f += 1
+    }
+    if (segStart >= 0) segs += ((segStart, lastActiveEnd))
+    segs.toArray
+  }
 }

@@ -299,6 +299,41 @@ object Audio {
         .withColumn("files_total", lit(ps.filesTotal))
     }),
 
+    // -- energy-based voice-activity detection (Dsp.vadSegments): each clip's
+    //    labeled tone is laid out as a 600 ms utterance with two PLANTED
+    //    60 ms silence gaps (bursts 0-150 / 210-360 / 420-600 ms); VAD over
+    //    the 25/10 ms RMS grid with 2-frame hangover must recover exactly
+    //    the three bursts to ±25 ms (one frame of quantization). The
+    //    utterance-segmentation gate of an ASR data pipeline; per-row array
+    //    work, partition-parallel, zero shuffle. --
+    "q90_audio_vad" -> ((s, d) => {
+      import s.implicits._
+      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+        val i = c.clip_id.stripPrefix("clip_").toLong
+        val sr = c.sr_hz
+        val utt = Pcm.tone(ClipSynth.toneFreqHz(i), sr, 600)
+        def zero(aMs: Int, bMs: Int): Unit = {
+          var k = aMs * sr / 1000
+          val end = math.min(bMs * sr / 1000, utt.length)
+          while (k < end) { utt(k) = 0; k += 1 }
+        }
+        zero(150, 210)
+        zero(360, 420)
+        val segs = graft.audio.Dsp.vadSegments(utt, sr,
+          frameMs = 25, hopMs = 10, threshold = 500.0, hangoverFrames = 2)
+        val segMs = segs.map { case (a, b) => (a * 1000L / sr, b * 1000L / sr) }
+        val exp = Array((0L, 150L), (210L, 360L), (420L, 600L))
+        val ok = segs.length == 3 && segMs.zip(exp).forall {
+          case ((a, b), (ea, eb)) =>
+            math.abs(a - ea) <= 25 && math.abs(b - eb) <= 25
+        }
+        (c.clip_id, sr, segs.length,
+          segMs.map { case (a, b) => s"$a-$b" }.mkString(";"),
+          segMs.map { case (a, b) => b - a }.sum, ok)
+      }.toDF("clip_id", "sr_hz", "n_segments", "segments_ms", "active_ms",
+        "vad_ok")
+    }),
+
     // -- incremental CDC read between snapshots (ops/Changes.scala): reads
     //    ONLY churned files (manifest set-diff of the immutable file lists),
     //    so the consumer cost is bounded by churn, never table size. The

@@ -111,6 +111,35 @@ object Text {
           lit(0))).as("n_other_tokens"))
     }),
 
+    // -- sequence packing: greedy-fill documents into 256-token training
+    //    windows, per salt group (doc_id % 16) in doc_id order —
+    //    the context-window packing pass an LLM pipeline runs before
+    //    batching. flatMapSortedGroups streams each group's docs through a
+    //    running accumulator (constant memory per group, no per-group
+    //    collect); the group count is the parallelism knob at scale. A doc
+    //    longer than the budget gets its own window. Oracle: the SAME greedy
+    //    recurrence as a DuckDB recursive CTE over row_number order. --
+    "q91_sequence_packing" -> ((s, d) => {
+      import s.implicits._
+      val toks = docs(s, d).select(col("doc_id"), size(words).as("n_tokens"))
+        .as[(Long, Int)]
+      toks.groupByKey(_._1 % 16)
+        .flatMapSortedGroups(col("doc_id")) { (g, it) =>
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+          var pack = 0L
+          var acc = 0L
+          var n = 0L
+          it.foreach { case (_, t) =>
+            if (n > 0 && acc + t > 256) {
+              out += ((g, pack, n, acc)); pack += 1; acc = 0; n = 0
+            }
+            acc += t; n += 1
+          }
+          if (n > 0) out += ((g, pack, n, acc))
+          out.iterator
+        }.toDF("group_id", "pack_idx", "n_docs", "pack_tokens")
+    }),
+
     // -- document fingerprint: md5 of the canonical text form --
     "q44_fingerprint" -> ((s, d) =>
       docs(s, d).select(
@@ -228,6 +257,29 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q91_sequence_packing" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS t,
+        |    doc_id % 16 AS g
+        |  FROM documents),
+        |ord AS (
+        |  SELECT g, t, row_number() OVER (PARTITION BY g ORDER BY doc_id) AS rn
+        |  FROM toks),
+        |rec(g, rn, t, acc, pack_idx) AS (
+        |  SELECT g, rn, t, CAST(t AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.g, o.rn, o.t,
+        |    CASE WHEN r.acc + o.t > 256 THEN CAST(o.t AS BIGINT)
+        |         ELSE r.acc + o.t END,
+        |    CASE WHEN r.acc + o.t > 256 THEN r.pack_idx + 1
+        |         ELSE r.pack_idx END
+        |  FROM rec r JOIN ord o ON o.g = r.g AND o.rn = r.rn + 1)
+        |SELECT g AS group_id, pack_idx,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS pack_tokens
+        |FROM rec GROUP BY g, pack_idx""".stripMargin,
     "q78_bpe_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text,

@@ -222,4 +222,46 @@ class AudioDspSpec extends AnyFunSuite {
     assert(tc.length === 300)
     assert(tc.forall(_.getAs[Boolean]("label_ok")))
   }
+
+  test("vadSegments: silence, continuous tone, planted gaps, hangover bridging") {
+    val sr = 16000
+    assert(Dsp.vadSegments(new Array[Short](sr / 2), sr, 25, 10, 500.0, 2).isEmpty)
+
+    val tone = Pcm.tone(440.0, sr, 300)
+    val one = Dsp.vadSegments(tone, sr, 25, 10, 500.0, 2)
+    // end quantizes to the last FULL frame on the 10 ms hop grid
+    assert(one.length == 1 && one(0)._1 == 0 &&
+      tone.length - one(0)._2 < Dsp.frameLen(sr, 25))
+
+    // 60 ms gap (4 fully-silent frames) splits at hangover=2
+    val gapped = Pcm.tone(440.0, sr, 400)
+    java.util.Arrays.fill(gapped, 150 * sr / 1000, 210 * sr / 1000, 0.toShort)
+    val two = Dsp.vadSegments(gapped, sr, 25, 10, 500.0, 2)
+    assert(two.length == 2, s"got ${two.mkString(",")}")
+    assert(math.abs(two(0)._2 - 150 * sr / 1000) <= 25 * sr / 1000)
+    assert(math.abs(two(1)._1 - 210 * sr / 1000) <= 25 * sr / 1000)
+
+    // 30 ms gap (1 fully-silent frame) is bridged by the same hangover
+    val dipped = Pcm.tone(440.0, sr, 400)
+    java.util.Arrays.fill(dipped, 150 * sr / 1000, 180 * sr / 1000, 0.toShort)
+    assert(Dsp.vadSegments(dipped, sr, 25, 10, 500.0, 2).length == 1)
+
+    // shorter than one frame: whole-clip decision
+    val stub = Pcm.tone(440.0, sr, 10)
+    val s1 = Dsp.vadSegments(stub, sr, 25, 10, 500.0, 2)
+    assert(s1.length == 1 && s1(0) == ((0, stub.length)))
+  }
+
+  test("q90 VAD recovers the planted utterance layout at sf0.001") {
+    val spark = TestSpark.spark
+    val df = SparkEntry.queries("q90_audio_vad")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length === 300)
+    val bad = rows.filterNot(_.getAs[Boolean]("vad_ok"))
+    assert(bad.isEmpty, s"VAD misses: ${bad.take(5).mkString("; ")}")
+    // six segment boundaries, each quantized to the frame grid (<=25 ms)
+    assert(rows.forall { r =>
+      val a = r.getAs[Long]("active_ms"); a >= 480 - 150 && a <= 480 + 150
+    })
+  }
 }
