@@ -70,7 +70,7 @@ object Changes {
         "use rowChanges for ranges crossing rewrites")
     val d = fileDiff(store, fromId, toId)
     if (d.added.isEmpty) store.scan(spark, toId).limit(0)
-    else spark.read.parquet(d.added.map(_.path): _*)
+    else Evolve.readFiles(spark, store, d.added)
   }
 
   /**
@@ -86,8 +86,11 @@ object Changes {
                  fromId: Long, toId: Long,
                  keyCol: String = "clip_id"): DataFrame = {
     val d = fileDiff(store, fromId, toId)
+    // era-normalized reads: both sides surface the declared schema with
+    // evolved defaults filled, so an evolution between the snapshots does
+    // not make every untouched row look updated
     def read(fs: Seq[DataFile]): Option[DataFrame] =
-      if (fs.isEmpty) None else Some(spark.read.parquet(fs.map(_.path): _*))
+      if (fs.isEmpty) None else Some(Evolve.readFiles(spark, store, fs))
     (read(d.removed), read(d.added)) match {
       case (None, None) =>
         store.scan(spark, toId).limit(0)

@@ -42,14 +42,13 @@ object Compact {
     // per-row path is ONE hash lookup — no broadcast (Broadcast.value is a
     // synchronized lookup; per-row it serializes the stage on one lock) and
     // no per-row string normalization
-    val paths: Seq[String] = toRewrite.flatten.map(_.path)
     val binOf: Map[String, Int] = toRewrite.zipWithIndex
       .flatMap { case (bin, i) =>
         bin.flatMap(f => Seq(f.path -> i, s"file://${f.path}" -> i,
           s"file:${f.path}" -> i))
       }.toMap
     val norm = udf((p: String) => binOf.getOrElse(p, -1))
-    spark.read.parquet(paths: _*)
+    Evolve.readFiles(spark, store, toRewrite.flatten)
       .withColumn("_bin", norm(input_file_name()))
       .repartition(toRewrite.size, col("_bin"))
       .write.mode("overwrite").partitionBy("_bin").parquet(outDir)
@@ -134,7 +133,7 @@ object Compact {
             case _ =>
               val t0 = System.nanoTime()
               val binDir = s"$outDir/bin=$i"
-              spark.read.parquet(bin.map(_.path): _*)
+              Evolve.readFiles(spark, store, bin)
                 .coalesce(1)
                 .write.mode("overwrite").parquet(binDir)
               val newEntries = store.collectStats(spark, binDir)

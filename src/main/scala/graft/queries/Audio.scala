@@ -363,6 +363,30 @@ object Audio {
         .withColumn("compact_delta_rows", lit(compactDelta))
     }),
 
+    // -- additive schema evolution (ops/Evolve.scala): add a column with an
+    //    initial default WITHOUT rewriting any file — pre-evolution files
+    //    read the default, the post-evolution append keeps its written
+    //    values, and the closing compaction materializes the default into
+    //    its output (self-healing). Returns the per-era value distribution
+    //    as evidence. --
+    "q92_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q92-").toString
+      val store = MetaStore.forClips(dir)
+      val n = clipCount(d)
+      Append.run(s, store,
+        ClipSynth.dataset(s, n, 8, maxDurMs = 150).toDF())
+      Evolve.addColumn(s, store, "quality_score", "double", "0.75")
+      Append.run(s, store,
+        ClipSynth.dataset(s, n / 4, 2, maxDurMs = 150).toDF()
+          .withColumn("clip_id", concat(lit("v2_"), col("clip_id")))
+          .withColumn("quality_score", lit(0.25)))
+      Compact.run(s, store, targetBytes = 8L * 1024 * 1024, runId = "q92-compact")
+      store.scanCurrent(s)
+        .groupBy(col("quality_score"),
+          col("clip_id").startsWith("v2_").as("post_evolution"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
     // -- manifest stats as a queryable table (the .meta sidecar analog) --
     "q64_manifest_stats" -> ((s, d) => {
       import s.implicits._

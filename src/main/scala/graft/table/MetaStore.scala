@@ -71,8 +71,14 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     }
   }
 
-  /** Snapshot-isolated scan: the file list is frozen at commit time. */
+  /** Snapshot-isolated scan: the file list is frozen at commit time. With a
+   * non-empty evolution log the read goes through the evolution-aware path
+   * (declared schema + per-era defaults, graft.ops.Evolve.scan) — that keeps
+   * every maintenance rewrite (compact/cluster read through here) silently
+   * MATERIALIZING evolved defaults into its output files. */
   def scan(spark: SparkSession, snapshotId: Long): DataFrame = {
+    if (graft.ops.Evolve.evolutions(this).nonEmpty)
+      return graft.ops.Evolve.scan(spark, this, snapshotId)
     val paths = entries(snapshotId).map(_.path)
     if (paths.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(paths: _*)
