@@ -10,9 +10,15 @@ object Append {
    * Write `df` under a fresh data dir (one parquet file per partition of
    * `df` — callers size partitions for the target file size) and commit
    * snapshot = parent entries + new entries.
+   *
+   * @param constraints write-time quality gates ([[Constraints]]): checked
+   *   in one aggregate pass over the batch BEFORE any file is written; a
+   *   violation aborts with the per-constraint report and commits nothing.
    */
   def run(spark: SparkSession, store: MetaStore, df: DataFrame,
-          summary: Map[String, String] = Map.empty): Long = {
+          summary: Map[String, String] = Map.empty,
+          constraints: Seq[Constraint] = Seq.empty): Long = {
+    Constraints.enforce(df, constraints)
     val dir = store.newDataDir("append")
     df.write.mode("overwrite").parquet(dir)
     val newEntries = store.collectStats(spark, dir)

@@ -42,10 +42,13 @@ object Components {
       // ONE checkpoint per iteration: `labels` re-reads the same
       // materialized rows (a select over a checkpointed plan is
       // lineage-free); a second checkpoint would re-materialize.
+      val t0 = System.nanoTime()
       val joined = labels.withColumnRenamed("lbl", "ol").join(merged, "id")
         .localCheckpoint()
       changed = joined.filter(col("nl") < col("ol")).count()
       labels = joined.select(col("id"), col("nl").as("lbl"))
+      System.err.println(f"[components] iter=$iter changed=$changed " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
       iter += 1
     }
     sym.unpersist()

@@ -27,7 +27,10 @@ object ExpireSnapshots {
   def run(store: MetaStore, keepLast: Int = 1): ExpireResult = {
     val all = store.allSnapshotIds
     val current = store.currentSnapshotId.getOrElse(sys.error("expire: empty table"))
-    val retained = (all.takeRight(keepLast) :+ current).distinct.sorted
+    // tags are GC roots: a tagged snapshot (and its files) survives expiry
+    // for as long as the tag exists (Refs.scala)
+    val tagged = Refs.tags(store).values.toSeq.filter(all.contains)
+    val retained = (all.takeRight(keepLast) ++ tagged :+ current).distinct.sorted
     val expired = all.filterNot(retained.contains)
 
     val reachableData = retained.flatMap(store.entries).map(_.path).toSet

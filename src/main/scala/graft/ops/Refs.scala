@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.table.{Json, MetaStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot ids are stored as strings: Jackson erases Map[String, Long] to
+ * boxed Integers on read, which blows up at the first unboxing access. */
+final case class RefsFile(tags: Map[String, String])
+
+/**
+ * Named snapshot refs (tags) + rollback over the snapshot log — the
+ * release-management layer of the lakehouse: tag a snapshot a training run
+ * consumed ("dataset-v3"), keep reading it by name while maintenance moves
+ * CURRENT forward, and roll the table back to any live snapshot by
+ * committing its file list as a NEW snapshot (history stays intact; no file
+ * is touched). [[ExpireSnapshots]] treats tagged snapshots as GC roots, so a
+ * tag pins its files for as long as it exists.
+ */
+object Refs {
+
+  private def refsPath(store: MetaStore) =
+    Paths.get(store.tableDir, "meta", "refs.json")
+
+  def tags(store: MetaStore): Map[String, Long] = {
+    val p = refsPath(store)
+    if (!Files.exists(p)) Map.empty
+    else Json.mapper.readValue[RefsFile](
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .tags.map { case (k, v) => k -> v.toLong }
+  }
+
+  private def write(store: MetaStore, t: Map[String, Long]): Unit =
+    Files.write(refsPath(store),
+      Json.mapper.writeValueAsString(RefsFile(t.map { case (k, v) => k -> v.toString }))
+        .getBytes(StandardCharsets.UTF_8))
+
+  /** Tag `snapshotId` (default: current) as `name`; overwrites an existing
+   * tag of the same name. */
+  def tag(store: MetaStore, name: String, snapshotId: Long = -1L): Long = {
+    val id = if (snapshotId >= 0) snapshotId
+      else store.currentSnapshotId.getOrElse(sys.error("tag: empty table"))
+    require(store.allSnapshotIds.contains(id), s"tag: no snapshot $id")
+    write(store, tags(store) + (name -> id))
+    id
+  }
+
+  def deleteTag(store: MetaStore, name: String): Unit =
+    write(store, tags(store) - name)
+
+  def snapshotFor(store: MetaStore, name: String): Long =
+    tags(store).getOrElse(name, sys.error(s"no tag named $name"))
+
+  /** Read the table as of a tag — snapshot isolation by name. */
+  def scanTag(spark: SparkSession, store: MetaStore, name: String): DataFrame =
+    store.scan(spark, snapshotFor(store, name))
+
+  /**
+   * Roll the table back to `toSnapshotId`: commits that snapshot's exact
+   * file list as a NEW snapshot (operation "rollback"). Metadata-only and
+   * non-destructive — the rolled-back-over snapshots stay in history until
+   * expiry.
+   */
+  def rollback(store: MetaStore, toSnapshotId: Long): Long = {
+    require(store.allSnapshotIds.contains(toSnapshotId),
+      s"rollback: no snapshot $toSnapshotId")
+    store.commit("rollback", store.entries(toSnapshotId),
+      Map("rolledBackTo" -> toSnapshotId.toString))
+  }
+}

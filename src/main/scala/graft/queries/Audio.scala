@@ -387,6 +387,61 @@ object Audio {
         .agg(count(lit(1)).as("n_rows"))
     }),
 
+    // -- write-time quality gates (ops/Constraints.scala): one aggregate
+    //    pass over the incoming batch counts every violation class (null
+    //    keys, duplicate ids, out-of-range rates, unknown codecs, empty
+    //    payloads) BEFORE any file is written; a violating append aborts
+    //    atomically. Returns the per-constraint violation report of a
+    //    deliberately corrupted batch. --
+    "q93_write_gates" -> ((s, d) => {
+      import s.implicits._
+      val good = ClipSynth.dataset(s, clipCount(d), 8, maxDurMs = 150).toDF()
+      val bad = good
+        .unionByName(good.limit(5).withColumn("clip_id", lit(null).cast("string")))
+        .unionByName(good.limit(7))
+        .unionByName(good.limit(3).withColumn("sr_hz", lit(96000)))
+        .unionByName(good.limit(2).withColumn("codec", lit("mp3")))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q93-").toString
+      val store = MetaStore.forClips(dir)
+      Append.run(s, store, good, constraints = Constraint.clipDefaults)
+      val rejected =
+        try { Append.run(s, store, bad, constraints = Constraint.clipDefaults); false }
+        catch { case _: ConstraintViolationException => true }
+      Constraints.check(bad, Constraint.clipDefaults)
+        .map(v => (v.constraint, v.rows)).toDF("constraint", "violating_rows")
+        .withColumn("append_rejected", lit(rejected))
+        .withColumn("table_rows", lit(store.scanCurrent(s).count()))
+    }),
+
+    // -- tags + rollback (ops/Refs.scala): tag the clean snapshot, poison a
+    //    row via MERGE, then roll back to the tag — metadata-only, history
+    //    intact, tagged files pinned through snapshot expiry. Returns the
+    //    poisoned-row count per stage as evidence. --
+    "q94_tags_rollback" -> ((s, d) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q94-").toString
+      val store = MetaStore.forClips(dir)
+      Append.run(s, store,
+        ClipSynth.dataset(s, clipCount(d), 8, maxDurMs = 150).toDF())
+      Refs.tag(store, "clean")
+      MergeInto.run(s, store,
+        store.scanCurrent(s).filter(col("clip_id") === ClipSynth.clipId(0))
+          .withColumn("transcript", lit("poisoned")),
+        runId = "q94-merge")
+      def poisoned(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter(col("transcript") === "poisoned").count()
+      val afterMerge = poisoned(store.scanCurrent(s))
+      val atTag = poisoned(Refs.scanTag(s, store, "clean"))
+      Refs.rollback(store, Refs.snapshotFor(store, "clean"))
+      val afterRollback = poisoned(store.scanCurrent(s))
+      val expired = ExpireSnapshots.run(store, keepLast = 1)
+      Seq((afterMerge, atTag, afterRollback,
+          expired.retainedSnapshots.contains(Refs.snapshotFor(store, "clean")),
+          store.scanCurrent(s).count()))
+        .toDF("poisoned_after_merge", "poisoned_at_tag",
+          "poisoned_after_rollback", "tag_survives_expiry", "final_rows")
+    }),
+
     // -- manifest stats as a queryable table (the .meta sidecar analog) --
     "q64_manifest_stats" -> ((s, d) => {
       import s.implicits._

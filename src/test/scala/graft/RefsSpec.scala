@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{Append, Compact, ExpireSnapshots, MergeInto, Refs}
+import graft.synth.ClipSynth
+import graft.table.MetaStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Tags + rollback: a tag pins its snapshot (and files) through maintenance
+ * and expiry; rollback restores an earlier file list as a new snapshot;
+ * deleting the tag releases the files to GC.
+ */
+class RefsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("tag pins through expiry, rollback restores, delete-tag releases") {
+    val dir = Files.createTempDirectory("graft-refs-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 60, 4, maxDurMs = 120).toDF())
+    val v1 = store.currentSnapshotId.get
+    Refs.tag(store, "dataset-v1")
+    assert(Refs.snapshotFor(store, "dataset-v1") == v1)
+
+    // maintenance moves CURRENT forward and rewrites files
+    Compact.run(spark, store, targetBytes = 64L * 1024 * 1024, runId = "refs-compact")
+    import spark.implicits._
+    MergeInto.run(spark, store,
+      store.scanCurrent(spark).filter(col("clip_id") === ClipSynth.clipId(0))
+        .withColumn("transcript", lit("poisoned")),
+      runId = "refs-merge")
+    val poisoned = store.currentSnapshotId.get
+    assert(store.scanCurrent(spark)
+      .filter(col("transcript") === "poisoned").count() == 1)
+
+    // expire everything but the latest + tag roots
+    val r1 = ExpireSnapshots.run(store, keepLast = 1)
+    assert(r1.retainedSnapshots.contains(v1), "tagged snapshot must survive")
+    val tagged = Refs.scanTag(spark, store, "dataset-v1")
+    assert(tagged.count() == 60, "tag still fully readable after expiry")
+    assert(tagged.filter(col("transcript") === "poisoned").count() == 0)
+
+    // rollback to the tag: bad merge disappears, history intact
+    val rb = Refs.rollback(store, Refs.snapshotFor(store, "dataset-v1"))
+    assert(store.currentSnapshotId.get == rb)
+    assert(store.scanCurrent(spark).count() == 60)
+    assert(store.scanCurrent(spark)
+      .filter(col("transcript") === "poisoned").count() == 0)
+    assert(store.allSnapshotIds.contains(poisoned), "rollback is non-destructive")
+
+    // delete the tag -> the pinned snapshot becomes expirable
+    Refs.deleteTag(store, "dataset-v1")
+    val r2 = ExpireSnapshots.run(store, keepLast = 1)
+    assert(!r2.retainedSnapshots.contains(poisoned))
+    assert(store.scanCurrent(spark).count() == 60, "current survives GC")
+
+    intercept[RuntimeException] { Refs.snapshotFor(store, "nope") }
+    intercept[IllegalArgumentException] { Refs.rollback(store, 9999L) }
+  }
+}
