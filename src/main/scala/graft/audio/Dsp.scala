@@ -274,6 +274,66 @@ object Dsp {
     (pSig, pOff)
   }
 
+  /** Hz -> mel (O'Shaughnessy 1987 formula, the standard ASR front end). */
+  def hzToMel(f: Double): Double = 2595.0 * math.log10(1.0 + f / 700.0)
+
+  def melToHz(m: Double): Double = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+
+  /**
+   * Triangular mel filterbank energies over a power spectrum — the
+   * featurization step before log/DCT in an MFCC front end, and the
+   * fixed-width embedding a training pipeline stores per audio chunk.
+   * `power` is the [[powerSpectrum]] layout (bins 0..n/2 inclusive, bin k at
+   * k*srHz/nFft where nFft = 2*(power.length-1)). Returns `nMels` energies;
+   * filter m spans mel-equally-spaced [c(m-1), c(m+1)] with peak at c(m).
+   */
+  def melFilterbank(power: Array[Double], srHz: Int, nMels: Int,
+                    fMinHz: Double = 0.0): Array[Double] = {
+    val nFft = 2 * (power.length - 1)
+    val fMax = srHz / 2.0
+    val mLo = hzToMel(fMinHz)
+    val mHi = hzToMel(fMax)
+    // nMels+2 mel-equally-spaced edge points -> nMels triangles
+    val edges = Array.tabulate(nMels + 2)(i =>
+      melToHz(mLo + (mHi - mLo) * i / (nMels + 1)))
+    val out = new Array[Double](nMels)
+    var k = 0
+    while (k < power.length) {
+      val f = k.toDouble * srHz / nFft
+      var m = 0
+      while (m < nMels) {
+        val l = edges(m); val c = edges(m + 1); val r = edges(m + 2)
+        if (f > l && f < r) {
+          val w = if (f <= c) (f - l) / math.max(c - l, 1e-12)
+                  else (r - f) / math.max(r - c, 1e-12)
+          out(m) += w * power(k)
+        }
+        m += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Index of the mel filter whose triangle peaks nearest `freqHz` — the
+   * band a pure tone at that frequency should dominate. */
+  def melBandOf(freqHz: Double, srHz: Int, nMels: Int,
+                fMinHz: Double = 0.0): Int = {
+    val mLo = hzToMel(fMinHz)
+    val mHi = hzToMel(srHz / 2.0)
+    val centers = Array.tabulate(nMels)(m =>
+      melToHz(mLo + (mHi - mLo) * (m + 1) / (nMels + 1)))
+    var best = 0
+    var bd = Double.MaxValue
+    var m = 0
+    while (m < nMels) {
+      val d = math.abs(centers(m) - freqHz)
+      if (d < bd) { bd = d; best = m }
+      m += 1
+    }
+    best
+  }
+
   /**
    * Energy-based voice/tone activity detection over the frame-RMS grid with
    * hangover smoothing: a frame is active when rms > `threshold`; an active

@@ -442,6 +442,32 @@ object Audio {
           "poisoned_after_rollback", "tag_survives_expiry", "final_rows")
     }),
 
+    // -- mel-filterbank featurization (Dsp.melFilterbank): Hann/FFT power
+    //    spectrum -> 24 triangular mel filters -> log energies, the MFCC
+    //    front end / fixed-width audio embedding a training pipeline stores
+    //    per chunk. Self-validating: the labeled tone's mel band
+    //    (Dsp.melBandOf) must be the argmax energy band (+-1 for spectral
+    //    leakage at band edges). Per-row array math, zero shuffle. --
+    "q95_audio_mel" -> ((s, d) => {
+      import s.implicits._
+      val nMels = 24
+      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+        val i = c.clip_id.stripPrefix("clip_").toLong
+        val pcm = Pcm.decode(c.codec, c.bytes)
+        val ps = graft.audio.Dsp.powerSpectrum(pcm, 0, pcm.length)
+        val mel = graft.audio.Dsp.melFilterbank(ps, c.sr_hz, nMels)
+        val logMel = mel.map(e => math.round(10.0 * math.log10(e + 1e-9)))
+        var argmax = 0
+        var j = 1
+        while (j < nMels) { if (mel(j) > mel(argmax)) argmax = j; j += 1 }
+        val expected = graft.audio.Dsp.melBandOf(
+          ClipSynth.toneFreqHz(i), c.sr_hz, nMels)
+        (c.clip_id, c.sr_hz, argmax, expected,
+          math.abs(argmax - expected) <= 1, logMel.mkString(","))
+      }.toDF("clip_id", "sr_hz", "argmax_band", "expected_band", "mel_ok",
+        "log_mel_db")
+    }),
+
     // -- manifest stats as a queryable table (the .meta sidecar analog) --
     "q64_manifest_stats" -> ((s, d) => {
       import s.implicits._

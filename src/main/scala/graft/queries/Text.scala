@@ -140,6 +140,21 @@ object Text {
         }.toDF("group_id", "pack_idx", "n_docs", "pack_tokens")
     }),
 
+    // -- deterministic train/val/test split: the first md5 byte of the doc
+    //    id buckets each doc into ~80/10/10 (hex compare: < 'cc' = 204/256
+    //    train, < 'e6' = 230/256 val, else test) — stable under reruns,
+    //    reshuffles, and table growth, because membership depends only on
+    //    the id. The split-assignment pass every training pipeline runs;
+    //    DuckDB reproduces the identical md5 bucketing. --
+    "q96_split_assign" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+        .withColumn("split",
+          when(col("h") < "cc", "train")
+            .when(col("h") < "e6", "val")
+            .otherwise("test"))
+        .drop("h")),
+
     // -- document fingerprint: md5 of the canonical text form --
     "q44_fingerprint" -> ((s, d) =>
       docs(s, d).select(
@@ -257,6 +272,14 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q96_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "q91_sequence_packing" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,

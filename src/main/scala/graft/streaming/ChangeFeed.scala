@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.ops.{Changes, Evolve}
+import graft.table.MetaStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Read side of the streaming lakehouse: an incremental consumer that follows
+ * a table's APPENDED rows by snapshot cursor — the complement of
+ * [[StreamAppend]] (write side).
+ *
+ * One poll emits the union of each append snapshot's OWN added files in
+ * `(sinceSnapshot, current]`; rewrites (compact / cluster / merge-rewrite /
+ * rollback) contribute nothing, because each append's delta is computed
+ * against its own parent, not across the whole range. Files are immutable
+ * and maintenance never deletes them (only [[graft.ops.ExpireSnapshots]]
+ * does), so a consumer lagging behind maintenance still reads its batches
+ * exactly — the retention window (expire keepLast / a pinned tag,
+ * [[graft.ops.Refs]]) bounds how far behind a consumer may fall, precisely
+ * Kafka's retention contract re-expressed over snapshots.
+ *
+ * Exactly-once: the cursor is the snapshot id, advanced by the CALLER after
+ * it has durably processed the batch (at-least-once if it crashes between
+ * processing and persisting the cursor, like any offset-commit consumer).
+ */
+object ChangeFeed {
+
+  final case class Poll(df: DataFrame, fromExclusive: Long, toInclusive: Long,
+                        appendSnapshots: Seq[Long]) {
+    def isEmpty: Boolean = appendSnapshots.isEmpty
+  }
+
+  /** Rows appended since `sinceSnapshot` (exclusive), up to the current
+   * snapshot. `sinceSnapshot = -1` replays the table from its beginning. */
+  def poll(spark: SparkSession, store: MetaStore, sinceSnapshot: Long): Poll = {
+    val cur = store.currentSnapshotId.getOrElse(
+      return Poll(spark.emptyDataFrame, sinceSnapshot, sinceSnapshot, Seq.empty))
+    val appendIds = store.allSnapshotIds
+      .filter(id => id > sinceSnapshot && id <= cur)
+      .filter(id => store.snapshot(id).operation == "append")
+    val parts = appendIds.flatMap { id =>
+      val parent = store.snapshot(id).parentId
+      val added =
+        if (parent == -1L) store.entries(id)
+        else Changes.fileDiff(store, parent, id).added
+      if (added.isEmpty) None else Some(Evolve.readFiles(spark, store, added))
+    }
+    val df =
+      if (parts.isEmpty) {
+        if (appendIds.isEmpty) spark.emptyDataFrame
+        else store.scan(spark, cur).limit(0)
+      } else parts.reduce(_.unionByName(_))
+    Poll(df, sinceSnapshot, cur, appendIds)
+  }
+}

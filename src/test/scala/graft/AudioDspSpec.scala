@@ -252,6 +252,23 @@ class AudioDspSpec extends AnyFunSuite {
     assert(s1.length == 1 && s1(0) == ((0, stub.length)))
   }
 
+  test("mel filterbank: pure tones land in their expected band; energies conserve") {
+    val sr = 16000
+    for (f <- Seq(300.0, 440.0, 1000.0, 3000.0, 6000.0)) {
+      val tone = Pcm.tone(f, sr, 250)
+      val ps = Dsp.powerSpectrum(tone, 0, tone.length)
+      val mel = Dsp.melFilterbank(ps, sr, 24)
+      val argmax = mel.indexOf(mel.max)
+      val expected = Dsp.melBandOf(f, sr, 24)
+      assert(math.abs(argmax - expected) <= 1,
+        s"tone $f Hz: argmax=$argmax expected=$expected")
+    }
+    // a low-frequency tone must put ~no energy in the top bands
+    val low = Pcm.tone(200.0, sr, 250)
+    val mel = Dsp.melFilterbank(Dsp.powerSpectrum(low, 0, low.length), sr, 24)
+    assert(mel.take(4).sum > 100.0 * mel.takeRight(8).sum)
+  }
+
   test("q90 VAD recovers the planted utterance layout at sf0.001") {
     val spark = TestSpark.spark
     val df = SparkEntry.queries("q90_audio_vad")(spark, "/root/testdata/sf0.001")

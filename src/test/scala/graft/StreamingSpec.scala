@@ -145,4 +145,43 @@ class StreamingSpec extends AnyFunSuite {
     finally q2.stop()
     assert(store.scanCurrent(spark).count() === 150)
   }
+
+  test("change feed follows appends exactly once; rewrites are invisible") {
+    import graft.ops.{Append, Compact}
+    import graft.streaming.ChangeFeed
+    import graft.synth.ClipSynth
+    import graft.table.MetaStore
+    import org.apache.spark.sql.functions._
+    val store = MetaStore.forClips(
+      Files.createTempDirectory("graft-feed-").toString)
+    Append.run(spark, store, ClipSynth.dataset(spark, 60, 4, maxDurMs = 120).toDF())
+
+    var cursor = -1L
+    val p1 = ChangeFeed.poll(spark, store, cursor)
+    assert(p1.df.count() === 60)
+    cursor = p1.toInclusive
+
+    val p2 = ChangeFeed.poll(spark, store, cursor)
+    assert(p2.isEmpty && p2.df.count() === 0, "no new data -> empty poll")
+
+    // two appends with a compaction interleaved — the consumer lags through
+    // maintenance and still sees exactly the two new batches
+    def batch(prefix: String, n: Long) =
+      ClipSynth.dataset(spark, n, 2, maxDurMs = 120).toDF()
+        .withColumn("clip_id", concat(lit(prefix), col("clip_id")))
+    Append.run(spark, store, batch("b2_", 40))
+    Compact.run(spark, store, targetBytes = 64L * 1024 * 1024, runId = "feed-compact")
+    Append.run(spark, store, batch("b3_", 20))
+
+    val p3 = ChangeFeed.poll(spark, store, cursor)
+    assert(p3.appendSnapshots.size === 2)
+    val ids = p3.df.select("clip_id").collect().map(_.getString(0))
+    assert(ids.length === 60 && ids.distinct.length === 60)
+    assert(ids.forall(id => id.startsWith("b2_") || id.startsWith("b3_")),
+      "compaction rewrite must contribute nothing")
+    cursor = p3.toInclusive
+
+    // full replay from the beginning sees every append once
+    assert(ChangeFeed.poll(spark, store, -1L).df.count() === 120)
+  }
 }
