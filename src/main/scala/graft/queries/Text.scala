@@ -155,6 +155,29 @@ object Text {
             .otherwise("test"))
         .drop("h")),
 
+    // -- repetition quality filter (the Gopher/MassiveText-style rule):
+    //    fraction of duplicate word 3-grams and duplicate words inside each
+    //    doc — boilerplate/spam detectors every LLM corpus pass applies.
+    //    Pure per-row array math (transform + array_distinct), no shuffle;
+    //    DuckDB mirrors it with list_transform/list_distinct. --
+    "q97_repetition" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), words.as("ts"))
+        .withColumn("n", size(col("ts")))
+        // CASE guard: Spark's sequence(1, 0) counts DOWN ([1,0]) where
+        // DuckDB's range(1, 1) is empty — short docs must be empty-gram in
+        // both engines
+        .withColumn("grams", expr(
+          "CASE WHEN n >= 3 THEN transform(sequence(1, n - 2), i -> " +
+            "concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), " +
+            "element_at(ts, i + 2))) ELSE array() END"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round(lit(1.0) - size(array_distinct(col("ts"))).cast("double") /
+            greatest(col("n"), lit(1)), 4).as("dup_word_frac"),
+          round(lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+            greatest(size(col("grams")), lit(1)), 4).as("dup_3gram_frac"))
+        .withColumn("flagged",
+          col("dup_word_frac") > 0.7 || col("dup_3gram_frac") > 0.2)),
+
     // -- document fingerprint: md5 of the canonical text form --
     "q44_fingerprint" -> ((s, d) =>
       docs(s, d).select(
@@ -272,6 +295,27 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q97_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ts, n,
+        |    list_transform(range(1, greatest(n - 2, 0) + 1), i ->
+        |      concat_ws(' ', ts[i], ts[i + 1], ts[i + 2])) AS grams
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) /
+        |    greatest(n, 1), 4) AS dup_word_frac,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+        |    greatest(len(grams), 1), 4) AS dup_3gram_frac,
+        |  (round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) /
+        |     greatest(n, 1), 4) > 0.7
+        |   OR round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+        |     greatest(len(grams), 1), 4) > 0.2) AS flagged
+        |FROM g""".stripMargin,
     "q96_split_assign" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
