@@ -19,6 +19,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // discard one aggregate pass: first-query wall otherwise measures

@@ -298,10 +298,44 @@ object Relational {
           round(sum(col("value")), 2).as("sum_value"),
           min(unix_timestamp(col("ts"))).as("first_epoch"),
           max(unix_timestamp(col("ts"))).as("last_epoch"),
-          countDistinct(col("event_type")).as("n_types")))
+          countDistinct(col("event_type")).as("n_types"))),
+
+    // -- bucketed co-located join: both fact tables are written bucketBy(8)
+    //    on the join key into the session catalog, so the merge join reads
+    //    bucket-aligned splits and needs NO exchange on either side
+    //    (PlanSpec asserts zero join-key Exchange). The bucketing story at
+    //    100 TB: pay one layout write, then every orderkey join — the
+    //    hottest join in the schema — is shuffle-free forever. --
+    "q98_bucketed_join" -> ((s, d) => {
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            .as("price_cents"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("g98_lineitem")
+      s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g98_orders")
+      s.table("g98_lineitem")
+        .join(s.table("g98_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum("price_cents").as("sum_price_cents"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q01_select_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_cents

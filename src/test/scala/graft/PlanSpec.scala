@@ -101,6 +101,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed co-located join has no join-key exchange (q98)") {
+    val df = SparkEntry.queries("q98_bucketed_join")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), s"expected merge join:\n$p")
+    // neither join side may shuffle: bucket-aligned scans satisfy the join's
+    // required distribution; the only exchange allowed is the post-join agg
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side shuffled despite buckets:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side shuffled despite buckets:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2, // agg exchange (+AQE read)
+      s"too many exchanges:\n$p")
+  }
+
   test("events hourly agg partial-aggregates before the shuffle (q30)") {
     val p = plan(SparkEntry.queries("q30_events_hourly")(spark, sf))
     // two HashAggregate phases (partial + final) around one exchange
