@@ -161,6 +161,26 @@ object Vector {
         .limit(20)
     }),
 
+    // -- embedding quality gate: cosine of every vector to its OWN label
+    //    centroid — mislabeled / corrupted embeddings sit far from their
+    //    class center and get flagged. Centroids are a 10-row broadcast;
+    //    the scoring pass is per-row array math, no corpus self-join. The
+    //    vector-modality analog of the q42/q97 text quality filters. --
+    "q99_embedding_outliers" -> ((s, d) => {
+      val cent = emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("q"))
+      fanOut(emb(s, d)).join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          round(expr(dotExpr) / (expr(normExpr) * expr(qnormExpr)), 4)
+            .as("cosine_to_centroid"))
+        .withColumn("is_outlier", col("cosine_to_centroid") < 0.2)
+    }),
+
     // -- centroid distance per label class (round-trip of aggregate +
     //    element-wise array math) --
     "q52_label_centroid_norm" -> ((s, d) =>
@@ -277,6 +297,27 @@ object Vector {
         |  FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, cosine FROM scored
         |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "q99_embedding_outliers" ->
+      """WITH flat AS (
+        |  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |m AS (SELECT label, pos, avg(x) AS m FROM flat GROUP BY label, pos),
+        |c AS (SELECT label, list(m ORDER BY pos) AS q FROM m GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(
+        |      list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * c.q[i]), 'sum')
+        |      / (sqrt(list_aggregate(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |         * sqrt(list_aggregate(list_transform(c.q, x -> x * x), 'sum'))),
+        |      4) AS cosine_to_centroid
+        |  FROM embeddings e JOIN c USING (label))
+        |SELECT vec_id, label, cosine_to_centroid,
+        |  cosine_to_centroid < 0.2 AS is_outlier
+        |FROM scored""".stripMargin,
     "q52_label_centroid_norm" ->
       """WITH flat AS (
         |  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
