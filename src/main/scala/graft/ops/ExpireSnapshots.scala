@@ -24,13 +24,22 @@ final case class ExpireResult(
  */
 object ExpireSnapshots {
 
-  def run(store: MetaStore, keepLast: Int = 1): ExpireResult = {
+  /** @param minAgeMs only snapshots at least this old are expirable — the
+   *    retention window incremental consumers ([[graft.streaming.ChangeFeed]])
+   *    rely on: a consumer lagging less than the window never loses a batch.
+   *    0 = age is no protection (keepLast/current/tags still are). */
+  def run(store: MetaStore, keepLast: Int = 1, minAgeMs: Long = 0L): ExpireResult = {
     val all = store.allSnapshotIds
     val current = store.currentSnapshotId.getOrElse(sys.error("expire: empty table"))
     // tags are GC roots: a tagged snapshot (and its files) survives expiry
     // for as long as the tag exists (Refs.scala)
     val tagged = Refs.tags(store).values.toSeq.filter(all.contains)
-    val retained = (all.takeRight(keepLast) ++ tagged :+ current).distinct.sorted
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val young =
+      if (minAgeMs <= 0L) Seq.empty
+      else all.filter(id => store.snapshot(id).timestampMs > cutoff)
+    val retained =
+      (all.takeRight(keepLast) ++ tagged ++ young :+ current).distinct.sorted
     val expired = all.filterNot(retained.contains)
 
     val reachableData = retained.flatMap(store.entries).map(_.path).toSet

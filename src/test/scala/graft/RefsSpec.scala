@@ -60,4 +60,17 @@ class RefsSpec extends AnyFunSuite {
     intercept[RuntimeException] { Refs.snapshotFor(store, "nope") }
     intercept[IllegalArgumentException] { Refs.rollback(store, 9999L) }
   }
+
+  test("age-based retention: fresh snapshots are not expirable") {
+    val dir = Files.createTempDirectory("graft-age-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 20, 2, maxDurMs = 100).toDF())
+    Compact.run(spark, store, targetBytes = 64L * 1024 * 1024, runId = "age-c")
+    // everything is seconds old: a 1-hour retention window expires nothing
+    val r = ExpireSnapshots.run(store, keepLast = 1, minAgeMs = 3600L * 1000)
+    assert(r.expiredSnapshots.isEmpty && r.dataFilesDeleted == 0)
+    // with no age floor the old snapshot goes
+    val r2 = ExpireSnapshots.run(store, keepLast = 1)
+    assert(r2.expiredSnapshots.nonEmpty)
+  }
 }
