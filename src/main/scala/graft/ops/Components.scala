@@ -35,6 +35,12 @@ object Components {
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      // one neighbor-min hop per checkpoint round. Measured dead ends at
+      // this scale: pointer-jumping (lbl<-lbl(lbl)) re-evaluates the
+      // un-materialized groupBy per self-join side (1.8x slower), and
+      // unrolling two hops per round halves the rounds but doubles each
+      // round's plan (net wash). The simple loop wins until components get
+      // deep enough for star-contraction (see scaladoc).
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
       val merged = labels.unionAll(nbrMin)
