@@ -18,9 +18,17 @@ import org.apache.spark.sql.SparkSession
  *     compact [targetMB]            bin-pack small files
  *     cluster [zorder|hilbert] [targetMB] [batches]
  *     merge-synth <lo> <hi>         upsert resynthesized clips lo..hi
- *     expire [keepLast]             snapshot expiry + GC
+ *     expire [keepLast] [minAgeH]   snapshot expiry + GC (age floor in hours)
  *     verify <preSnap> <postSnap>   scan-equality gate
  *     lineage                       dump the metrics side-table
+ *     snapshots                     list the snapshot log
+ *     tag <name> [snapId]           pin a snapshot as a named GC root
+ *     tags                          list named refs
+ *     rollback <snapId|tagName>     metadata-only rollback
+ *     changes <from> <to>           row-level CDC between snapshots
+ *     feed <sinceSnap>              poll appended rows since a cursor
+ *     evolve <col> <type> <defaultSql>  add a column with initial default
+ *     transcode [codec] [rateHz]    canonicalize payloads (default pcm16le 16000)
  */
 object Maintain {
 
@@ -65,9 +73,45 @@ object Maintain {
         println(s"snapshot ${r.snapshotId}: touched=${r.filesTouched} untouched=${r.filesUntouched}")
       case "expire" =>
         val keep = rest.headOption.map(_.toInt).getOrElse(2)
-        val r = ExpireSnapshots.run(store, keepLast = keep)
+        val minAgeMs = rest.lift(1).map(_.toLong * 3600 * 1000).getOrElse(0L)
+        val r = ExpireSnapshots.run(store, keepLast = keep, minAgeMs = minAgeMs)
         println(s"expired ${r.expiredSnapshots.size} snapshots, " +
           s"deleted ${r.dataFilesDeleted} data files, ${r.manifestsDeleted} manifests")
+      case "snapshots" =>
+        store.allSnapshotIds.map(store.snapshot).foreach { s =>
+          println(f"${s.id}%6d ${s.operation}%-10s parent=${s.parentId}%-6d " +
+            s"ts=${java.time.Instant.ofEpochMilli(s.timestampMs)} " +
+            s"files=${s.summary.getOrElse("files", "?")} " +
+            s"rows=${s.summary.getOrElse("rows", "?")}")
+        }
+      case "tag" =>
+        val id = Refs.tag(store, rest(0), rest.lift(1).map(_.toLong).getOrElse(-1L))
+        println(s"tag ${rest(0)} -> snapshot $id")
+      case "tags" =>
+        Refs.tags(store).toSeq.sortBy(_._1)
+          .foreach { case (n, id) => println(s"$n -> $id") }
+      case "rollback" =>
+        val target = rest(0).toLongOption.getOrElse(Refs.snapshotFor(store, rest(0)))
+        val id = Refs.rollback(store, target)
+        println(s"rolled back to $target as new snapshot $id")
+      case "changes" =>
+        Changes.rowChanges(spark, store, rest(0).toLong, rest(1).toLong)
+          .groupBy("change_type").count().orderBy("change_type")
+          .collect()
+          .foreach(r => println(s"${r.getString(0)}: ${r.getLong(1)}"))
+      case "feed" =>
+        val p = graft.streaming.ChangeFeed.poll(spark, store, rest(0).toLong)
+        println(s"appends=${p.appendSnapshots.mkString(",")} " +
+          s"rows=${p.df.count()} nextCursor=${p.toInclusive}")
+      case "evolve" =>
+        val id = Evolve.addColumn(spark, store, rest(0), rest(1), rest(2))
+        println(s"snapshot $id: added ${rest(0)} ${rest(1)} default ${rest(2)}")
+      case "transcode" =>
+        val codec = rest.headOption.getOrElse(graft.audio.Pcm.Pcm16le)
+        val rate = rest.lift(1).map(_.toInt).getOrElse(16000)
+        val r = Transcode.run(spark, store, codec, rate,
+          runId = s"cli-transcode-${System.currentTimeMillis()}")
+        println(s"snapshot ${r.snapshotId}: transcoded ${r.clips} clips to $codec@$rate")
       case "verify" =>
         val rep = ScanEquality.report(ScanEquality.compareSnapshots(
           spark, store, rest(0).toLong, rest(1).toLong))
