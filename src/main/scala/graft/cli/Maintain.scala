@@ -29,6 +29,7 @@ import org.apache.spark.sql.SparkSession
  *     feed <sinceSnap>              poll appended rows since a cursor
  *     evolve <col> <type> <defaultSql>  add a column with initial default
  *     transcode [codec] [rateHz]    canonicalize payloads (default pcm16le 16000)
+ *     orphans [minAgeH]             delete unreachable data files (crashed writes)
  */
 object Maintain {
 
@@ -106,6 +107,12 @@ object Maintain {
       case "evolve" =>
         val id = Evolve.addColumn(spark, store, rest(0), rest(1), rest(2))
         println(s"snapshot $id: added ${rest(0)} ${rest(1)} default ${rest(2)}")
+      case "orphans" =>
+        val minAgeMs = rest.headOption.map(_.toLong * 3600 * 1000)
+          .getOrElse(3600L * 1000)
+        val r = RemoveOrphans.run(store, minAgeMs)
+        println(s"scanned ${r.scanned} files, deleted ${r.orphansDeleted} " +
+          s"orphans (${r.bytesFreed} bytes)")
       case "transcode" =>
         val codec = rest.headOption.getOrElse(graft.audio.Pcm.Pcm16le)
         val rate = rest.lift(1).map(_.toInt).getOrElse(16000)

@@ -8,6 +8,8 @@ import graft.table.MetaStore
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 /**
  * Tags + rollback: a tag pins its snapshot (and files) through maintenance
  * and expiry; rollback restores an earlier file list as a new snapshot;
@@ -59,6 +61,28 @@ class RefsSpec extends AnyFunSuite {
 
     intercept[RuntimeException] { Refs.snapshotFor(store, "nope") }
     intercept[IllegalArgumentException] { Refs.rollback(store, 9999L) }
+  }
+
+  test("orphan GC deletes only old unreachable files, never committed data") {
+    import graft.ops.RemoveOrphans
+    val dir = Files.createTempDirectory("graft-orphan-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 30, 2, maxDurMs = 100).toDF())
+    // simulate a crashed write: files landed, commit never happened
+    val crashed = store.newDataDir("crashed")
+    ClipSynth.dataset(spark, 10, 1, maxDurMs = 100).toDF()
+      .write.mode("overwrite").parquet(crashed)
+    val orphan = Files.list(java.nio.file.Paths.get(crashed)).iterator()
+      .asScala.find(_.toString.endsWith(".parquet")).get
+
+    // younger than the floor: untouched
+    val r1 = RemoveOrphans.run(store, minAgeMs = 3600L * 1000)
+    assert(r1.orphansDeleted == 0 && Files.exists(orphan))
+    // age floor lifted: orphan goes, committed table intact
+    val r2 = RemoveOrphans.run(store, minAgeMs = 0L)
+    assert(r2.orphansDeleted >= 1 && !Files.exists(orphan))
+    assert(r2.bytesFreed > 0)
+    assert(store.scanCurrent(spark).count() == 30)
   }
 
   test("age-based retention: fresh snapshots are not expirable") {
