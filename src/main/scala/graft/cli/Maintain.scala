@@ -30,6 +30,7 @@ import org.apache.spark.sql.SparkSession
  *     evolve <col> <type> <defaultSql>  add a column with initial default
  *     transcode [codec] [rateHz]    canonicalize payloads (default pcm16le 16000)
  *     orphans [minAgeH]             delete unreachable data files (crashed writes)
+ *     publish <snapId|tag> <dest>   export a snapshot as standalone parquet
  */
 object Maintain {
 
@@ -107,6 +108,11 @@ object Maintain {
       case "evolve" =>
         val id = Evolve.addColumn(spark, store, rest(0), rest(1), rest(2))
         println(s"snapshot $id: added ${rest(0)} ${rest(1)} default ${rest(2)}")
+      case "publish" =>
+        val target = rest(0).toLongOption.getOrElse(Refs.snapshotFor(store, rest(0)))
+        val r = Publish.run(store, target, rest(1))
+        println(s"published snapshot ${r.snapshotId}: ${r.files} files, " +
+          s"${r.rows} rows, ${r.bytes} bytes -> ${r.destDir}")
       case "orphans" =>
         val minAgeMs = rest.headOption.map(_.toLong * 3600 * 1000)
           .getOrElse(3600L * 1000)

@@ -101,6 +101,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding outlier scoring broadcasts the centroid table (q99)") {
+    val p = plan(SparkEntry.queries("q99_embedding_outliers")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast, not shuffle the corpus:\n$p")
+  }
+
   test("bucketed co-located join has no join-key exchange (q98)") {
     val df = SparkEntry.queries("q98_bucketed_join")(spark, sf)
     val p = plan(df)

@@ -85,6 +85,27 @@ class RefsSpec extends AnyFunSuite {
     assert(store.scanCurrent(spark).count() == 30)
   }
 
+  test("publish exports a tagged snapshot as standalone parquet") {
+    import graft.ops.Publish
+    val dir = Files.createTempDirectory("graft-pub-src-").toString
+    val dest = Files.createTempDirectory("graft-pub-dst-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 40, 3, maxDurMs = 100).toDF())
+    Refs.tag(store, "release-1")
+    // maintenance after the tag must not affect the published export
+    MergeInto.run(spark, store,
+      store.scanCurrent(spark).limit(1).withColumn("transcript", lit("x")),
+      runId = "pub-merge")
+    val r = Publish.runTag(store, "release-1", dest)
+    assert(r.rows == 40 && r.files == 3)
+    // consumer side: plain spark.read.parquet, no library involved
+    val out = spark.read.parquet(dest)
+    assert(out.count() == 40)
+    assert(out.filter(col("transcript") === "x").count() == 0,
+      "post-tag maintenance must not leak into the export")
+    assert(Files.exists(java.nio.file.Paths.get(dest, "_PUBLISHED.json")))
+  }
+
   test("age-based retention: fresh snapshots are not expirable") {
     val dir = Files.createTempDirectory("graft-age-").toString
     val store = MetaStore.forClips(dir)
