@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
  * [[graft.bench.ScalingBench]], which writes BENCH/BASELINE.md.
  */
 object Bench {
+  /** Per-JVM warehouse for bucketed-table queries, deleted on exit so
+   * repeated runs don't accumulate multi-MB orphan dirs in /tmp. */
+  private[graft] def tempWarehouse(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-warehouse-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+    d.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,8 +28,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+      .config("spark.sql.warehouse.dir", tempWarehouse())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // discard one aggregate pass: first-query wall otherwise measures

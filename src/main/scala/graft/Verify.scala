@@ -13,8 +13,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // bucketed-table queries (q98) saveAsTable here, NOT ./spark-warehouse
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+      .config("spark.sql.warehouse.dir", Bench.tempWarehouse())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -110,7 +110,7 @@ object Maintain {
         println(s"snapshot $id: added ${rest(0)} ${rest(1)} default ${rest(2)}")
       case "publish" =>
         val target = rest(0).toLongOption.getOrElse(Refs.snapshotFor(store, rest(0)))
-        val r = Publish.run(store, target, rest(1))
+        val r = Publish.run(store, target, rest(1), Some(spark))
         println(s"published snapshot ${r.snapshotId}: ${r.files} files, " +
           s"${r.rows} rows, ${r.bytes} bytes -> ${r.destDir}")
       case "orphans" =>

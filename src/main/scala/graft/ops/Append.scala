@@ -14,6 +14,10 @@ object Append {
    * @param constraints write-time quality gates ([[Constraints]]): checked
    *   in one aggregate pass over the batch BEFORE any file is written; a
    *   violation aborts with the per-constraint report and commits nothing.
+   *   The batch plan is executed twice (gate pass + write pass), so `df`
+   *   must be deterministic — the same contract Spark's own task retries
+   *   already impose on anything written; cache the batch first if its
+   *   source can change between passes.
    */
   def run(spark: SparkSession, store: MetaStore, df: DataFrame,
           summary: Map[String, String] = Map.empty,

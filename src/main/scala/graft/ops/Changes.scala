@@ -93,8 +93,15 @@ object Changes {
       if (fs.isEmpty) None else Some(Evolve.readFiles(spark, store, fs))
     (read(d.removed), read(d.added)) match {
       case (None, None) =>
-        store.scan(spark, toId).limit(0)
-          .select(col(keyCol), lit("").as("change_type")).limit(0)
+        // no churn at all — including the entry-less-snapshot case, where
+        // scan() has no schema to project keyCol from
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(keyCol,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("change_type",
+              org.apache.spark.sql.types.StringType))))
       case (oldOpt, newOpt) =>
         val schema = oldOpt.getOrElse(newOpt.get)
         val dataCols = schema.columns.filter(_ != keyCol).sorted

@@ -45,11 +45,25 @@ object Evolve {
   private def logPath(store: MetaStore) =
     Paths.get(store.tableDir, "meta", "evolutions.json")
 
+  /** mtime-guarded parse cache: every MetaStore.scan consults the log, and
+   * a maintenance pass issues MANY scans — re-parsing an O(files) JSON
+   * sidecar per scan is avoidable rework. Key = table dir; entry is
+   * invalidated whenever the file's (mtime, size) changes (the atomic
+   * rename in addColumn always bumps mtime). */
+  private val logCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Evolution])]()
+
   def evolutions(store: MetaStore): Seq[Evolution] = {
     val p = logPath(store)
-    if (!Files.exists(p)) Seq.empty
-    else Json.mapper.readValue[EvolutionLog](
+    if (!Files.exists(p)) return Seq.empty
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    val size = Files.size(p)
+    val cached = logCache.get(store.tableDir)
+    if (cached != null && cached._1 == mtime && cached._2 == size) return cached._3
+    val parsed = Json.mapper.readValue[EvolutionLog](
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).evolutions
+    logCache.put(store.tableDir, (mtime, size, parsed))
+    parsed
   }
 
   /**
@@ -70,10 +84,20 @@ object Evolve {
     val evo = Evolution(column, typeDdl, defaultSql, after.json,
       entries.map(_.path))
     val all = EvolutionLog((evolutions(store) :+ evo).toVector)
-    Files.write(logPath(store),
-      Json.mapper.writeValueAsString(all).getBytes(StandardCharsets.UTF_8))
-    store.commit("evolve", entries, Map(
+    // commit FIRST, then publish the log atomically (temp + rename, like
+    // CURRENT): a crash between the two leaves a harmless no-op "evolve"
+    // snapshot, never a log that retro-actively rewrites pinned reads, and
+    // never a torn evolutions.json that would fail every subsequent scan
+    val id = store.commit("evolve", entries, Map(
       "column" -> column, "type" -> typeDdl, "default" -> defaultSql))
+    val tmp = logPath(store).resolveSibling(
+      s"evolutions.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp,
+      Json.mapper.writeValueAsString(all).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, logPath(store),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    id
   }
 
   /**

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import graft.table.{Json, MetaStore}
 
+import scala.jdk.CollectionConverters._
+
 final case class PublishResult(
     snapshotId: Long,
     files: Int,
@@ -27,27 +29,52 @@ final case class PublishResult(
  */
 object Publish {
 
-  def run(store: MetaStore, snapshotId: Long, destDir: String): PublishResult = {
+  /**
+   * @param spark needed only when the snapshot spans schema-evolution eras
+   *   (`Evolve`): mixed-era file lists are MATERIALIZED through the
+   *   evolution-aware read (defaults filled, one uniform schema) instead of
+   *   raw-copied — a raw copy would export mixed parquet schemas where
+   *   pre-evolution rows lose their defaults. Homogeneous snapshots take
+   *   the zero-compute file-copy fast path.
+   */
+  def run(store: MetaStore, snapshotId: Long, destDir: String,
+          spark: Option[org.apache.spark.sql.SparkSession] = None): PublishResult = {
     val entries = store.entries(snapshotId)
     val dest = Paths.get(destDir)
     Files.createDirectories(dest)
-    entries.zipWithIndex.foreach { case (e, i) =>
-      Files.copy(Paths.get(e.path),
-        dest.resolve(f"part-$i%05d.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    val rows = entries.map(_.rows).sum
-    val bytes = entries.map(_.sizeBytes).sum
+    val evoPaths = Evolve.evolutions(store).map(_.paths.toSet)
+    val mixedEra = entries.exists(e => evoPaths.exists(_.contains(e.path)))
+    val (files, rows, bytes) =
+      if (!mixedEra) {
+        entries.zipWithIndex.foreach { case (e, i) =>
+          Files.copy(Paths.get(e.path),
+            dest.resolve(f"part-$i%05d.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        (entries.size, entries.map(_.rows).sum, entries.map(_.sizeBytes).sum)
+      } else {
+        val s = spark.getOrElse(sys.error(
+          "publish: snapshot spans schema-evolution eras; pass a SparkSession " +
+            "so the export can materialize the declared schema (or compact first)"))
+        val df = Evolve.readFiles(s, store, entries)
+        df.write.mode("overwrite").parquet(dest.toString)
+        val written = Files.list(dest)
+        val ps = try written.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+        finally written.close()
+        (ps.size, entries.map(_.rows).sum, ps.map(Files.size).sum)
+      }
     Files.write(dest.resolve("_PUBLISHED.json"),
       Json.mapper.writeValueAsString(Map(
         "sourceTable" -> store.tableDir,
         "snapshotId" -> snapshotId.toString,
-        "files" -> entries.size.toString,
+        "files" -> files.toString,
         "rows" -> rows.toString,
         "bytes" -> bytes.toString)).getBytes(StandardCharsets.UTF_8))
-    PublishResult(snapshotId, entries.size, rows, bytes, destDir)
+    PublishResult(snapshotId, files, rows, bytes, destDir)
   }
 
-  def runTag(store: MetaStore, tag: String, destDir: String): PublishResult =
-    run(store, Refs.snapshotFor(store, tag), destDir)
+  def runTag(store: MetaStore, tag: String, destDir: String,
+             spark: Option[org.apache.spark.sql.SparkSession] = None): PublishResult =
+    run(store, Refs.snapshotFor(store, tag), destDir, spark)
 }

@@ -53,7 +53,12 @@ object Refs {
   def snapshotFor(store: MetaStore, name: String): Long =
     tags(store).getOrElse(name, sys.error(s"no tag named $name"))
 
-  /** Read the table as of a tag — snapshot isolation by name. */
+  /** Read the table as of a tag — snapshot isolation by name. ROWS are
+   * frozen; the SCHEMA follows the table's latest declared schema: a later
+   * `Evolve.addColumn` makes tagged reads grow the new column filled with
+   * its default (same latest-schema-wins rule Delta applies to time
+   * travel). Consumers needing byte-stable exports should [[Publish]] the
+   * tag instead of re-reading it. */
   def scanTag(spark: SparkSession, store: MetaStore, name: String): DataFrame =
     store.scan(spark, snapshotFor(store, name))
 

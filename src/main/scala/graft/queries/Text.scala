@@ -173,8 +173,13 @@ object Text {
         .select(col("doc_id"), col("n").as("n_tokens"),
           round(lit(1.0) - size(array_distinct(col("ts"))).cast("double") /
             greatest(col("n"), lit(1)), 4).as("dup_word_frac"),
-          round(lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
-            greatest(size(col("grams")), lit(1)), 4).as("dup_3gram_frac"))
+          // a doc too short to HAVE 3-grams is not repetitive — guard the
+          // empty-gram case to 0.0 (1 - 0/1 would flag every short doc)
+          when(size(col("grams")) === 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(col("grams"))).cast("double") /
+                greatest(size(col("grams")), lit(1)), 4))
+            .as("dup_3gram_frac"))
         .withColumn("flagged",
           col("dup_word_frac") > 0.7 || col("dup_3gram_frac") > 0.2)),
 
@@ -305,17 +310,18 @@ object Text {
         |  SELECT doc_id, ts, n,
         |    list_transform(range(1, greatest(n - 2, 0) + 1), i ->
         |      concat_ws(' ', ts[i], ts[i + 1], ts[i + 2])) AS grams
-        |  FROM t)
-        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
-        |  round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) /
-        |    greatest(n, 1), 4) AS dup_word_frac,
-        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
-        |    greatest(len(grams), 1), 4) AS dup_3gram_frac,
-        |  (round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) /
-        |     greatest(n, 1), 4) > 0.7
-        |   OR round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
-        |     greatest(len(grams), 1), 4) > 0.2) AS flagged
-        |FROM g""".stripMargin,
+        |  FROM t),
+        |fr AS (
+        |  SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |    round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) /
+        |      greatest(n, 1), 4) AS dup_word_frac,
+        |    CASE WHEN len(grams) = 0 THEN 0.0
+        |         ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+        |           greatest(len(grams), 1), 4) END AS dup_3gram_frac
+        |  FROM g)
+        |SELECT doc_id, n_tokens, dup_word_frac, dup_3gram_frac,
+        |  (dup_word_frac > 0.7 OR dup_3gram_frac > 0.2) AS flagged
+        |FROM fr""".stripMargin,
     "q96_split_assign" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'

@@ -31,10 +31,22 @@ object ChangeFeed {
   }
 
   /** Rows appended since `sinceSnapshot` (exclusive), up to the current
-   * snapshot. `sinceSnapshot = -1` replays the table from its beginning. */
+   * snapshot. `sinceSnapshot = -1` replays the table from its beginning
+   * (what retention still holds). Snapshot ids are contiguous by
+   * construction (MetaStore.commit allocates last+1), so a MISSING id in
+   * the cursor range proves expiry already dropped a snapshot the consumer
+   * never saw — that is a hard error, not silent data loss. */
   def poll(spark: SparkSession, store: MetaStore, sinceSnapshot: Long): Poll = {
     val cur = store.currentSnapshotId.getOrElse(
       return Poll(spark.emptyDataFrame, sinceSnapshot, sinceSnapshot, Seq.empty))
+    val ids = store.allSnapshotIds.toSet
+    if (sinceSnapshot >= 0) {
+      val missing = (sinceSnapshot + 1 to cur).filterNot(ids.contains)
+      require(missing.isEmpty,
+        s"change-feed cursor $sinceSnapshot is behind the retention window: " +
+          s"snapshots ${missing.mkString(",")} were expired before this " +
+          "consumer read them (raise expire minAgeMs/keepLast or pin a tag)")
+    }
     val appendIds = store.allSnapshotIds
       .filter(id => id > sinceSnapshot && id <= cur)
       .filter(id => store.snapshot(id).operation == "append")

@@ -92,7 +92,7 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * `scan(...).filter(Pred.and(preds))` by construction. */
   def scanPruned(spark: SparkSession, snapshotId: Long,
                  preds: Seq[Pred]): PrunedScan =
-    Pruning.scan(spark, entries(snapshotId), preds)
+    Pruning.scan(spark, this, entries(snapshotId), preds)
 
   def scanCurrentPruned(spark: SparkSession, preds: Seq[Pred]): PrunedScan =
     scanPruned(spark,

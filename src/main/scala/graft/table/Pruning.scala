@@ -135,16 +135,22 @@ object Pruning {
    * identical semantics to `scan + filter` regardless of stats quality.
    * When everything is pruned, the schema is preserved by scanning one
    * file under a constant-false filter (footer-only read; Catalyst folds
-   * it to an empty relation).
+   * it to an empty relation). Reads go through the evolution-aware path
+   * (`readFiles`) so a predicate on an evolved column sees the filled
+   * defaults, exactly as `scan + filter` would. (Pre-evolution files have
+   * no stats for the evolved column, so `mayMatch` keeps them — pruning
+   * stays conservative across eras.)
    */
-  def scan(spark: SparkSession, entries: Seq[DataFile],
+  def scan(spark: SparkSession, store: MetaStore, entries: Seq[DataFile],
            preds: Seq[Pred]): PrunedScan = {
     val kept = keep(entries, preds)
+    val readFiles = (fs: Seq[DataFile]) =>
+      graft.ops.Evolve.readFiles(spark, store, fs)
     val base =
       if (entries.isEmpty) spark.emptyDataFrame
       else if (kept.isEmpty)
-        spark.read.parquet(entries.head.path).filter(lit(false))
-      else spark.read.parquet(kept.map(_.path): _*)
+        readFiles(Seq(entries.head)).filter(lit(false))
+      else readFiles(kept)
     PrunedScan(
       base.filter(Pred.and(preds)),
       kept.size, entries.size,

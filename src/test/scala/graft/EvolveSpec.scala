@@ -70,6 +70,33 @@ class EvolveSpec extends AnyFunSuite {
     }
   }
 
+  test("pruned scan and publish stay era-correct across an evolution") {
+    import graft.ops.Publish
+    import graft.table.Pred
+    val dir = Files.createTempDirectory("graft-evolve-ps-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 80, 4, maxDurMs = 120).toDF())
+    Evolve.addColumn(spark, store, "quality_score", "double", "0.75")
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 20, 2, maxDurMs = 120).toDF()
+        .withColumn("clip_id", concat(lit("v2_"), col("clip_id")))
+        .withColumn("quality_score", lit(0.25)))
+
+    // pruned scan must see filled defaults, same as scan+filter
+    val ps = store.scanCurrentPruned(spark, Seq(Pred.GtEq("quality_score", 0.5)))
+    assert(ps.df.count() == 80, "era defaults visible through the pruned path")
+
+    // mixed-era publish: file copy would export mixed schemas -> must
+    // materialize (and must refuse without a session)
+    val dest = Files.createTempDirectory("graft-evolve-pub-").toString
+    intercept[RuntimeException] { Publish.run(store, store.currentSnapshotId.get, dest) }
+    Publish.run(store, store.currentSnapshotId.get, dest, Some(spark))
+    val out = spark.read.parquet(dest)
+    assert(out.count() == 100)
+    assert(out.filter(col("quality_score") === 0.75).count() == 80,
+      "published export materializes the evolved default")
+  }
+
   test("CDC across an evolution + compaction stays empty (era-normalized reads)") {
     val dir = Files.createTempDirectory("graft-evolve-cdc-").toString
     val store = MetaStore.forClips(dir)

@@ -183,5 +183,14 @@ class StreamingSpec extends AnyFunSuite {
 
     // full replay from the beginning sees every append once
     assert(ChangeFeed.poll(spark, store, -1L).df.count() === 120)
+
+    // a cursor that fell behind the retention window must ERROR, not
+    // silently skip the expired batch
+    Append.run(spark, store, batch("b4_", 10))
+    Append.run(spark, store, batch("b5_", 10))
+    graft.ops.ExpireSnapshots.run(store, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      ChangeFeed.poll(spark, store, cursor)
+    }
   }
 }
