@@ -88,6 +88,36 @@ object ClipStream {
       "e_user = c_user AND cts BETWEEN ets - INTERVAL 5 MINUTES AND ets"))
   }
 
+  final case class ClipFeatures(clip_id: String, codec: String, sr_hz: Int,
+                                n_samples: Int, peak: Int, rms_rounded: Long)
+
+  /**
+   * Streaming audio feature extraction — the streaming counterpart of
+   * q61: decode each arriving clip's payload and emit (samples, peak, RMS)
+   * as it lands. Stateless per-row work (a typed `map`), so the stream
+   * needs no watermark, no state store, and scales with source parallelism;
+   * the batch and streaming plans share this exact function, which the spec
+   * uses for batch-parity.
+   */
+  def clipFeatures(clips: Dataset[graft.synth.Clip]): Dataset[ClipFeatures] = {
+    import clips.sparkSession.implicits._
+    clips.map { c =>
+      val pcm = graft.audio.Pcm.decode(c.codec, c.bytes)
+      var peak = 0
+      var sumSq = 0.0
+      var i = 0
+      while (i < pcm.length) {
+        val v = math.abs(pcm(i).toInt)
+        if (v > peak) peak = v
+        sumSq += pcm(i).toDouble * pcm(i)
+        i += 1
+      }
+      val rms = if (pcm.length == 0) 0.0 else math.sqrt(sumSq / pcm.length)
+      ClipFeatures(c.clip_id, c.codec, c.sr_hz, pcm.length, peak,
+        math.round(rms))
+    }
+  }
+
   /** Wire a parquet-dir file source through `windowedCounts` into an
    * in-memory table named `queryName`; returns after all available data is
    * processed (synchronous smoke path). */

@@ -146,6 +146,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.scanCurrent(spark).count() === 150)
   }
 
+  test("streaming audio feature extraction matches the batch map exactly") {
+    import graft.synth.{Clip, ClipSynth}
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-feat-src-").toString
+    val clips = ClipSynth.dataset(spark, 120, 4, maxDurMs = 150)
+    clips.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(clips.schema)
+      .parquet(srcDir)
+      .as[Clip]
+    val q = ClipStream.clipFeatures(stream).writeStream
+      .outputMode("append").format("memory").queryName("feat_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("feat_stream")
+      .orderBy("clip_id").collect()
+    val batch = ClipStream.clipFeatures(clips)
+      .toDF().orderBy("clip_id").collect()
+    assert(streamed.length === 120)
+    assert(streamed.sameElements(batch), "stream and batch rows must be identical")
+    // decoded features are real: every tone clip has signal
+    assert(batch.forall(_.getAs[Long]("rms_rounded") > 1000))
+  }
+
   test("change feed follows appends exactly once; rewrites are invisible") {
     import graft.ops.{Append, Compact}
     import graft.streaming.ChangeFeed
