@@ -46,14 +46,17 @@ object OneHot {
   /**
    * Append `<column>_<value>` 0/1 indicator columns for each surviving
    * category. Indicators are plain `when` expressions — codegen'd, map-only,
-   * no shuffle beyond the one distinct scan at plan time.
+   * no shuffle beyond the one distinct scan at plan time. All indicators are
+   * emitted in ONE `select`: a per-category `withColumn` fold would nest one
+   * Project per category, making analysis time quadratic in cardinality
+   * (1000 categories = a 1000-deep plan).
    */
   def encode(df: DataFrame, column: String, drop: Drop = DropNone,
              maxCategories: Int = 1000): DataFrame = {
     val cats = categories(df, column, drop, maxCategories)
-    cats.foldLeft(df) { (acc, v) =>
-      acc.withColumn(s"${column}_${sanitize(v)}",
-        when(col(column).cast("string") === v, 1).otherwise(0))
-    }
+    val indicators = cats.map(v =>
+      when(col(column).cast("string") === v, 1).otherwise(0)
+        .as(s"${column}_${sanitize(v)}"))
+    df.select(col("*") +: indicators: _*)
   }
 }

@@ -105,7 +105,13 @@ object Changes {
       case (oldOpt, newOpt) =>
         val schema = oldOpt.getOrElse(newOpt.get)
         val dataCols = schema.columns.filter(_ != keyCol).sorted
-        val fp = xxhash64(dataCols.map(col): _*)
+        // null-safe fingerprint: Spark's hash functions SKIP null inputs
+        // (seed passes through unchanged), so (a=v, b=NULL) and (a=NULL, b=v)
+        // would collide and a genuine update classify as 'rewritten'. An
+        // always-non-null isnull marker per column keeps the hash sequence
+        // distinct wherever the null pattern differs.
+        val fp = xxhash64(dataCols.flatMap(c =>
+          Seq(isnull(col(c)).cast("int"), col(c))): _*)
         def side(dfo: Option[DataFrame], tag: String) =
           dfo.getOrElse(schema.limit(0))
             .select(col(keyCol), fp.as(s"_fp_$tag"))

@@ -183,9 +183,21 @@ object Cluster {
         val filesPerBatch = math.max(1, nFiles / batches)
         (0 until batches).flatMap { b =>
           val item = s"batch-$b"
-          store.itemResult(runId, item) match {
-            case Some(saved) if store.isDone(runId, item) =>
-              graft.table.Json.mapper.readValue[Seq[graft.table.DataFile]](saved)
+          // trust a completed batch's saved manifest ONLY if its files are
+          // still on disk: batch outputs are unreachable from any snapshot
+          // until the final commit, so a RemoveOrphans run between
+          // interruption and resume may have GC'd them (its checkpoint-root
+          // protection can itself have been bypassed by an aggressive
+          // minAgeMs) — committing the stale entries would corrupt the
+          // snapshot. Vanished batches simply re-run.
+          val intact = store.itemResult(runId, item)
+            .filter(_ => store.isDone(runId, item))
+            .map(s => graft.table.Json.mapper
+              .readValue[Seq[graft.table.DataFile]](s))
+            .filter(_.forall(e =>
+              java.nio.file.Files.exists(java.nio.file.Paths.get(e.path))))
+          intact match {
+            case Some(saved) => saved
             case _ =>
               val lo = if (b == 0) None else Some(bounds(b - 1))
               val hi = if (b == batches - 1) None else Some(bounds(b))

@@ -81,8 +81,14 @@ object Evolve {
       org.apache.spark.sql.types.StructField(
         column, org.apache.spark.sql.types.DataType.fromDDL(typeDdl),
         nullable = true))
-    val evo = Evolution(column, typeDdl, defaultSql, after.json,
-      entries.map(_.path))
+    // pre-evolution paths = files reachable from ANY live snapshot, not just
+    // CURRENT: a pinned tag or rollback target may reference files already
+    // rewritten away from the head — those files also predate the column, and
+    // omitting them would make Refs.scanTag read NULL instead of the default
+    // after this evolution (latest-schema-wins contract)
+    val prePaths = store.allSnapshotIds.flatMap(store.entries)
+      .map(_.path).distinct.toVector
+    val evo = Evolution(column, typeDdl, defaultSql, after.json, prePaths)
     val all = EvolutionLog((evolutions(store) :+ evo).toVector)
     // commit FIRST, then publish the log atomically (temp + rename, like
     // CURRENT): a crash between the two leaves a harmless no-op "evolve"

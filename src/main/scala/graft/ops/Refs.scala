@@ -32,10 +32,20 @@ object Refs {
       .tags.map { case (k, v) => k -> v.toLong }
   }
 
-  private def write(store: MetaStore, t: Map[String, Long]): Unit =
-    Files.write(refsPath(store),
+  /** Temp + atomic rename (the CURRENT / evolutions.json pattern): a torn
+   * refs.json would make [[tags]] throw, which blocks ExpireSnapshots (tags
+   * are GC roots) and every tag/rollback/publish-by-tag until repaired. */
+  private def write(store: MetaStore, t: Map[String, Long]): Unit = {
+    val p = refsPath(store)
+    val tmp = p.resolveSibling(
+      s"refs.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp,
       Json.mapper.writeValueAsString(RefsFile(t.map { case (k, v) => k -> v.toString }))
         .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Tag `snapshotId` (default: current) as `name`; overwrites an existing
    * tag of the same name. */

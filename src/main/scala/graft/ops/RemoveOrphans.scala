@@ -19,11 +19,36 @@ final case class OrphanResult(scanned: Int, orphansDeleted: Int, bytesFreed: Lon
  */
 object RemoveOrphans {
 
+  /** Data-file paths recorded in checkpoint result payloads — outputs of an
+   * IN-PROGRESS (interrupted, resumable) maintenance run that no snapshot
+   * references yet. They must be GC roots: deleting them would make the
+   * run's resume path commit entries pointing at vanished files. Payloads
+   * that are not DataFile JSON (e.g. persisted range bounds) parse-fail and
+   * contribute nothing. */
+  private def checkpointRoots(store: MetaStore): Set[String] = {
+    val cpDir = Paths.get(store.tableDir, "meta", "checkpoints")
+    if (!Files.exists(cpDir)) return Set.empty
+    val stream = Files.walk(cpDir)
+    try stream.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("result-"))
+      .flatMap { p =>
+        try graft.table.Json.mapper
+          .readValue[Seq[graft.table.DataFile]](
+            new String(Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8))
+          .map(e => store.normalizePath(e.path))
+        catch { case _: Exception => Seq.empty[String] }
+      }.toSet
+    finally stream.close()
+  }
+
   /** @param minAgeMs only files older than this are deletable (default 1 h);
    *    must exceed the longest plausible write-to-commit window. */
   def run(store: MetaStore, minAgeMs: Long = 3600L * 1000): OrphanResult = {
     val reachable: Set[String] =
-      store.allSnapshotIds.flatMap(store.entries).map(_.path).toSet
+      store.allSnapshotIds.flatMap(store.entries).map(_.path).toSet ++
+        checkpointRoots(store)
     val dataDir = Paths.get(store.tableDir, "data")
     val cutoff = System.currentTimeMillis() - minAgeMs
     var scanned = 0

@@ -35,33 +35,46 @@ object ChangeFeed {
    * (what retention still holds). Snapshot ids are contiguous by
    * construction (MetaStore.commit allocates last+1), so a MISSING id in
    * the cursor range proves expiry already dropped a snapshot the consumer
-   * never saw — that is a hard error, not silent data loss. */
+   * never saw — that is a hard error, not silent data loss. The cursor
+   * itself and every in-range append's PARENT must also still be live:
+   * each append's delta diffs against its parent's manifest, so an expired
+   * parent would crash mid-read after the range check passed. */
   def poll(spark: SparkSession, store: MetaStore, sinceSnapshot: Long): Poll = {
     val cur = store.currentSnapshotId.getOrElse(
       return Poll(spark.emptyDataFrame, sinceSnapshot, sinceSnapshot, Seq.empty))
     val ids = store.allSnapshotIds.toSet
+    def retentionError(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"change-feed cursor $sinceSnapshot is behind the retention window: " +
+          s"$what (raise expire minAgeMs/keepLast or pin a tag)")
     if (sinceSnapshot >= 0) {
       val missing = (sinceSnapshot + 1 to cur).filterNot(ids.contains)
-      require(missing.isEmpty,
-        s"change-feed cursor $sinceSnapshot is behind the retention window: " +
-          s"snapshots ${missing.mkString(",")} were expired before this " +
-          "consumer read them (raise expire minAgeMs/keepLast or pin a tag)")
+      if (missing.nonEmpty) retentionError(
+        s"snapshots ${missing.mkString(",")} were expired before this consumer read them")
+      if (!ids.contains(sinceSnapshot)) retentionError(
+        s"the cursor snapshot $sinceSnapshot itself was expired")
     }
-    val appendIds = store.allSnapshotIds
+    val appendSnaps = store.allSnapshotIds
       .filter(id => id > sinceSnapshot && id <= cur)
-      .filter(id => store.snapshot(id).operation == "append")
-    val parts = appendIds.flatMap { id =>
-      val parent = store.snapshot(id).parentId
-      val added =
-        if (parent == -1L) store.entries(id)
-        else Changes.fileDiff(store, parent, id).added
-      if (added.isEmpty) None else Some(Evolve.readFiles(spark, store, added))
+      .map(store.snapshot)
+      .filter(_.operation == "append")
+    appendSnaps.foreach { s =>
+      if (s.parentId >= 0 && !ids.contains(s.parentId)) retentionError(
+        s"append snapshot ${s.id} diffs against expired parent ${s.parentId}")
+    }
+    // collect every append's own added-file list FIRST, then issue ONE
+    // evolution-aware read over the concatenation: readFiles groups by era
+    // internally, so a consumer catching up over thousands of appends gets
+    // O(eras) scan nodes instead of a thousand-way unionByName plan
+    val added = appendSnaps.flatMap { s =>
+      if (s.parentId == -1L) store.entries(s.id)
+      else Changes.fileDiff(store, s.parentId, s.id).added
     }
     val df =
-      if (parts.isEmpty) {
-        if (appendIds.isEmpty) spark.emptyDataFrame
+      if (added.isEmpty) {
+        if (appendSnaps.isEmpty) spark.emptyDataFrame
         else store.scan(spark, cur).limit(0)
-      } else parts.reduce(_.unionByName(_))
-    Poll(df, sinceSnapshot, cur, appendIds)
+      } else Evolve.readFiles(spark, store, added)
+    Poll(df, sinceSnapshot, cur, appendSnaps.map(_.id))
   }
 }

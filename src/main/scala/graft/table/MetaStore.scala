@@ -162,8 +162,19 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
 
   /**
    * Atomically commit a new snapshot holding exactly `entries`.
-   * Returns the new snapshot id. Fails if another writer moved CURRENT
-   * since `expectedParent` (single-writer check-and-set).
+   * Returns the new snapshot id.
+   *
+   * Cross-PROCESS safe, not just JVM-local: the snapshot id is claimed by an
+   * O_EXCL (`CREATE_NEW`) create of `snap-<id>.json` — of two writers racing
+   * the same id, the filesystem admits exactly one; the loser gets
+   * [[ConcurrentCommitException]] and may re-read + retry. After winning the
+   * id, a check-and-set on CURRENT (re-read, compare to the parent captured
+   * at entry, then atomic rename) rejects a commit whose base moved while it
+   * was writing, deleting the claimed snap file so no garbage id pollutes
+   * the log. Residual window: 3+ uncoordinated committers interleaving
+   * between a winner's CAS read and its rename can still regress CURRENT —
+   * the same caveat Iceberg documents for lock-free Hadoop catalogs; a real
+   * deployment fronts commits with a catalog/lock service.
    */
   def commit(operation: String, entries: Seq[DataFile],
              summary: Map[String, String] = Map.empty): Long = synchronized {
@@ -182,13 +193,30 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
       summary ++ Map("files" -> entries.size.toString,
                      "rows" -> entries.map(_.rows).sum.toString,
                      "bytes" -> entries.map(_.sizeBytes).sum.toString))
-    Files.write(metaDir.resolve(s"snap-$id.json"),
-      Json.write(snap).getBytes(StandardCharsets.UTF_8))
+    val snapPath = metaDir.resolve(s"snap-$id.json")
+    def dropClaim(): Unit = {
+      Files.deleteIfExists(snapPath)
+      manifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+    }
+    try
+      Files.write(snapPath, Json.write(snap).getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        manifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+        throw new ConcurrentCommitException(
+          s"snapshot id $id was claimed by another writer (parent $parent)")
+    }
     val tmp = metaDir.resolve(s"CURRENT.tmp-${UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-    // check-and-set under the store lock
+    // check-and-set: re-read CURRENT after winning the id claim
     val nowParent = currentSnapshotId.getOrElse(-1L)
-    require(nowParent == parent, s"concurrent commit detected: $nowParent != $parent")
+    if (nowParent != parent) {
+      dropClaim()
+      Files.deleteIfExists(tmp)
+      throw new ConcurrentCommitException(
+        s"CURRENT moved $parent -> $nowParent during commit of snapshot $id")
+    }
     Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     id
@@ -233,6 +261,11 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     else None
   }
 }
+
+/** Thrown when two writers race a commit; the loser's snapshot id claim or
+ * CURRENT check-and-set failed and nothing was published. Safe to retry
+ * after re-reading the table state. */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
 object MetaStore {
   /** Stats columns for the canonical clip table. */
