@@ -11,9 +11,16 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
   /** Per-JVM warehouse for bucketed-table queries, deleted on exit so
-   * repeated runs don't accumulate multi-MB orphan dirs in /tmp. */
+   * repeated runs don't accumulate multi-MB orphan dirs. Prefers tmpfs for
+   * the same reason as the e2e query stores (queries/Audio.scala e2eDir):
+   * q98's two bucketBy layout writes measure the engine, not this host's
+   * collapsing small-write path. */
   private[graft] def tempWarehouse(): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-warehouse-")
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val d = java.nio.file.Files.createTempDirectory(root, "graft-warehouse-")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
     d.toString
@@ -29,12 +36,26 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", tempWarehouse())
+      // this host collapses under many concurrent SMALL writes (measured in
+      // bench/ScalingBench.scala:60-88); 1 MB buffers + sort-based shuffle
+      // writer keep the e2e maintenance queries measuring the engine, not
+      // the kernel's write path
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+      .config("spark.hadoop.io.file.buffer.size", "1048576")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // discard one aggregate pass: first-query wall otherwise measures
     // per-session codegen + JIT warm-up, not the query (4-6x, measured)
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // ... and one MINIATURE maintenance pass (entry = q63 at sf0.001, 300
+    // clips): the append/compact/cluster/verify machinery has its own
+    // codegen+JIT surface that the aggregate above does not touch — without
+    // this, the first e2e query billed ~15 s of one-time warm-up as query
+    // time (E2eProbe: rep1 21.6 s vs steady-state 3-6 s at identical input)
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // dev aid: SPARK_GRAFT_ONLY=q77,q48 times a subset; driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a failing query must surface as an ERROR entry, not a fast wall time:

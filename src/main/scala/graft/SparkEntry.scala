@@ -26,10 +26,15 @@ object SparkEntry {
       graft.queries.Audio.queries ++
       graft.queries.Extra.queries
 
+  /** Static oracles plus the run-time registry: fixture-backed queries
+   * (decoded-PCM audio, maintenance stores) register their oracle SQL WHILE
+   * running, embedding the absolute fixture paths only known then — so this
+   * must be read AFTER the queries have executed (graft.Verify does). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.Vector.oracles ++
       graft.queries.Audio.oracles ++
-      graft.queries.Extra.oracles
+      graft.queries.Extra.oracles ++
+      graft.queries.OracleFixtures.oracles
 }

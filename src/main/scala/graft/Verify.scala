@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // bucketed-table queries (q98) saveAsTable here, NOT ./spark-warehouse
       .config("spark.sql.warehouse.dir", Bench.tempWarehouse())
+      // same small-write mitigation as Bench (see ScalingBench.scala:60-88)
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+      .config("spark.hadoop.io.file.buffer.size", "1048576")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

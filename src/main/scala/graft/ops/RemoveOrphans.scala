@@ -6,7 +6,8 @@ import graft.table.MetaStore
 
 import scala.jdk.CollectionConverters._
 
-final case class OrphanResult(scanned: Int, orphansDeleted: Int, bytesFreed: Long)
+final case class OrphanResult(scanned: Int, orphansDeleted: Int, bytesFreed: Long,
+                              commitDebrisDeleted: Int = 0)
 
 /**
  * Orphan-file GC: a writer that crashes AFTER writing data files but BEFORE
@@ -69,6 +70,27 @@ object RemoveOrphans {
         }
       }
     } finally stream.close()
-    OrphanResult(scanned, deleted, freed)
+    OrphanResult(scanned, deleted, freed, removeCommitDebris(store, cutoff))
+  }
+
+  /** A commit that crashed between its snap-file claim and the CURRENT
+   * rename leaves `snap-<k>.json` with k > CURRENT — unreachable, and
+   * blocking the next writer's claim of that id (MetaStore.commit allocates
+   * CURRENT + 1). Deletes such debris (and its manifests) behind the same
+   * age floor that protects in-flight commits. */
+  private def removeCommitDebris(store: MetaStore, cutoffMs: Long): Int = {
+    val cur = store.currentSnapshotId.getOrElse(return 0)
+    var removed = 0
+    store.allSnapshotIds.filter(_ > cur).foreach { id =>
+      val p = Paths.get(store.tableDir, "meta", s"snap-$id.json")
+      if (Files.exists(p) && Files.getLastModifiedTime(p).toMillis < cutoffMs) {
+        val manifests = store.snapshot(id).manifests
+        Files.delete(p)
+        manifests.foreach(m =>
+          Files.deleteIfExists(Paths.get(store.tableDir, "meta", m)))
+        removed += 1
+      }
+    }
+    removed
   }
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+/**
+ * Run-time oracle registry for queries whose DuckDB oracle must reference a
+ * FIXTURE the query itself exports (decoded PCM samples, a maintenance
+ * store's data files): the oracle SQL embeds absolute fixture paths that are
+ * only known when the query runs, so `SparkEntry.oracleSql` merges this
+ * registry AFTER `graft.Verify` has executed every query.
+ *
+ * This is how the audio/maintenance queries get real DuckDB oracles despite
+ * operating on synthesized or store-internal data: the query persists its
+ * INPUT (or the store's raw data files) to a deterministic location, and the
+ * oracle recomputes the query's arithmetic — resampling, RMS, zero
+ * crossings, frame grids, era defaults, CDC classification — from that raw
+ * input in SQL, independently of the JVM implementation.
+ *
+ * Fixture dirs are deterministic per (query, sf) and OUTSIDE the Verify
+ * output dir (the driver globs outDir subdirectories as query outputs), and
+ * they persist past the Verify JVM because DuckDB reads them afterwards.
+ * tmpfs is preferred for the same write-path reason as the bench stores.
+ */
+object OracleFixtures {
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def register(name: String, sql: String): Unit = {
+    registry.put(name, sql)
+    ()
+  }
+
+  def oracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.toMap
+  }
+
+  private def root: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  /** Deterministic fixture dir for (query, sf); created if absent. */
+  def dir(qname: String, sfDir: String): String = {
+    val tag = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val d = root.resolve("graft-oracle-fixtures").resolve(tag).resolve(qname)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
+  /** [[dir]], cleared first — for MetaStore roots that must start empty. */
+  def freshDir(qname: String, sfDir: String): String = {
+    val d = dir(qname, sfDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    d
+  }
+
+  /** DuckDB literal for a list of parquet paths. */
+  def pathList(paths: Seq[String]): String =
+    paths.map(p => s"'$p'").mkString("[", ", ", "]")
+}

@@ -164,22 +164,27 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * Atomically commit a new snapshot holding exactly `entries`.
    * Returns the new snapshot id.
    *
-   * Cross-PROCESS safe, not just JVM-local: the snapshot id is claimed by an
-   * O_EXCL (`CREATE_NEW`) create of `snap-<id>.json` — of two writers racing
-   * the same id, the filesystem admits exactly one; the loser gets
-   * [[ConcurrentCommitException]] and may re-read + retry. After winning the
-   * id, a check-and-set on CURRENT (re-read, compare to the parent captured
-   * at entry, then atomic rename) rejects a commit whose base moved while it
-   * was writing, deleting the claimed snap file so no garbage id pollutes
-   * the log. Residual window: 3+ uncoordinated committers interleaving
-   * between a winner's CAS read and its rename can still regress CURRENT —
-   * the same caveat Iceberg documents for lock-free Hadoop catalogs; a real
-   * deployment fronts commits with a catalog/lock service.
+   * Cross-PROCESS safe, not just JVM-local. The id is always `parent + 1`
+   * (parent = CURRENT at entry), claimed by an O_EXCL (`CREATE_NEW`) create
+   * of `snap-<id>.json` — so the id claim IS the check-and-set: CURRENT can
+   * only ever advance to `CURRENT + 1`, and of N writers racing from the
+   * same base the filesystem admits exactly one; every loser (including one
+   * holding an arbitrarily stale base, whose `parent + 1` file already
+   * exists) gets [[ConcurrentCommitException]] and may re-read + retry.
+   * Snapshot ids therefore stay CONTIGUOUS with `parentId == id - 1` by
+   * construction — the invariant [[graft.streaming.ChangeFeed]]'s
+   * retention-gap detection relies on. One corner needs the post-claim
+   * re-check of CURRENT: a claim of an id that expiry deleted earlier (a
+   * writer stale by more than the retention window) wins CREATE_NEW against
+   * a ghost — the CAS sees CURRENT ≠ parent, deletes the claim, and throws.
+   * A commit that crashes between claim and CURRENT rename leaves a
+   * snap-file > CURRENT that would block the next writer's claim;
+   * [[RemoveOrphans]] GCs such debris behind its age floor.
    */
   def commit(operation: String, entries: Seq[DataFile],
              summary: Map[String, String] = Map.empty): Long = synchronized {
     val parent = currentSnapshotId.getOrElse(-1L)
-    val id = allSnapshotIds.lastOption.getOrElse(0L) + 1L
+    val id = if (parent == -1L) 1L else parent + 1L
     val shards = if (entries.isEmpty) Seq(entries) else
       entries.grouped(manifestShardSize).toSeq
     val manifestNames = shards.map { shard =>

@@ -89,6 +89,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(centDiff === 0L)
   }
 
+  test("store-keyed index lives inside meta/, invalidates on commit, prunes old") {
+    val tableDir = Files.createTempDirectory("graft-ann-store-").toString
+    val store = new MetaStore(tableDir, Seq("vec_id", "label"))
+    Append.run(spark, store, synthEmbeddings.repartition(4))
+
+    val d1 = VecIndex.ensureForStore(spark, store)
+    assert(d1.startsWith(tableDir),
+      s"index must live inside the table dir, got $d1")
+    assert(VecIndex.buckets(spark, d1).count() === 200)
+    // unchanged snapshot: same dir, no rebuild
+    val marker = java.nio.file.Paths.get(d1, "_COMPLETE")
+    val m1 = Files.getLastModifiedTime(marker)
+    assert(VecIndex.ensureForStore(spark, store) === d1)
+    assert(Files.getLastModifiedTime(marker) == m1, "no rebuild without a commit")
+
+    // any commit invalidates: the new snapshot's index sees the new rows and
+    // the superseded snapshot's index is pruned
+    Append.run(spark, store, (200 until 250).map { i =>
+      (i.toLong, s"label_${i % 4}",
+        (0 until 8).map(j => (i + j).toFloat / 100f).toArray)
+    }.toDF("vec_id", "label", "embedding"))
+    val d2 = VecIndex.ensureForStore(spark, store)
+    assert(d2 !== d1)
+    assert(d2.startsWith(tableDir))
+    assert(VecIndex.buckets(spark, d2).count() === 250)
+    assert(!Files.exists(java.nio.file.Paths.get(d1)),
+      "superseded snapshot index must be pruned")
+  }
+
   test("ensure() rebuilds when the source parquet changes") {
     val src = Files.createTempDirectory("graft-ann-src-").toString
     synthEmbeddings.repartition(2).write.mode("overwrite").parquet(src)

@@ -76,6 +76,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("Components.starContract: 10k-node path labels in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for min-label propagation (diameter =
+    // n, one hop per round); star contraction must finish in ~log n rounds
+    val n = 10000L
+    val path = spark.range(1L, n).select(
+      col("id").as("id_a"), (col("id") - 1L).as("id_b"))
+    // plus a separate triangle and an isolated self-loop node
+    val edges = path.unionAll(
+      Seq((20000L, 20001L), (20001L, 20002L), (20000L, 20002L),
+        (30000L, 30000L)).toDF("id_a", "id_b"))
+    val (labels, rounds) =
+      graft.ops.Components.starContractWithRounds(edges)
+    assert(rounds <= 25, s"expected O(log n) rounds for the path, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n.toInt + 4)
+    (0L until n).foreach(i => assert(got(i) == 0L, s"path node $i"))
+    Seq(20000L, 20001L, 20002L).foreach(i => assert(got(i) == 20000L))
+    assert(got(30000L) == 30000L, "self-loop-only node labels itself")
+    // same answer as min-label on a shallow graph (cross-check on the triangle+pair)
+    val small = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val viaStar = graft.ops.Components.starContract(small).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaMin = graft.ops.Components.minLabel(small).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaMin)
+  }
+
   test("flagship entry returns all-pass verification rows") {
     val rows = SparkEntry.entry(spark)
     assert(rows.count() > 0)

@@ -52,6 +52,21 @@ class RobustnessSpec extends AnyFunSuite {
     assert(storeA.currentSnapshotId.contains(ids.last))
     assert(conflicts.get() > 0,
       "barrier-aligned rounds should produce at least one detected conflict")
+
+    // crash debris: a claim without the CURRENT rename blocks the next
+    // writer's id; orphan GC clears it behind the age floor, unblocking
+    val cur = storeA.currentSnapshotId.get
+    val debris = Paths.get(dir, "meta", s"snap-${cur + 1}.json")
+    Files.write(debris, Json.write(storeA.snapshot(cur).copy(id = cur + 1))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(debris,
+      FileTime.fromMillis(System.currentTimeMillis() - 10_000))
+    intercept[graft.table.ConcurrentCommitException] {
+      storeA.commit("append", Seq.empty)
+    }
+    val gc = RemoveOrphans.run(storeA, minAgeMs = 1L)
+    assert(gc.commitDebrisDeleted == 1)
+    assert(storeA.commit("append", Seq.empty) == cur + 1)
   }
 
   test("change feed: expired cursor/parent raises a retention error, not a crash") {
