@@ -153,9 +153,16 @@ object Audio {
     }),
 
     // -- the flagship maintenance pass: append(small files) -> compact ->
-    //    zorder cluster -> scan-equality verify; returns per-clip verdicts --
+    //    zorder cluster -> scan-equality verify; returns per-clip verdicts.
+    //    Oracle: DuckDB full-outer-joins the PRE and POST snapshots' raw
+    //    data files and re-derives every verdict column — transcript/meta
+    //    equality directly, and snr_db = 999.0 exactly when the payload
+    //    bytes are bit-identical (maintenance never transcodes, so decode
+    //    of equal bytes is equal PCM, noise = 0). Any engine deviation —
+    //    a lost row, a mutated payload, a verdict the verifier got wrong —
+    //    diverges the two engines and fails the gate. --
     "q63_maintenance_e2e" -> ((s, d) => {
-      val dir = e2eDir("graft-q63-")
+      val dir = OracleFixtures.freshDir("q63_store", d)
       val store = MetaStore.forClips(dir)
       val n = clipCount(d)
       Append.run(s, store, ClipSynth.dataset(s, n, 16, maxDurMs = 300).toDF())
@@ -163,6 +170,24 @@ object Audio {
       Compact.run(s, store, targetBytes = 8L * 1024 * 1024, runId = "q63-compact")
       val cl = Cluster.run(s, store, ZOrderCurve,
         targetBytes = 4L * 1024 * 1024, runId = "q63-cluster")
+      def files(id: Long) = OracleFixtures.pathList(store.entries(id).map(_.path))
+      OracleFixtures.register("q63_maintenance_e2e",
+        s"""WITH o AS (SELECT * FROM read_parquet(${files(s0)})),
+           |n AS (SELECT * FROM read_parquet(${files(cl.snapshotId)})),
+           |j AS (
+           |  SELECT coalesce(o.clip_id, n.clip_id) AS clip_id,
+           |    o.clip_id IS NOT NULL AND n.clip_id IS NOT NULL AS inboth,
+           |    o.transcript IS NOT DISTINCT FROM n.transcript AS teq,
+           |    (o.sr_hz IS NOT DISTINCT FROM n.sr_hz
+           |     AND o.dur_ms IS NOT DISTINCT FROM n.dur_ms
+           |     AND o.codec IS NOT DISTINCT FROM n.codec) AS meq,
+           |    o.bytes IS NOT DISTINCT FROM n.bytes AS beq
+           |  FROM o FULL OUTER JOIN n ON o.clip_id = n.clip_id)
+           |SELECT clip_id, (inboth AND teq) AS transcript_ok,
+           |  (inboth AND meq) AS meta_ok,
+           |  CASE WHEN inboth AND beq THEN 999.0 ELSE -1.0 END AS snr_db,
+           |  (inboth AND teq AND meq AND beq) AS pass
+           |FROM j""".stripMargin)
       ScanEquality.compareSnapshots(s, store, s0, cl.snapshotId).toDF()
         .select(col("clip_id"), col("transcript_ok"), col("meta_ok"),
           col("snr_db"), col("pass"))

@@ -84,11 +84,23 @@ object Vector {
         .filter(col("cosine") >= 0.99)
     }),
 
-    // -- persisted-index audit (rows-only): stored buckets vs a fresh
-    //    recompute; n_stale must be 0 after any source rewrite because
-    //    VecIndex.ensure fingerprints the source and rebuilds on change --
+    // -- persisted-index audit: stored buckets vs a fresh recompute; n_stale
+    //    must be 0 after any source rewrite because VecIndex.ensure
+    //    fingerprints the source and rebuilds on change. Oracle: DuckDB
+    //    reads the PERSISTED index parquet itself and recomputes every
+    //    bucket from the embeddings with its own hyperplane expression. --
     "q57_ann_index_persisted" -> ((s, d) => {
-      val idx = VecIndex.buckets(s, VecIndex.ensure(s, s"$d/embeddings.parquet"))
+      val indexDir = VecIndex.ensure(s, s"$d/embeddings.parquet")
+      OracleFixtures.register("q57_ann_index_persisted",
+        s"""WITH idx AS (SELECT vec_id, bkt
+           |  FROM read_parquet('$indexDir/buckets/*.parquet')),
+           |fresh AS (SELECT vec_id, ${VecExprs.bucketDuck} AS bkt_fresh
+           |  FROM embeddings)
+           |SELECT idx.bkt, count(*) AS n_vecs,
+           |  sum(CASE WHEN idx.bkt = fresh.bkt_fresh THEN 0 ELSE 1 END) AS n_stale
+           |FROM idx JOIN fresh USING (vec_id)
+           |GROUP BY idx.bkt""".stripMargin)
+      val idx = VecIndex.buckets(s, indexDir)
       val fresh = emb(s, d)
         .select(col("vec_id"), expr(VecExprs.bucketSpark).as("bkt_fresh"))
       idx.join(fresh, "vec_id")

@@ -139,6 +139,75 @@ class RobustnessSpec extends AnyFunSuite {
       s"(a=v,b=NULL) -> (a=NULL,b=v) must classify as update; got $ch")
   }
 
+  test("change-feed catch-up over many appends plans O(eras) scans, not O(appends)") {
+    val dir = Files.createTempDirectory("graft-feedplan-").toString
+    val store = MetaStore.forClips(dir)
+    (0 until 12).foreach { i =>
+      Append.run(spark, store,
+        ClipSynth.dataset(spark, 5, 1, maxDurMs = 100).toDF()
+          .withColumn("clip_id", concat(lit(s"b${i}_"), col("clip_id"))))
+    }
+    Evolve.addColumn(spark, store, "q", "double", "0.5")
+    (0 until 12).foreach { i =>
+      Append.run(spark, store,
+        ClipSynth.dataset(spark, 5, 1, maxDurMs = 100).toDF()
+          .withColumn("clip_id", concat(lit(s"c${i}_"), col("clip_id")))
+          .withColumn("q", lit(1.0)))
+    }
+    val poll = ChangeFeed.poll(spark, store, -1L)
+    assert(poll.appendSnapshots.size == 24)
+    assert(poll.df.count() == 120L)
+    // one evolution-aware read over the concatenated added files: one scan
+    // node per ERA (2), not one per append snapshot (24)
+    val scans = poll.df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 2,
+      s"expected 2 era scans for 24 appends, got ${scans.size}")
+  }
+
+  test("publish copies a many-file snapshot in parallel with size verification") {
+    val dir = Files.createTempDirectory("graft-pub-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 300, 300, maxDurMs = 60).toDF()) // 300 files
+    val snapId = store.currentSnapshotId.get
+    val dest = Files.createTempDirectory("graft-pub-dest-").toString
+    val res = graft.ops.Publish.run(store, snapId, dest)
+    assert(res.files == 300)
+    assert(spark.read.parquet(dest).count() == 300L)
+    // a manifest/file size mismatch must FAIL the publish, not ship a torn copy
+    val entries = store.entries(snapId)
+    val tampered = entries.updated(0, entries.head.copy(sizeBytes = entries.head.sizeBytes + 1))
+    val badStore = store // reuse dir; hand-roll the copy call through a fake manifest
+    val dest2 = Files.createTempDirectory("graft-pub-dest2-").toString
+    val ex = intercept[java.util.concurrent.ExecutionException] {
+      // simulate by publishing a snapshot whose manifest lies about one size:
+      // commit the tampered entries as a new snapshot, then publish it
+      val sid = badStore.commit("replace", tampered)
+      graft.ops.Publish.run(badStore, sid, dest2)
+    }
+    assert(ex.getCause.getMessage.contains("manifest says"), ex.getCause.getMessage)
+  }
+
+  test("one-hot emits all indicators in a single Project regardless of cardinality") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i, s"cat_${i % 200}")).toDF("id", "c")
+    val encoded = graft.functions.OneHot.encode(df, "c")
+    assert(encoded.columns.length == 2 + 200)
+    // a per-category withColumn fold would nest ~200 Projects; one select
+    // keeps the analyzed plan depth constant
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+    assert(depth(encoded.queryExecution.analyzed) <= 4,
+      s"plan depth ${depth(encoded.queryExecution.analyzed)} — indicators must not nest")
+    // semantics unchanged: row for id=7 has exactly one hot indicator
+    val row = encoded.filter(col("id") === 7).collect()(0)
+    val hot = encoded.columns.zipWithIndex.filter(_._1.startsWith("c_cat_"))
+      .map { case (_, i) => row.getInt(i) }.sum
+    assert(hot == 1)
+  }
+
   test("evolution default reaches files only reachable through a tag") {
     val dir = Files.createTempDirectory("graft-tagevo-").toString
     val store = MetaStore.forClips(dir)
