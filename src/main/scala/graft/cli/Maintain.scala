@@ -118,7 +118,8 @@ object Maintain {
           .getOrElse(3600L * 1000)
         val r = RemoveOrphans.run(store, minAgeMs)
         println(s"scanned ${r.scanned} files, deleted ${r.orphansDeleted} " +
-          s"orphans (${r.bytesFreed} bytes)")
+          s"orphans (${r.bytesFreed} bytes), " +
+          s"${r.commitDebrisDeleted} crashed-commit snap claims")
       case "transcode" =>
         val codec = rest.headOption.getOrElse(graft.audio.Pcm.Pcm16le)
         val rate = rest.lift(1).map(_.toInt).getOrElse(16000)

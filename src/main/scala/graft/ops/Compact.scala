@@ -126,10 +126,19 @@ object Compact {
           val contentHash = java.lang.Long.toHexString(
             bin.map(_.path).sorted.mkString("|").hashCode.toLong & 0xFFFFFFFFL)
           val item = s"bin-$i-$contentHash"
-          store.itemResult(runId, item) match {
-            case Some(saved) if store.isDone(runId, item) =>
+          // same re-verification as Cluster's batched resume: a saved bin
+          // whose output files were GC'd between interruption and resume
+          // (orphan GC with an aggressive age floor) must re-run, not commit
+          // entries pointing at deleted files
+          val intact = store.itemResult(runId, item)
+            .filter(_ => store.isDone(runId, item))
+            .map(s => Json.mapper.readValue[Seq[DataFile]](s))
+            .filter(_.forall(e =>
+              java.nio.file.Files.exists(java.nio.file.Paths.get(e.path))))
+          intact match {
+            case Some(saved) =>
               Compact.synchronized { skipped += 1 }
-              Json.mapper.readValue[Seq[DataFile]](saved)
+              saved
             case _ =>
               val t0 = System.nanoTime()
               val binDir = s"$outDir/bin=$i"

@@ -84,6 +84,31 @@ object Audio {
         .withColumn("gkey", gk(col("px"), col("sy")))
     }),
 
+    // -- bloom point-lookup pruning: after a curve cluster rewrite the key's
+    //    hash bits are interleaved into the layout, so every file's
+    //    (min,max) clip_id zonemap spans the whole key space and a point
+    //    probe keeps ALL files — the per-file bloom side-table
+    //    (table/FileBloom.scala) prunes it to the true holders (+ rare false
+    //    positives). Result rows are identical to scan+filter by the
+    //    conservative contract; a bloom false negative would LOSE rows and
+    //    fail the oracle. PruningSpec asserts the skip counts. --
+    "q35_bloom_pointlookup" -> ((s, d) => {
+      val dir = OracleFixtures.freshDir("q35_store", d)
+      val store = MetaStore.forClips(dir)
+      Append.run(s, store,
+        ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).toDF())
+      Cluster.run(s, store, ZOrderCurve, targetBytes = 256L * 1024,
+        runId = "q35-cluster")
+      val keys = Seq(3L, 77L, clipCount(d) - 1).map(ClipSynth.clipId)
+      val paths = store.entries(store.currentSnapshotId.get).map(_.path)
+      OracleFixtures.register("q35_bloom_pointlookup",
+        s"""SELECT clip_id, sr_hz, dur_ms, codec, transcript
+           |FROM read_parquet(${OracleFixtures.pathList(paths)})
+           |WHERE clip_id IN (${keys.map(k => s"'$k'").mkString(", ")})""".stripMargin)
+      val ps = store.scanCurrentPruned(s, Seq(Pred.InSet("clip_id", keys)))
+      ps.df.select("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+    }),
+
     // -- audio feature extraction over decoded PCM (the multimodal
     //    decode/feature-extract path; decode is REAL, not stubbed). Oracle:
     //    the decoded samples are EXPORTED as a fixture and DuckDB recomputes

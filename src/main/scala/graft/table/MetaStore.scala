@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
  */
 class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
 
+  /** Key column to build per-file bloom filters for (point-lookup pruning,
+   * [[FileBloom]]); default = the leading stats column (the table key).
+   * None disables bloom maintenance. */
+  var bloomColumn: Option[String] = statsColumns.headOption
+
   private val metaDir: JPath = Paths.get(tableDir, "meta")
   private val dataDir: JPath = Paths.get(tableDir, "data")
   Files.createDirectories(metaDir)
@@ -113,6 +118,10 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * (vector-like/src/main/java/vec/ml/FeatureRange.kt:14-33).
    */
   def collectStats(spark: SparkSession, dir: String): Seq[DataFile] = {
+    // bloom maintenance rides the same write path: every maintenance output
+    // dir gets per-file key blooms in the meta/blooms side-table (one small
+    // distributed pass over the key column; see FileBloom)
+    bloomColumn.foreach(c => FileBloom.write(spark, this, dir, c))
     val df = spark.read.parquet(dir)
     val present = statsColumns.filter(df.columns.contains)
     val numeric = present.filter { c =>

@@ -143,7 +143,23 @@ object Pruning {
    */
   def scan(spark: SparkSession, store: MetaStore, entries: Seq[DataFile],
            preds: Seq[Pred]): PrunedScan = {
-    val kept = keep(entries, preds)
+    val zoneKept = keep(entries, preds)
+    // point-lookup bloom prune: zonemaps cannot prune equality probes on a
+    // hash-scattered key (every file's min/max spans the key space after a
+    // curve rewrite); the per-file bloom side-table can. Conservative by
+    // construction: union of probe values, files without a bloom row kept.
+    val bloomValues = preds.flatMap {
+      case Pred.EqualTo(c, v) if store.bloomColumn.contains(c) => Seq(v.toString)
+      case Pred.InSet(c, vs) if store.bloomColumn.contains(c) => vs.map(_.toString)
+      case _ => Nil
+    }
+    val kept =
+      if (bloomValues.isEmpty || zoneKept.isEmpty) zoneKept
+      else {
+        val surviving = FileBloom.prunePaths(spark, store,
+          zoneKept.map(_.path), bloomValues)
+        zoneKept.filter(e => surviving.contains(e.path))
+      }
     val readFiles = (fs: Seq[DataFile]) =>
       graft.ops.Evolve.readFiles(spark, store, fs)
     val base =

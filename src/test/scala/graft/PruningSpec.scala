@@ -76,6 +76,46 @@ class PruningSpec extends AnyFunSuite {
     assert(ps.rowsKeptUpperBound >= pruned.length)
   }
 
+  test("bloom point-lookup prunes hash-scattered keys; zero false negatives") {
+    val dir = Files.createTempDirectory("graft-bloom-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 400, 8, maxDurMs = 150).toDF())
+    // curve rewrite interleaves clip_id HASH bits -> every file's clip_id
+    // zonemap spans the key space; only the bloom can prune a point probe
+    graft.ops.Cluster.run(spark, store, graft.ops.ZOrderCurve,
+      targetBytes = 128L * 1024, runId = "bloom-cluster")
+    val entries = store.entries(store.currentSnapshotId.get)
+    assert(entries.size > 4, s"want several files, got ${entries.size}")
+
+    val key = graft.synth.ClipSynth.clipId(123L)
+    val pred = Seq(Pred.EqualTo("clip_id", key))
+    // zonemaps alone keep (nearly) everything on this layout
+    val zoneOnly = Pruning.keep(entries, pred).size
+    assert(zoneOnly == entries.size,
+      s"zonemap should not prune a hash-scattered point probe ($zoneOnly/${entries.size})")
+    val ps = store.scanCurrentPruned(spark, pred)
+    assert(ps.filesKept < ps.filesTotal,
+      s"bloom should prune: kept ${ps.filesKept}/${ps.filesTotal}")
+    assert(ps.df.count() == 1L)
+
+    // zero false negatives over EVERY key (the safety contract): each clip's
+    // point lookup through the bloom path returns exactly its row
+    val probes = Seq(0L, 57L, 200L, 399L).map(graft.synth.ClipSynth.clipId)
+    val inSet = store.scanCurrentPruned(spark,
+      Seq(Pred.InSet("clip_id", probes)))
+    assert(inSet.df.select("clip_id").collect().map(_.getString(0)).sorted.toSeq
+      == probes.sorted)
+    // library-level exhaustive property
+    (0 until 400 by 7).foreach { i =>
+      val k = graft.synth.ClipSynth.clipId(i.toLong)
+      val bits = new Array[Long](1024 / 64)
+      graft.table.FileBloom.add(bits, k)
+      assert(graft.table.FileBloom.mightContain(graft.table.FileBloom.pack(bits), k),
+        s"false negative for $k")
+    }
+  }
+
   test("prune-all preserves schema; match-all keeps every file") {
     val dir = Files.createTempDirectory("graft-prune2-").toString
     val store = MetaStore.forClips(dir)
