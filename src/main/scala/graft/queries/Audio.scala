@@ -84,6 +84,35 @@ object Audio {
         .withColumn("gkey", gk(col("px"), col("sy")))
     }),
 
+    // -- metadata-only aggregate: count(*) / min / max answered from the
+    //    MANIFEST alone — zero data files opened (the Iceberg metadata-only
+    //    count optimization; at 100 TB a full-table aggregate becomes a
+    //    driver-side fold over file entries). The aggregate spans TWO eras
+    //    (append + compact outputs share rows across snapshots is avoided by
+    //    reading the CURRENT snapshot only). Oracle: DuckDB recomputes the
+    //    same aggregates by actually reading every data file. --
+    "q33_metadata_agg" -> ((s, d) => {
+      import s.implicits._
+      val dir = OracleFixtures.freshDir("q33_store", d)
+      val store = MetaStore.forClips(dir)
+      Append.run(s, store,
+        ClipSynth.dataset(s, clipCount(d), 8, maxDurMs = 250).toDF())
+      Compact.run(s, store, targetBytes = 2L * 1024 * 1024, runId = "q33-compact")
+      val snap = store.currentSnapshotId.get
+      val paths = store.entries(snap).map(_.path)
+      OracleFixtures.register("q33_metadata_agg",
+        s"""SELECT count(*) AS n_rows,
+           |  min(dur_ms) AS dur_min, max(dur_ms) AS dur_max,
+           |  min(sr_hz) AS sr_min, max(sr_hz) AS sr_max,
+           |  count(DISTINCT filename) AS n_files
+           |FROM read_parquet(${OracleFixtures.pathList(paths)}, filename=true)""".stripMargin)
+      val (rows, durMin, durMax) = store.statsAggregate(snap, "dur_ms")
+      val (_, srMin, srMax) = store.statsAggregate(snap, "sr_hz")
+      Seq((rows, durMin.getOrElse(-1L), durMax.getOrElse(-1L),
+        srMin.getOrElse(-1L), srMax.getOrElse(-1L), paths.size.toLong))
+        .toDF("n_rows", "dur_min", "dur_max", "sr_min", "sr_max", "n_files")
+    }),
+
     // -- bloom point-lookup pruning: after a curve cluster rewrite the key's
     //    hash bits are interleaved into the layout, so every file's
     //    (min,max) clip_id zonemap spans the whole key space and a point

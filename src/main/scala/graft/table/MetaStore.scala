@@ -103,6 +103,25 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     scanPruned(spark,
       currentSnapshotId.getOrElse(sys.error(s"$tableDir: no current snapshot")), preds)
 
+  /**
+   * Metadata-only aggregate: row count and per-column min/max answered from
+   * the MANIFEST alone — zero data files opened. The lakehouse classic
+   * (Iceberg answers count(*)/min/max from manifests the same way); at
+   * 100 TB this turns a full-table aggregate into a driver-side fold over
+   * file entries. Only exact when no entry has nulls in `column` beyond the
+   * recorded nullCount semantics: min/max stats ignore nulls, matching SQL
+   * aggregate semantics.
+   */
+  def statsAggregate(snapshotId: Long, column: String): (Long, Option[Long], Option[Long]) = {
+    val es = entries(snapshotId)
+    val rows = es.map(_.rows).sum
+    val mins = es.flatMap(_.statLong(column, lower = true))
+    val maxs = es.flatMap(_.statLong(column, lower = false))
+    (rows,
+      if (mins.isEmpty) None else Some(mins.min),
+      if (maxs.isEmpty) None else Some(maxs.max))
+  }
+
   /** Fresh output directory for one maintenance pass. */
   def newDataDir(tag: String): String = {
     val d = dataDir.resolve(s"$tag-${UUID.randomUUID().toString.take(8)}")
