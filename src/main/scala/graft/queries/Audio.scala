@@ -390,18 +390,69 @@ object Audio {
     //    the payload actually carry its labeled frequency? Power at the
     //    labeled bin vs the loudest of three decoy bins; the label-QC gate a
     //    pipeline runs before trusting (audio, transcript/label) pairs. --
+    //    Oracle: decoded samples exported; DuckDB recomputes each bin power
+    //    as the DIRECT DFT projection ((Σx·cos ωn)² + (Σx·sin ωn)²)/n² —
+    //    mathematically identical to the engine's Goertzel recurrence
+    //    (relative FP divergence ≈1e-10, measured), so the signal-to-decoy
+    //    margin is reported as floor(dB) where a boundary flip would need
+    //    the two engines within 1e-9 dB of an integer. Decoy power is
+    //    floored at pSig*1e-12 (margin capped at 120 dB10): an exact-cycle
+    //    pure tone's decoy DFT is ANALYTICALLY zero, so both engines would
+    //    otherwise report uncomparable rounding residue (~1e-28 relative);
+    //    real decoy leakage here is always >=1e-8 relative, so the floor
+    //    separates the two regimes unambiguously in both engines. --
     "q72_audio_tonecheck" -> ((s, d) => {
       import s.implicits._
+      val fx = OracleFixtures.freshDir("q72_pcm", d)
       ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         val i = c.clip_id.stripPrefix("clip_").toLong
-        val pcm = Pcm.decode(c.codec, c.bytes)
-        val f = ClipSynth.toneFreqHz(i)
-        val decoys = Array(math.max(100.0, f - 60.0), f + 60.0, f * 2.0)
-        val (pSig, pOff) = graft.audio.Dsp.toneCheck(pcm, c.sr_hz, f, decoys)
-        val ratio = if (pOff > 0) pSig / pOff else Double.MaxValue
-        (c.clip_id, c.sr_hz, f, math.round(math.min(ratio, 1e6)),
-          pSig > 4.0 * pOff)
-      }.toDF("clip_id", "sr_hz", "freq_hz", "sig_to_decoy", "label_ok")
+        (c.clip_id, c.sr_hz, ClipSynth.toneFreqHz(i),
+          Pcm.decode(c.codec, c.bytes).map(_.toInt))
+      }.toDF("clip_id", "sr_hz", "freq_hz", "pcm")
+        .write.mode("overwrite").parquet(fx)
+      OracleFixtures.register("q72_audio_tonecheck",
+        s"""WITH p AS (SELECT clip_id, sr_hz, freq_hz, pcm, len(pcm) AS n
+           |  FROM read_parquet('$fx/*.parquet')),
+           |freqs AS (
+           |  SELECT clip_id, sr_hz, freq_hz, pcm, n, kind, f,
+           |    2.0 * pi() * f / sr_hz AS w
+           |  FROM p, LATERAL (VALUES
+           |    ('sig', freq_hz), ('off', greatest(100.0, freq_hz - 60.0)),
+           |    ('off', freq_hz + 60.0), ('off', freq_hz * 2.0)) AS t(kind, f)),
+           |pow2 AS (
+           |  SELECT clip_id, sr_hz, freq_hz, kind,
+           |    (pow(list_aggregate(list_transform(generate_series(1, n),
+           |       i -> CAST(pcm[i] AS DOUBLE) * cos(w * (i - 1))), 'sum'), 2)
+           |     + pow(list_aggregate(list_transform(generate_series(1, n),
+           |       i -> CAST(pcm[i] AS DOUBLE) * sin(w * (i - 1))), 'sum'), 2))
+           |    / (CAST(n AS DOUBLE) * n) AS p
+           |  FROM freqs WHERE n > 0),
+           |pv AS (
+           |  SELECT clip_id, any_value(sr_hz) AS sr_hz,
+           |    any_value(freq_hz) AS freq_hz,
+           |    max(CASE WHEN kind = 'sig' THEN p END) AS psig,
+           |    max(CASE WHEN kind = 'off' THEN p END) AS poff
+           |  FROM pow2 GROUP BY clip_id)
+           |SELECT clip_id, sr_hz, freq_hz,
+           |  CASE WHEN psig <= 0 THEN -999
+           |       ELSE CAST(floor(10.0 * log10(
+           |         psig / greatest(poff, psig * 1e-12))) AS BIGINT)
+           |  END AS sig_db10,
+           |  psig > 4.0 * poff AS label_ok
+           |FROM pv""".stripMargin)
+      s.read.parquet(fx)
+        .select("clip_id", "sr_hz", "freq_hz", "pcm")
+        .as[(String, Int, Double, Array[Int])]
+        .map { case (id, sr, f, pcmI) =>
+          val pcm = pcmI.map(_.toShort)
+          val decoys = Array(math.max(100.0, f - 60.0), f + 60.0, f * 2.0)
+          val (pSig, pOff) = graft.audio.Dsp.toneCheck(pcm, sr, f, decoys)
+          val db10 =
+            if (pSig <= 0) -999L
+            else math.floor(10.0 * math.log10(
+              pSig / math.max(pOff, pSig * 1e-12))).toLong
+          (id, sr, f, db10, pSig > 4.0 * pOff)
+        }.toDF("clip_id", "sr_hz", "freq_hz", "sig_db10", "label_ok")
     }),
 
     // -- transcode maintenance e2e: append mixed-codec clips -> rewrite all
@@ -573,8 +624,16 @@ object Audio {
     //    the three bursts to ±25 ms (one frame of quantization). The
     //    utterance-segmentation gate of an ASR data pipeline; per-row array
     //    work, partition-parallel, zero shuffle. --
+    //    Oracle: the gap-planted utterances are exported; DuckDB recomputes
+    //    the 25/10 ms frame-RMS grid with per-clip list arithmetic, then
+    //    re-runs the hangover state machine RELATIONALLY — active frames
+    //    whose index gap exceeds the hangover start a new island
+    //    (gaps-and-islands over window functions), islands map back to
+    //    sample ranges, and the ±25 ms burst-recovery verdict is re-derived
+    //    against the same planted layout. --
     "q90_audio_vad" -> ((s, d) => {
       import s.implicits._
+      val fx = OracleFixtures.freshDir("q90_pcm", d)
       ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         val i = c.clip_id.stripPrefix("clip_").toLong
         val sr = c.sr_hz
@@ -586,19 +645,67 @@ object Audio {
         }
         zero(150, 210)
         zero(360, 420)
-        val segs = graft.audio.Dsp.vadSegments(utt, sr,
-          frameMs = 25, hopMs = 10, threshold = 500.0, hangoverFrames = 2)
-        val segMs = segs.map { case (a, b) => (a * 1000L / sr, b * 1000L / sr) }
-        val exp = Array((0L, 150L), (210L, 360L), (420L, 600L))
-        val ok = segs.length == 3 && segMs.zip(exp).forall {
-          case ((a, b), (ea, eb)) =>
-            math.abs(a - ea) <= 25 && math.abs(b - eb) <= 25
-        }
-        (c.clip_id, sr, segs.length,
-          segMs.map { case (a, b) => s"$a-$b" }.mkString(";"),
-          segMs.map { case (a, b) => b - a }.sum, ok)
-      }.toDF("clip_id", "sr_hz", "n_segments", "segments_ms", "active_ms",
-        "vad_ok")
+        (c.clip_id, sr, utt.map(_.toInt))
+      }.toDF("clip_id", "sr_hz", "pcm").write.mode("overwrite").parquet(fx)
+      OracleFixtures.register("q90_audio_vad",
+        s"""WITH p AS (SELECT clip_id, sr_hz, pcm, len(pcm) AS n,
+           |    sr_hz * 25 // 1000 AS fl, sr_hz * 10 // 1000 AS hop
+           |  FROM read_parquet('$fx/*.parquet')),
+           |fr AS (SELECT clip_id, sr_hz, n, fl, hop,
+           |    CASE WHEN n >= fl THEN list_filter(
+           |      generate_series(0, (n - fl) // hop),
+           |      f -> sqrt(list_aggregate(list_transform(
+           |             list_slice(pcm, f * hop + 1, f * hop + fl),
+           |             x -> CAST(x AS DOUBLE) * x), 'sum') / fl) > 500.0)
+           |    ELSE CAST([] AS BIGINT[]) END AS aidx
+           |  FROM p),
+           |af AS (SELECT clip_id, sr_hz, n, fl, hop, unnest(aidx) AS fidx FROM fr),
+           |isl AS (SELECT *, CASE WHEN
+           |      lag(fidx) OVER (PARTITION BY clip_id ORDER BY fidx) IS NULL
+           |      OR fidx - lag(fidx) OVER (PARTITION BY clip_id ORDER BY fidx) - 1 > 2
+           |    THEN 1 ELSE 0 END AS newseg FROM af),
+           |sg AS (SELECT *, sum(newseg)
+           |    OVER (PARTITION BY clip_id ORDER BY fidx) AS segid FROM isl),
+           |segs AS (SELECT clip_id, any_value(sr_hz) AS sr_hz, segid,
+           |    min(fidx) * any_value(hop) AS s0,
+           |    least(max(fidx) * any_value(hop) + any_value(fl), any_value(n)) AS s1
+           |  FROM sg GROUP BY clip_id, segid),
+           |segms AS (SELECT clip_id, sr_hz, segid,
+           |    s0 * 1000 // sr_hz AS a_ms, s1 * 1000 // sr_hz AS b_ms,
+           |    row_number() OVER (PARTITION BY clip_id ORDER BY segid) AS rn
+           |  FROM segs),
+           |exp(rn, ea, eb) AS (VALUES (1, 0, 150), (2, 210, 360), (3, 420, 600)),
+           |per AS (SELECT s.clip_id, count(*) AS n_segments,
+           |    string_agg(s.a_ms || '-' || s.b_ms, ';' ORDER BY s.segid) AS segments_ms,
+           |    sum(s.b_ms - s.a_ms) AS active_ms,
+           |    (count(*) = 3 AND bool_and(e.rn IS NOT NULL
+           |      AND abs(s.a_ms - e.ea) <= 25 AND abs(s.b_ms - e.eb) <= 25)) AS vad_ok
+           |  FROM segms s LEFT JOIN exp e ON s.rn = e.rn
+           |  GROUP BY s.clip_id)
+           |SELECT p.clip_id, p.sr_hz,
+           |  coalesce(per.n_segments, 0) AS n_segments,
+           |  coalesce(per.segments_ms, '') AS segments_ms,
+           |  coalesce(per.active_ms, 0) AS active_ms,
+           |  coalesce(per.vad_ok, false) AS vad_ok
+           |FROM p LEFT JOIN per ON p.clip_id = per.clip_id""".stripMargin)
+      s.read.parquet(fx)
+        .select("clip_id", "sr_hz", "pcm")
+        .as[(String, Int, Array[Int])]
+        .map { case (id, sr, pcmI) =>
+          val utt = pcmI.map(_.toShort)
+          val segs = graft.audio.Dsp.vadSegments(utt, sr,
+            frameMs = 25, hopMs = 10, threshold = 500.0, hangoverFrames = 2)
+          val segMs = segs.map { case (a, b) => (a * 1000L / sr, b * 1000L / sr) }
+          val exp = Array((0L, 150L), (210L, 360L), (420L, 600L))
+          val ok = segs.length == 3 && segMs.zip(exp).forall {
+            case ((a, b), (ea, eb)) =>
+              math.abs(a - ea) <= 25 && math.abs(b - eb) <= 25
+          }
+          (id, sr, segs.length,
+            segMs.map { case (a, b) => s"$a-$b" }.mkString(";"),
+            segMs.map { case (a, b) => b - a }.sum, ok)
+        }.toDF("clip_id", "sr_hz", "n_segments", "segments_ms", "active_ms",
+          "vad_ok")
     }),
 
     // -- incremental CDC read between snapshots (ops/Changes.scala): reads
