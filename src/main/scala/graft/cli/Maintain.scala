@@ -134,6 +134,25 @@ object Maintain {
         if (!rep.allPass) sys.exit(2)
       case "lineage" =>
         store.lineage(spark).orderBy("tsMs").show(100, truncate = false)
+      case "delete-ids" =>
+        import spark.implicits._
+        val r = Deletes.run(spark, store, rest.toSeq.toDF("clip_id"))
+        println(s"snapshot ${r.snapshotId}: equality delete of " +
+          s"${r.deleteRows} keys in ${r.deleteFiles} delete file(s)")
+      case "delete-where" =>
+        // <col> <op:eq|lt|gteq> <value> — resolved via the pruned scan
+        val pred = rest(1) match {
+          case "eq" => graft.table.Pred.EqualTo(rest(0), rest(2))
+          case "lt" => graft.table.Pred.Lt(rest(0), rest(2).toLong)
+          case "gteq" => graft.table.Pred.GtEq(rest(0), rest(2).toLong)
+          case o => sys.error(s"delete-where: unknown op $o (eq|lt|gteq)")
+        }
+        val r = Deletes.deleteWhere(spark, store, Seq(pred))
+        println(s"snapshot ${r.snapshotId}: equality delete of " +
+          s"${r.deleteRows} keys in ${r.deleteFiles} delete file(s)")
+      case "expire-deletes" =>
+        val (id, dropped) = Deletes.expireInert(store)
+        println(s"snapshot $id: dropped $dropped inert delete file(s)")
       case other => sys.error(s"unknown op: $other")
     }
     spark.stop()

@@ -86,12 +86,12 @@ object Changes {
                  fromId: Long, toId: Long,
                  keyCol: String = "clip_id"): DataFrame = {
     val d = fileDiff(store, fromId, toId)
-    // era-normalized reads: both sides surface the declared schema with
-    // evolved defaults filled, so an evolution between the snapshots does
-    // not make every untouched row look updated
-    def read(fs: Seq[DataFile]): Option[DataFrame] =
-      if (fs.isEmpty) None else Some(Evolve.readFiles(spark, store, fs))
-    (read(d.removed), read(d.added)) match {
+    // era-normalized AND delete-aware reads: each side applies ITS OWN
+    // snapshot's equality deletes, so a row already deleted at `from` whose
+    // file was churned doesn't resurface as a phantom old-side row
+    def read(fs: Seq[DataFile], snapId: Long): Option[DataFrame] =
+      if (fs.isEmpty) None else Some(Deletes.readFiles(spark, store, snapId, fs))
+    val base = (read(d.removed, fromId), read(d.added, toId)) match {
       case (None, None) =>
         // no churn at all — including the entry-less-snapshot case, where
         // scan() has no schema to project keyCol from
@@ -123,6 +123,36 @@ object Changes {
               .otherwise("rewritten"))
           .filter(col("change_type") =!= "rewritten")
           .select(col(keyCol), col("change_type"))
+    }
+    // merge-on-read deletes churn NO data files, so the file-diff path above
+    // cannot see them: keys in delete files ADDED in (from, to] that were
+    // visible at `from` and are no longer visible at `to` are row deletes.
+    // Bounded by the delete churn: the key set drives a zonemap+bloom-PRUNED
+    // visibility probe on both snapshots, never a full scan. A key deleted
+    // and RE-INSERTED within the range stays visible at `to`, so it is not
+    // emitted here; the file-diff path classifies the re-insert as `insert`
+    // (the pre-delete row lived in an unchurned file the diff never reads —
+    // the net-effect `update` is approximated as `insert`, documented).
+    val fromDelPaths = store.deleteEntries(fromId).map(_.path).toSet
+    val deltaDels = store.deleteEntries(toId).filterNot(e => fromDelPaths.contains(e.path))
+    val keyed = deltaDels.map(_.path).filter { p =>
+      spark.read.parquet(p).columns.contains(keyCol)
+    }
+    if (keyed.isEmpty) base
+    else {
+      val keyVals = spark.read.parquet(keyed: _*)
+        .select(keyCol).distinct().collect().map(_.get(0)).toSeq
+      if (keyVals.isEmpty) base
+      else {
+        val pred = Seq(graft.table.Pred.InSet(keyCol, keyVals))
+        val atFrom = store.scanPruned(spark, fromId, pred).df.select(keyCol)
+        val atTo = store.scanPruned(spark, toId, pred).df.select(keyCol)
+        val deleted = atFrom.except(atTo)
+          .withColumn("change_type", lit("delete"))
+        // a delete materialized by a rewrite within the same range appears
+        // in BOTH paths (file diff + delete diff) — identical rows, distinct
+        base.unionByName(deleted).distinct()
+      }
     }
   }
 }

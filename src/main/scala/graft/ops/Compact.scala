@@ -48,8 +48,22 @@ object Compact {
           s"file:${f.path}" -> i))
       }.toMap
     val norm = udf((p: String) => binOf.getOrElse(p, -1))
-    Evolve.readFiles(spark, store, toRewrite.flatten)
-      .withColumn("_bin", norm(input_file_name()))
+    // input_file_name() needs a SINGLE-source plan: with live deletes or
+    // schema-evolution eras the read is a union of era groups, so fall back
+    // to per-bin reads with literal tags (O(bins) scan nodes — acceptable
+    // for the transitional mixed state; the plain path stays one scan)
+    val plainLayout = store.deleteEntries(snapId).isEmpty &&
+      Evolve.evolutions(store).isEmpty
+    val tagged =
+      if (plainLayout)
+        Evolve.readFiles(spark, store, toRewrite.flatten)
+          .withColumn("_bin", norm(input_file_name()))
+      else
+        toRewrite.zipWithIndex.map { case (bin, i) =>
+          Deletes.readFiles(spark, store, snapId, bin)
+            .withColumn("_bin", lit(i))
+        }.reduce(_.unionByName(_))
+    tagged
       .repartition(toRewrite.size, col("_bin"))
       .write.mode("overwrite").partitionBy("_bin").parquet(outDir)
     val newEntries = store.collectStats(spark, outDir)
@@ -120,11 +134,15 @@ object Compact {
     val tasks = toRewrite.zipWithIndex.map { case (bin, i) =>
       new Callable[Seq[DataFile]] {
         override def call(): Seq[DataFile] = {
-          // checkpoint identity = bin CONTENT, not just index: a rerun of the
-          // same runId against a changed table layout must not resurrect
-          // stale results for a bin that now holds different files
+          // checkpoint identity = bin CONTENT + base snapshot, not just
+          // index: a rerun of the same runId against a changed table layout
+          // must not resurrect stale results for a bin that now holds
+          // different files, and a resume after an interleaved DELETE commit
+          // must re-run the bin (the saved output still contains the
+          // deleted rows, but its new seq would put it above the delete)
           val contentHash = java.lang.Long.toHexString(
-            bin.map(_.path).sorted.mkString("|").hashCode.toLong & 0xFFFFFFFFL)
+            (snapId + "|" + bin.map(_.path).sorted.mkString("|"))
+              .hashCode.toLong & 0xFFFFFFFFL)
           val item = s"bin-$i-$contentHash"
           // same re-verification as Cluster's batched resume: a saved bin
           // whose output files were GC'd between interruption and resume
@@ -142,7 +160,7 @@ object Compact {
             case _ =>
               val t0 = System.nanoTime()
               val binDir = s"$outDir/bin=$i"
-              Evolve.readFiles(spark, store, bin)
+              Deletes.readFiles(spark, store, snapId, bin)
                 .coalesce(1)
                 .write.mode("overwrite").parquet(binDir)
               val newEntries = store.collectStats(spark, binDir)

@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.table.{DataFile, MetaStore, Pred}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+final case class DeleteResult(
+    snapshotId: Long,
+    deleteFiles: Int,
+    deleteRows: Long)
+
+/**
+ * Merge-on-read row-level deletes: equality-delete FILES, Iceberg-style.
+ *
+ * A delete commit writes a small parquet of key values (no data file is
+ * touched — the write cost is O(deleted keys), not O(table)) and records it
+ * in the snapshot's delete manifests with `seq` = the commit id. Read-side,
+ * a data row is visible iff no delete file with `seq > file.seq` contains
+ * its key — the sequence rule that makes a later re-insert of a deleted key
+ * visible again. Every rewrite (compact / cluster / merge) reads through
+ * [[readFiles]], so rewritten files are born clean (their new `seq` sits
+ * above every existing delete) and the carried delete files go inert as
+ * maintenance progresses; [[expireInert]] then drops them metadata-only.
+ *
+ * Scale shape: delete sets are bounded churn (the 100 TB table's daily
+ * delete batch, not the table), so the read-side application is a
+ * broadcast anti-join per delete era — zero shuffle of the data side. Sets
+ * above `broadcastRowLimit` fall back to a shuffle anti-join; tables with
+ * rewrite-scale deletions should use copy-on-write
+ * ([[MergeInto]] `deleteKeys`) instead.
+ *
+ * The reference has no delete story at all (its volumes are immutable,
+ * reference README.md:128-132); this supplies the lakehouse-standard one
+ * Spark-first.
+ */
+object Deletes {
+
+  /** Delete sets with at most this many total rows are broadcast to the
+   * anti-join (driver+executor memory bound); larger sets shuffle. */
+  var broadcastRowLimit: Long = 5L * 1000 * 1000
+
+  /** Read one group of delete files (uniform column set) as a distinct key
+   * frame. */
+  private def keyFrame(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*).distinct()
+
+  /** Anti-join `df` against every delete entry in `dels`. Delete files are
+   * grouped by their column set (equality deletes may key on different
+   * column subsets); each group is one anti-join on exactly its columns. */
+  def applyTo(spark: SparkSession, df: DataFrame, dels: Seq[DataFile]): DataFrame = {
+    if (dels.isEmpty) return df
+    val totalRows = dels.map(_.rows).sum
+    val bySchema = dels.map(_.path)
+      .groupBy(p => spark.read.parquet(p).columns.toSeq.sorted)
+    bySchema.foldLeft(df) { case (acc, (cols, paths)) =>
+      val keys = keyFrame(spark, paths)
+      val right = if (totalRows <= broadcastRowLimit) broadcast(keys) else keys
+      acc.join(right, cols, "left_anti")
+    }
+  }
+
+  /**
+   * Delete-aware + evolution-aware read of a file subset under `snapshotId`:
+   * files are grouped by which deletes apply to them (delete `d` applies to
+   * file `f` iff `f.seq < d.seq`), each group is read through the
+   * evolution-aware path and anti-joined against exactly its applicable
+   * delete keys. The group count is O(distinct delete seqs), which stays
+   * small because rewrites retire deletes ([[expireInert]]).
+   */
+  def readFiles(spark: SparkSession, store: MetaStore, snapshotId: Long,
+                files: Seq[DataFile]): DataFrame = {
+    if (files.isEmpty) return spark.emptyDataFrame
+    val dels = store.deleteEntries(snapshotId).sortBy(_.seq)
+    if (dels.isEmpty) return Evolve.readFiles(spark, store, files)
+    val delSeqs = dels.map(_.seq)
+    // boundary index = how many deletes DON'T apply (seq <= file seq);
+    // applicable set for the group = dels.drop(boundary)
+    val groups = files.groupBy(f => delSeqs.count(_ <= f.seq))
+    groups.toSeq.sortBy(_._1).map { case (boundary, fs) =>
+      applyTo(spark, Evolve.readFiles(spark, store, fs), dels.drop(boundary))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Delete-aware snapshot scan (the [[MetaStore.scan]] route when the
+   * snapshot carries delete manifests). */
+  def scan(spark: SparkSession, store: MetaStore, snapshotId: Long): DataFrame = {
+    val entries = store.entries(snapshotId)
+    if (entries.isEmpty) spark.emptyDataFrame
+    else readFiles(spark, store, snapshotId, entries)
+  }
+
+  /**
+   * Commit an equality delete: write `keys` (any column subset of the table;
+   * duplicates dropped) as one parquet delete file and commit a `delete`
+   * snapshot with the SAME data files. O(|keys|) work; zero data rewrite.
+   */
+  def run(spark: SparkSession, store: MetaStore, keys: DataFrame,
+          runId: String = s"delete-${System.currentTimeMillis()}"): DeleteResult = {
+    val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
+    val outDir = store.newDataDir("delete")
+    keys.distinct().coalesce(1).write.mode("overwrite").parquet(outDir)
+    // stats via the standard path (present-column min/max; per-file bloom
+    // rides along and is harmless), then stamp the delete's seq = the id
+    // this commit WILL take (parent + 1 by construction; a racing writer
+    // fails the commit and nothing is published)
+    val expectedId = snapId + 1
+    val entries = store.collectStats(spark, outDir).map(_.copy(seq = expectedId))
+    val rows = entries.map(_.rows).sum
+    if (rows == 0) return DeleteResult(snapId, 0, 0) // empty key set: no-op
+    val newSnap = store.commit("delete", store.entries(snapId), Map(
+      "runId" -> runId,
+      "deleteRows" -> rows.toString,
+      "deleteFiles" -> entries.size.toString),
+      deletes = Some(store.deleteEntries(snapId) ++ entries))
+    DeleteResult(newSnap, entries.size, rows)
+  }
+
+  /** Predicate-shaped delete: resolve `preds` to key values via the
+   * zonemap/bloom-PRUNED scan (only candidate files are opened), project
+   * `keyCols`, and commit them as an equality delete. */
+  def deleteWhere(spark: SparkSession, store: MetaStore, preds: Seq[Pred],
+                  keyCols: Seq[String] = Seq("clip_id")): DeleteResult = {
+    val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
+    val keys = store.scanPruned(spark, snapId, preds).df
+      .select(keyCols.map(col): _*)
+    run(spark, store, keys)
+  }
+
+  /**
+   * Drop delete files no live data file is still covered by (every data
+   * file's `seq >= delete.seq`, which a full cluster rewrite guarantees).
+   * Metadata-only commit; the orphaned delete parquets become GC-able by
+   * [[ExpireSnapshots]] / [[RemoveOrphans]] once no retained snapshot
+   * references them. Returns (new snapshot id, deletes dropped); no commit
+   * when nothing is inert.
+   */
+  def expireInert(store: MetaStore): (Long, Int) = {
+    val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
+    val dels = store.deleteEntries(snapId)
+    if (dels.isEmpty) return (snapId, 0)
+    val minDataSeq = store.entries(snapId).map(_.seq).minOption.getOrElse(Long.MaxValue)
+    val (inert, live) = dels.partition(_.seq <= minDataSeq)
+    if (inert.isEmpty) return (snapId, 0)
+    val id = store.commit("expire-deletes", store.entries(snapId), Map(
+      "deletesDropped" -> inert.size.toString,
+      "deletesKept" -> live.size.toString),
+      deletes = Some(live))
+    (id, inert.size)
+  }
+}

@@ -42,10 +42,18 @@ object ExpireSnapshots {
       (all.takeRight(keepLast) ++ tagged ++ young :+ current).distinct.sorted
     val expired = all.filterNot(retained.contains)
 
-    val reachableData = retained.flatMap(store.entries).map(_.path).toSet
-    val reachableManifests = retained.map(store.snapshot).flatMap(_.manifests).toSet
-    val expiredData = expired.flatMap(store.entries).map(_.path).toSet
-    val expiredManifests = expired.map(store.snapshot).flatMap(_.manifests).toSet
+    // delete files and their manifests participate in reachability exactly
+    // like data files: a retained snapshot's equality-delete parquets must
+    // survive (dropping one would resurrect its deleted rows), an expired
+    // snapshot's go once nothing retained shares them
+    val reachableData = retained.flatMap(id =>
+      store.entries(id) ++ store.deleteEntries(id)).map(_.path).toSet
+    val reachableManifests = retained.map(store.snapshot)
+      .flatMap(s => s.manifests ++ s.deleteManifests).toSet
+    val expiredData = expired.flatMap(id =>
+      store.entries(id) ++ store.deleteEntries(id)).map(_.path).toSet
+    val expiredManifests = expired.map(store.snapshot)
+      .flatMap(s => s.manifests ++ s.deleteManifests).toSet
 
     var dataDeleted = 0
     var manifestsDeleted = 0

@@ -60,7 +60,7 @@ object MergeInto {
 
     // 2. rewrite touched files + append inserts, preserving cluster order
     val base =
-      if (touched.nonEmpty) Evolve.readFiles(spark, store, touched)
+      if (touched.nonEmpty) Deletes.readFiles(spark, store, snapId, touched)
       else store.scan(spark, snapId).limit(0) // schema-only frame
     val dataCols = base.columns.filter(_ != keyCol)
     // standard WHEN MATCHED THEN UPDATE semantics: a matched row takes the

@@ -44,8 +44,13 @@ object Publish {
     Files.createDirectories(dest)
     val evoPaths = Evolve.evolutions(store).map(_.paths.toSet)
     val mixedEra = entries.exists(e => evoPaths.exists(_.contains(e.path)))
+    // merge-on-read deletes: a raw file copy would ship the deleted rows —
+    // any data file still covered by a delete (file seq below a delete seq)
+    // forces the materializing path, same as mixed-era exports
+    val dels = store.deleteEntries(snapshotId)
+    val liveDeletes = entries.exists(e => dels.exists(_.seq > e.seq))
     val (files, rows, bytes) =
-      if (!mixedEra) {
+      if (!mixedEra && !liveDeletes) {
         // parallel copy + per-file size verification: a serial driver-side
         // Files.copy loop is the bottleneck at the nominal 10^5-10^6 files
         // (judge r2 finding). A shared pool sized to the host parallelizes
@@ -71,15 +76,20 @@ object Publish {
         (entries.size, entries.map(_.rows).sum, entries.map(_.sizeBytes).sum)
       } else {
         val s = spark.getOrElse(sys.error(
-          "publish: snapshot spans schema-evolution eras; pass a SparkSession " +
-            "so the export can materialize the declared schema (or compact first)"))
-        val df = Evolve.readFiles(s, store, entries)
+          "publish: snapshot spans schema-evolution eras or carries live " +
+            "row-level deletes; pass a SparkSession so the export can " +
+            "materialize (or compact first)"))
+        val df = Deletes.readFiles(s, store, snapshotId, entries)
         df.write.mode("overwrite").parquet(dest.toString)
         val written = Files.list(dest)
         val ps = try written.iterator().asScala
           .filter(_.toString.endsWith(".parquet")).toSeq
         finally written.close()
-        (ps.size, entries.map(_.rows).sum, ps.map(Files.size).sum)
+        // manifest row counts are pre-delete; report what actually shipped
+        val shippedRows =
+          if (liveDeletes) s.read.parquet(dest.toString).count()
+          else entries.map(_.rows).sum
+        (ps.size, shippedRows, ps.map(Files.size).sum)
       }
     Files.write(dest.resolve("_PUBLISHED.json"),
       Json.mapper.writeValueAsString(Map(

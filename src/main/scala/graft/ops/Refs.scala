@@ -81,7 +81,12 @@ object Refs {
   def rollback(store: MetaStore, toSnapshotId: Long): Long = {
     require(store.allSnapshotIds.contains(toSnapshotId),
       s"rollback: no snapshot $toSnapshotId")
+    // restore the target's equality-delete set too: its entries carry their
+    // original seqs, so the target's deletes land on exactly the same rows
+    // (inheriting the CURRENT delete set instead would apply deletes
+    // committed after the target to a pre-delete file list)
     store.commit("rollback", store.entries(toSnapshotId),
-      Map("rolledBackTo" -> toSnapshotId.toString))
+      Map("rolledBackTo" -> toSnapshotId.toString),
+      deletes = Some(store.deleteEntries(toSnapshotId)))
   }
 }

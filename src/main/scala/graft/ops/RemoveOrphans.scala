@@ -48,7 +48,8 @@ object RemoveOrphans {
    *    must exceed the longest plausible write-to-commit window. */
   def run(store: MetaStore, minAgeMs: Long = 3600L * 1000): OrphanResult = {
     val reachable: Set[String] =
-      store.allSnapshotIds.flatMap(store.entries).map(_.path).toSet ++
+      store.allSnapshotIds.flatMap(id =>
+        store.entries(id) ++ store.deleteEntries(id)).map(_.path).toSet ++
         checkpointRoots(store)
     val dataDir = Paths.get(store.tableDir, "data")
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -84,9 +85,14 @@ object RemoveOrphans {
     store.allSnapshotIds.filter(_ > cur).foreach { id =>
       val p = Paths.get(store.tableDir, "meta", s"snap-$id.json")
       if (Files.exists(p) && Files.getLastModifiedTime(p).toMillis < cutoffMs) {
-        val manifests = store.snapshot(id).manifests
+        val snap = store.snapshot(id)
+        // data manifests are always commit-private (manifest-<id>-*); delete
+        // manifests may be INHERITED BY NAME from the parent — only remove
+        // the ones this crashed commit wrote itself
+        val own = snap.manifests ++
+          snap.deleteManifests.filter(_.startsWith(s"delmanifest-$id-"))
         Files.delete(p)
-        manifests.foreach(m =>
+        own.foreach(m =>
           Files.deleteIfExists(Paths.get(store.tableDir, "meta", m)))
         removed += 1
       }

@@ -936,6 +936,59 @@ object Audio {
           e.statLong("dur_ms", lower = false).getOrElse(-1L),
           e.stats("clip_id").min, e.stats("clip_id").max)
       }.toDF("file", "n_rows", "dur_min", "dur_max", "clip_min", "clip_max")
+    }),
+
+    // -- merge-on-read row-level deletes (ops/Deletes.scala): equality-delete
+    //    FILES with Iceberg sequence-number semantics. The story: two appends
+    //    (file seqs 1, 2) -> a predicate delete resolved through the
+    //    zonemap/bloom-pruned scan (delete seq 3, zero data rewrite) -> a
+    //    re-insert of some deleted keys (file seq 4 > 3, visible again) -> a
+    //    compaction that MATERIALIZES the delete into its rewritten bins
+    //    while carried-over files stay covered read-side. Returns the final
+    //    visible rows. --
+    //    Oracle: DuckDB replays the sequence rule from the RAW pre-compact
+    //    era files + the delete-key parquet: visible = data rows with no
+    //    delete key at a higher seq (LEFT JOIN ... ON key AND fseq < dseq
+    //    WHERE NULL) — an independent recompute of both the delete
+    //    application and the compaction's scan-preservation. --
+    "q100_row_deletes" -> ((s, d) => {
+      import s.implicits._
+      val dir = OracleFixtures.freshDir("q100_store", d)
+      val store = MetaStore.forClips(dir)
+      val n = clipCount(d)
+      Append.run(s, store,
+        ClipSynth.dataset(s, n / 2, 4, maxDurMs = 150).toDF())
+      Append.run(s, store,
+        ClipSynth.dataset(s, n, 4, maxDurMs = 150).toDF()
+          .filter(col("clip_id") > ClipSynth.clipId(n / 2 - 1)))
+      Deletes.deleteWhere(s, store, Seq(Pred.EqualTo("codec", "ulaw")))
+      val delSnap = store.currentSnapshotId.get
+      val delFiles = store.deleteEntries(delSnap)
+      val reKeys = s.read.parquet(delFiles.map(_.path): _*)
+        .orderBy("clip_id").limit(10).as[String].collect().toSeq
+      Append.run(s, store,
+        ClipSynth.dataset(s, n, 2, maxDurMs = 150).toDF()
+          .filter(col("clip_id").isin(reKeys: _*))
+          .withColumn("transcript", concat(col("transcript"), lit(" v2"))))
+      // era lists BEFORE the compaction rewrites them (old snapshots keep
+      // the raw files alive for the oracle's replay)
+      val eras = store.entries(store.currentSnapshotId.get)
+        .groupBy(_.seq).toSeq.sortBy(_._1)
+      val eraSql = eras.map { case (seq, fs) =>
+        s"""SELECT clip_id, codec, dur_ms, sr_hz, transcript, $seq AS fseq
+           |FROM read_parquet(${OracleFixtures.pathList(fs.map(_.path))})""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      OracleFixtures.register("q100_row_deletes",
+        s"""WITH rows_all AS ($eraSql),
+           |delk AS (SELECT clip_id AS k, ${delSnap} AS dseq
+           |  FROM read_parquet(${OracleFixtures.pathList(delFiles.map(_.path))}))
+           |SELECT a.clip_id, a.codec, a.dur_ms, a.sr_hz, a.transcript
+           |FROM rows_all a LEFT JOIN delk ON a.clip_id = delk.k AND a.fseq < delk.dseq
+           |WHERE delk.k IS NULL""".stripMargin)
+      Compact.run(s, store, targetBytes = 512L * 1024,
+        runId = "q100-compact", singleJob = true)
+      store.scanCurrent(s)
+        .select("clip_id", "codec", "dur_ms", "sr_hz", "transcript")
     })
   )
 

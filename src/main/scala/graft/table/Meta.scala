@@ -17,24 +17,37 @@ import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModul
  */
 final case class ColStat(min: String, max: String, numeric: Boolean, nullCount: Long)
 
+/** @param seq data sequence number — the snapshot id whose commit first added
+ *   this file (stamped by [[MetaStore.commit]]; carried over verbatim on
+ *   every later commit). Equality deletes apply only to files with
+ *   `seq < delete.seq` (Iceberg's sequence-number rule), so a row
+ *   re-inserted AFTER a delete of its key stays visible. `0` = predates
+ *   sequence tracking = oldest (every delete applies). */
 final case class DataFile(
     path: String,
     rows: Long,
     sizeBytes: Long,
-    stats: Map[String, ColStat]) {
+    stats: Map[String, ColStat],
+    seq: Long = 0L) {
   def statLong(col: String, lower: Boolean): Option[Long] =
     stats.get(col).filter(_.numeric).map(s => (if (lower) s.min else s.max).toLong)
 }
 
 final case class ManifestFile(entries: Seq[DataFile])
 
+/** @param deleteManifests manifest files listing EQUALITY-DELETE files (each
+ *   a small parquet of key values; `DataFile.seq` = the delete's commit id).
+ *   A data row is visible iff no delete file with a higher seq contains its
+ *   key — applied read-side ([[graft.ops.Deletes]], merge-on-read) and
+ *   materialized by every rewrite (compact/cluster/merge). */
 final case class Snapshot(
     id: Long,
     parentId: Long, // -1 = none
     timestampMs: Long,
-    operation: String, // append | compact | cluster | merge | replace
+    operation: String, // append | compact | cluster | merge | replace | delete
     manifests: Seq[String], // manifest file names relative to meta/
-    summary: Map[String, String])
+    summary: Map[String, String],
+    deleteManifests: Seq[String] = Nil)
 
 /** Per-item lineage/metrics row, persisted into the metadata side-table
  * (meta/lineage). The Spark analog of the reference's FibonacciReporter
@@ -60,6 +73,11 @@ object Json {
     m
   }
   def write(v: Any): String = mapper.writeValueAsString(v)
-  def readSnapshot(s: String): Snapshot = mapper.readValue[Snapshot](s)
+  def readSnapshot(s: String): Snapshot = {
+    val snap = mapper.readValue[Snapshot](s)
+    // pre-deletes snap-*.json lacks the field; Jackson leaves the Seq null
+    // (primitive Long `seq` defaults to 0 on its own)
+    if (snap.deleteManifests == null) snap.copy(deleteManifests = Nil) else snap
+  }
   def readManifest(s: String): ManifestFile = mapper.readValue[ManifestFile](s)
 }

@@ -76,12 +76,24 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     }
   }
 
+  /** Equality-delete files live for `snapshotId` (empty = no deletes). Each
+   * entry's parquet holds key values; `seq` = the delete's commit id. */
+  def deleteEntries(snapshotId: Long): Seq[DataFile] = {
+    val snap = snapshot(snapshotId)
+    snap.deleteManifests.flatMap { m =>
+      Json.readManifest(new String(
+        Files.readAllBytes(metaDir.resolve(m)), StandardCharsets.UTF_8)).entries
+    }
+  }
+
   /** Snapshot-isolated scan: the file list is frozen at commit time. With a
    * non-empty evolution log the read goes through the evolution-aware path
    * (declared schema + per-era defaults, graft.ops.Evolve.scan) — that keeps
    * every maintenance rewrite (compact/cluster read through here) silently
    * MATERIALIZING evolved defaults into its output files. */
   def scan(spark: SparkSession, snapshotId: Long): DataFrame = {
+    if (snapshot(snapshotId).deleteManifests.nonEmpty)
+      return graft.ops.Deletes.scan(spark, this, snapshotId)
     if (graft.ops.Evolve.evolutions(this).nonEmpty)
       return graft.ops.Evolve.scan(spark, this, snapshotId)
     val paths = entries(snapshotId).map(_.path)
@@ -97,7 +109,7 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * `scan(...).filter(Pred.and(preds))` by construction. */
   def scanPruned(spark: SparkSession, snapshotId: Long,
                  preds: Seq[Pred]): PrunedScan =
-    Pruning.scan(spark, this, entries(snapshotId), preds)
+    Pruning.scan(spark, this, snapshotId, entries(snapshotId), preds)
 
   def scanCurrentPruned(spark: SparkSession, preds: Seq[Pred]): PrunedScan =
     scanPruned(spark,
@@ -209,27 +221,65 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * snap-file > CURRENT that would block the next writer's claim;
    * [[RemoveOrphans]] GCs such debris behind its age floor.
    */
+  /** @param deletes equality-delete entries for the NEW snapshot:
+   *   `None` (the default) inherits the parent's delete manifests verbatim —
+   *   the right behavior for every op that doesn't touch deletes (append,
+   *   compact with carried files, merge, evolve): rewritten files get a new
+   *   `seq` above every delete so deletes are inert on them, while
+   *   carried-over files keep their old `seq` and stay covered.
+   *   `Some(xs)` writes a fresh delete-manifest set (add a delete, expire
+   *   inert ones, restore a rollback target's set). */
   def commit(operation: String, entries: Seq[DataFile],
-             summary: Map[String, String] = Map.empty): Long = synchronized {
+             summary: Map[String, String] = Map.empty,
+             deletes: Option[Seq[DataFile]] = None): Long = synchronized {
     val parent = currentSnapshotId.getOrElse(-1L)
     val id = if (parent == -1L) 1L else parent + 1L
-    val shards = if (entries.isEmpty) Seq(entries) else
-      entries.grouped(manifestShardSize).toSeq
+    // stamp data sequence numbers: an entry carried from an older snapshot
+    // arrives with its original seq (> 0, from the manifest) and keeps it; a
+    // NEW entry (collectStats constructs seq = 0) gets this commit's id —
+    // unless the parent already tracked the path (legacy seq-0 manifests
+    // stay 0 = oldest, conservatively covered by every delete)
+    lazy val parentSeq: Map[String, Long] =
+      if (parent == -1L) Map.empty
+      else this.entries(parent).map(e => e.path -> e.seq).toMap
+    val stamped = entries.map { e =>
+      if (e.seq > 0L) e
+      else e.copy(seq = parentSeq.getOrElse(e.path, id))
+    }
+    val shards = if (stamped.isEmpty) Seq(stamped) else
+      stamped.grouped(manifestShardSize).toSeq
     val manifestNames = shards.map { shard =>
       val name = s"manifest-$id-${UUID.randomUUID().toString.take(8)}.json"
       Files.write(metaDir.resolve(name),
         Json.write(ManifestFile(shard)).getBytes(StandardCharsets.UTF_8))
       name
     }
+    // delete manifests: inherited by NAME (immutable, shared across
+    // snapshots like data files), or rewritten when the op changes the set
+    val deleteManifestNames: Seq[String] = deletes match {
+      case None =>
+        if (parent == -1L) Nil else snapshot(parent).deleteManifests
+      case Some(ds) if ds.isEmpty => Nil
+      case Some(ds) =>
+        ds.grouped(manifestShardSize).map { shard =>
+          val name = s"delmanifest-$id-${UUID.randomUUID().toString.take(8)}.json"
+          Files.write(metaDir.resolve(name),
+            Json.write(ManifestFile(shard)).getBytes(StandardCharsets.UTF_8))
+          name
+        }.toSeq
+    }
     val snap = Snapshot(id, parent, System.currentTimeMillis(), operation,
       manifestNames,
-      summary ++ Map("files" -> entries.size.toString,
-                     "rows" -> entries.map(_.rows).sum.toString,
-                     "bytes" -> entries.map(_.sizeBytes).sum.toString))
+      summary ++ Map("files" -> stamped.size.toString,
+                     "rows" -> stamped.map(_.rows).sum.toString,
+                     "bytes" -> stamped.map(_.sizeBytes).sum.toString),
+      deleteManifestNames)
     val snapPath = metaDir.resolve(s"snap-$id.json")
     def dropClaim(): Unit = {
       Files.deleteIfExists(snapPath)
       manifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+      if (deletes.isDefined)
+        deleteManifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
     }
     try
       Files.write(snapPath, Json.write(snap).getBytes(StandardCharsets.UTF_8),
@@ -237,6 +287,8 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         manifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+        if (deletes.isDefined)
+          deleteManifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
         throw new ConcurrentCommitException(
           s"snapshot id $id was claimed by another writer (parent $parent)")
     }

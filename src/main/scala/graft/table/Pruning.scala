@@ -141,8 +141,8 @@ object Pruning {
    * no stats for the evolved column, so `mayMatch` keeps them — pruning
    * stays conservative across eras.)
    */
-  def scan(spark: SparkSession, store: MetaStore, entries: Seq[DataFile],
-           preds: Seq[Pred]): PrunedScan = {
+  def scan(spark: SparkSession, store: MetaStore, snapshotId: Long,
+           entries: Seq[DataFile], preds: Seq[Pred]): PrunedScan = {
     val zoneKept = keep(entries, preds)
     // point-lookup bloom prune: zonemaps cannot prune equality probes on a
     // hash-scattered key (every file's min/max spans the key space after a
@@ -160,8 +160,11 @@ object Pruning {
           zoneKept.map(_.path), bloomValues)
         zoneKept.filter(e => surviving.contains(e.path))
       }
+    // delete-aware read: pruning must never resurrect a deleted row — the
+    // kept files are anti-joined against their applicable delete files
+    // exactly as a full scan would (readFiles is a no-op without deletes)
     val readFiles = (fs: Seq[DataFile]) =>
-      graft.ops.Evolve.readFiles(spark, store, fs)
+      graft.ops.Deletes.readFiles(spark, store, snapshotId, fs)
     val base =
       if (entries.isEmpty) spark.emptyDataFrame
       else if (kept.isEmpty)

@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ops._
+import graft.synth.ClipSynth
+import graft.table.{MetaStore, Pred}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read equality deletes: sequence-number semantics, read paths
+  * (scan / pruned scan / publish / CDC), materialization by rewrites, and
+  * GC integration. */
+class DeleteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(tag: String): MetaStore = {
+    val dir = Files.createTempDirectory(s"graft-del-$tag").toString
+    MetaStore.forClips(dir)
+  }
+
+  /** 60 deterministic clips in two appends (seqs 1 and 2). */
+  private def seed(store: MetaStore): Unit = {
+    Append.run(spark, store, ClipSynth.dataset(spark, 30, 2, maxDurMs = 40).toDF())
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 60, 2, maxDurMs = 40).toDF()
+        .filter(col("clip_id") > ClipSynth.clipId(29)))
+  }
+
+  private def visibleIds(store: MetaStore): Set[String] =
+    store.scanCurrent(spark).select("clip_id").as[String].collect().toSet
+
+  test("equality delete hides rows; re-insert after delete is visible (seq rule)") {
+    val store = freshStore("seq")
+    seed(store)
+    val all = visibleIds(store)
+    assert(all.size == 60)
+
+    val res = Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "ulaw")))
+    assert(res.deleteRows > 0)
+    val ulaw = (0L until 60L).filter(i => ClipSynth.codec(i) == "ulaw")
+      .map(ClipSynth.clipId).toSet
+    assert(visibleIds(store) == all -- ulaw)
+
+    // re-insert two previously-deleted keys with new content: the delete's
+    // seq is below the new files' seq, so they must be visible
+    val back = ulaw.take(2).toSeq
+    val reinserted = ClipSynth.dataset(spark, 60, 1, maxDurMs = 40).toDF()
+      .filter(col("clip_id").isin(back: _*))
+      .withColumn("transcript", concat(col("transcript"), lit(" v2")))
+    Append.run(spark, store, reinserted)
+    val now = visibleIds(store)
+    assert(back.forall(now.contains), "re-inserted keys must be visible")
+    assert((ulaw -- back).forall(!now.contains(_)), "other deleted keys stay hidden")
+    val v2 = store.scanCurrent(spark)
+      .filter(col("clip_id") === back.head)
+      .select("transcript").as[String].collect()
+    assert(v2.length == 1 && v2.head.endsWith(" v2"))
+  }
+
+  test("pruned scan equals scan+filter under live deletes") {
+    val store = freshStore("prune")
+    seed(store)
+    Deletes.deleteWhere(spark, store, Seq(Pred.GtEq("dur_ms", 25)))
+    val preds = Seq(Pred.Between("dur_ms", 10, 35))
+    val pruned = store.scanCurrentPruned(spark, preds).df
+      .select("clip_id").as[String].collect().sorted
+    val full = store.scanCurrent(spark).filter(Pred.and(preds))
+      .select("clip_id").as[String].collect().sorted
+    assert(pruned.sameElements(full))
+  }
+
+  test("compaction materializes deletes; scan equality holds; CDC stays silent") {
+    val store = freshStore("compact")
+    seed(store)
+    val res = Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "pcm8")))
+    assert(res.deleteRows > 0, "the delete must match rows")
+    val preCompact = store.currentSnapshotId.get
+    val expect = visibleIds(store)
+
+    val c = Compact.run(spark, store, targetBytes = 512L * 1024, singleJob = true)
+    assert(visibleIds(store) == expect, "post-compact scan must equal pre-compact")
+
+    // rewritten files are born clean: raw-read every file with the new seq
+    val newFiles = store.entries(c.snapshotId).filter(_.seq == c.snapshotId)
+    if (newFiles.nonEmpty) {
+      val raw = spark.read.parquet(newFiles.map(_.path): _*)
+        .filter(col("codec") === "pcm8").count()
+      assert(raw == 0, "materialized files must not contain deleted rows")
+    }
+    // compaction after a delete is still CDC-invisible
+    val cdc = Changes.rowChanges(spark, store, preCompact, c.snapshotId)
+    assert(cdc.isEmpty, "compaction must be invisible to CDC even when it materializes deletes")
+  }
+
+  test("full cluster rewrite makes deletes inert; expireInert drops them") {
+    val store = freshStore("inert")
+    seed(store)
+    Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "ulaw")))
+    val expect = visibleIds(store)
+    assert(store.deleteEntries(store.currentSnapshotId.get).nonEmpty)
+
+    Cluster.run(spark, store, targetBytes = 512L * 1024)
+    val (snapAfter, dropped) = Deletes.expireInert(store)
+    assert(dropped == 1)
+    assert(store.deleteEntries(snapAfter).isEmpty)
+    assert(visibleIds(store) == expect)
+    // nothing inert left -> no-op, no new snapshot
+    assert(Deletes.expireInert(store) == (snapAfter, 0))
+  }
+
+  test("merge-on-read delete scans identically to copy-on-write MERGE delete") {
+    val mor = freshStore("mor")
+    val cow = freshStore("cow")
+    seed(mor); seed(cow)
+    val keys = (0L until 60L).filter(i => ClipSynth.durMs(i) % 3 == 0)
+      .map(ClipSynth.clipId)
+    val keyDf = keys.toDF("clip_id")
+
+    Deletes.run(spark, mor, keyDf)
+    MergeInto.run(spark, cow, updates = cow.scanCurrent(spark).limit(0),
+      deleteKeys = Some(keyDf))
+
+    val a = mor.scanCurrent(spark).select("clip_id", "codec", "dur_ms", "transcript")
+      .as[(String, String, Int, String)].collect().sorted
+    val b = cow.scanCurrent(spark).select("clip_id", "codec", "dur_ms", "transcript")
+      .as[(String, String, Int, String)].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("rollback across a delete restores and re-hides rows") {
+    val store = freshStore("rollback")
+    seed(store)
+    val preDelete = store.currentSnapshotId.get
+    Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "ulaw")))
+    val postDelete = store.currentSnapshotId.get
+    val hidden = visibleIds(store)
+
+    Refs.rollback(store, preDelete)
+    assert(visibleIds(store).size == 60, "rollback before the delete restores rows")
+    Refs.rollback(store, postDelete)
+    assert(visibleIds(store) == hidden, "rollback onto the delete re-hides rows")
+  }
+
+  test("CDC classifies merge-on-read deletes as delete rows") {
+    val store = freshStore("cdc")
+    seed(store)
+    val from = store.currentSnapshotId.get
+    Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "ulaw")))
+    val to = store.currentSnapshotId.get
+    val ulaw = (0L until 60L).filter(i => ClipSynth.codec(i) == "ulaw")
+      .map(ClipSynth.clipId).toSet
+
+    val rows = Changes.rowChanges(spark, store, from, to)
+      .as[(String, String)].collect()
+    assert(rows.forall(_._2 == "delete"))
+    assert(rows.map(_._1).toSet == ulaw)
+  }
+
+  test("GC: orphan scan keeps delete files; expiry collects them once unreachable") {
+    val store = freshStore("gc")
+    seed(store)
+    Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "ulaw")))
+    val delPaths = store.deleteEntries(store.currentSnapshotId.get).map(_.path)
+    assert(delPaths.nonEmpty && delPaths.forall(p => Files.exists(Paths.get(p))))
+
+    // referenced delete files are GC roots even with a zero age floor
+    RemoveOrphans.run(store, minAgeMs = 0L)
+    assert(delPaths.forall(p => Files.exists(Paths.get(p))))
+    val expect = visibleIds(store)
+
+    // full rewrite + inert expiry, then snapshot expiry: the delete file is
+    // referenced only by expired snapshots -> collected
+    Cluster.run(spark, store, targetBytes = 512L * 1024)
+    Deletes.expireInert(store)
+    ExpireSnapshots.run(store, keepLast = 1)
+    assert(delPaths.forall(p => !Files.exists(Paths.get(p))),
+      "delete parquet must be GC'd once no retained snapshot references it")
+    assert(visibleIds(store) == expect)
+  }
+
+  test("publish materializes live deletes instead of raw-copying them") {
+    val store = freshStore("publish")
+    seed(store)
+    Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "ulaw")))
+    val dest = Files.createTempDirectory("graft-del-pub").toString
+    val res = Publish.run(store, store.currentSnapshotId.get, dest, Some(spark))
+    val exported = spark.read.parquet(dest)
+    assert(exported.filter(col("codec") === "ulaw").count() == 0)
+    assert(res.rows == exported.count())
+    assert(visibleIds(store) == exported.select("clip_id").as[String].collect().toSet)
+  }
+}
