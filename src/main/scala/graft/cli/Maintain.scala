@@ -153,6 +153,9 @@ object Maintain {
       case "expire-deletes" =>
         val (id, dropped) = Deletes.expireInert(store)
         println(s"snapshot $id: dropped $dropped inert delete file(s)")
+      case "compact-manifests" =>
+        val (id, before, after) = store.compactManifests()
+        println(s"snapshot $id: $before -> $after manifest shards")
       case other => sys.error(s"unknown op: $other")
     }
     spark.stop()

@@ -26,7 +26,9 @@ object Append {
     val dir = store.newDataDir("append")
     df.write.mode("overwrite").parquet(dir)
     val newEntries = store.collectStats(spark, dir)
-    val parentEntries = store.currentSnapshotId.map(store.entries).getOrElse(Seq.empty)
-    store.commit("append", parentEntries ++ newEntries, summary)
+    // O(batch) commit: parent manifests are reused structurally — a
+    // streaming ingest against a 10^5-manifest-entry table never reads or
+    // rewrites the existing file list
+    store.commitDelta("append", newEntries, summary = summary)
   }
 }

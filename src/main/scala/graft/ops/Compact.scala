@@ -72,13 +72,15 @@ object Compact {
       LineageRecord(runId, snapId, "compact", "single-job", p, e.rows,
         e.sizeBytes, wallMs, System.currentTimeMillis(), "done")
     })
-    val finalEntries = kept ++ singletons.flatten ++ newEntries
-    val newSnap = store.commit("compact", finalEntries, Map(
-      "runId" -> runId, "mode" -> "single-job",
-      "binsRewritten" -> toRewrite.size.toString,
-      "filesBefore" -> entries.size.toString,
-      "filesAfter" -> finalEntries.size.toString))
-    CompactResult(newSnap, runId, entries.size, finalEntries.size,
+    val filesAfter = entries.size - toRewrite.map(_.size).sum + newEntries.size
+    val newSnap = store.commitDelta("compact", newEntries,
+      removedPaths = toRewrite.flatten.map(_.path).toSet,
+      summary = Map(
+        "runId" -> runId, "mode" -> "single-job",
+        "binsRewritten" -> toRewrite.size.toString,
+        "filesBefore" -> entries.size.toString,
+        "filesAfter" -> filesAfter.toString))
+    CompactResult(newSnap, runId, entries.size, filesAfter,
       toRewrite.size, 0, newEntries.map(_.rows).sum)
   }
 
@@ -181,13 +183,15 @@ object Compact {
       finally { pool.shutdown(); pool.awaitTermination(1, TimeUnit.HOURS) }
     store.appendLineage(spark, lineageBuf.asScala.toSeq)
 
-    val finalEntries = kept ++ singletons.flatten ++ newEntries
-    val newSnap = store.commit("compact", finalEntries, Map(
-      "runId" -> runId,
-      "binsRewritten" -> toRewrite.size.toString,
-      "filesBefore" -> entries.size.toString,
-      "filesAfter" -> finalEntries.size.toString))
-    CompactResult(newSnap, runId, entries.size, finalEntries.size,
+    val filesAfter = entries.size - toRewrite.map(_.size).sum + newEntries.size
+    val newSnap = store.commitDelta("compact", newEntries,
+      removedPaths = toRewrite.flatten.map(_.path).toSet,
+      summary = Map(
+        "runId" -> runId,
+        "binsRewritten" -> toRewrite.size.toString,
+        "filesBefore" -> entries.size.toString,
+        "filesAfter" -> filesAfter.toString))
+    CompactResult(newSnap, runId, entries.size, filesAfter,
       toRewrite.size, skipped, newEntries.map(_.rows).sum)
   }
 }

@@ -107,7 +107,9 @@ object Deletes {
     val entries = store.collectStats(spark, outDir).map(_.copy(seq = expectedId))
     val rows = entries.map(_.rows).sum
     if (rows == 0) return DeleteResult(snapId, 0, 0) // empty key set: no-op
-    val newSnap = store.commit("delete", store.entries(snapId), Map(
+    // metadata-only delta commit: the data file list is untouched, so every
+    // parent manifest is reused — O(delete keys), never O(table)
+    val newSnap = store.commitDelta("delete", Nil, summary = Map(
       "runId" -> runId,
       "deleteRows" -> rows.toString,
       "deleteFiles" -> entries.size.toString),
@@ -141,7 +143,7 @@ object Deletes {
     val minDataSeq = store.entries(snapId).map(_.seq).minOption.getOrElse(Long.MaxValue)
     val (inert, live) = dels.partition(_.seq <= minDataSeq)
     if (inert.isEmpty) return (snapId, 0)
-    val id = store.commit("expire-deletes", store.entries(snapId), Map(
+    val id = store.commitDelta("expire-deletes", Nil, summary = Map(
       "deletesDropped" -> inert.size.toString,
       "deletesKept" -> live.size.toString),
       deletes = Some(live))

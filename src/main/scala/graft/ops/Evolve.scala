@@ -94,7 +94,7 @@ object Evolve {
     // CURRENT): a crash between the two leaves a harmless no-op "evolve"
     // snapshot, never a log that retro-actively rewrites pinned reads, and
     // never a torn evolutions.json that would fail every subsequent scan
-    val id = store.commit("evolve", entries, Map(
+    val id = store.commitDelta("evolve", Nil, summary = Map(
       "column" -> column, "type" -> typeDdl, "default" -> defaultSql))
     val tmp = logPath(store).resolveSibling(
       s"evolutions.tmp-${java.util.UUID.randomUUID().toString.take(8)}")

@@ -95,10 +95,12 @@ object MergeInto {
       LineageRecord(runId, snapId, "merge", e.path, p, e.rows, e.sizeBytes,
         wallMs, System.currentTimeMillis(), "done")
     })
-    val newSnap = store.commit("merge", untouched ++ newEntries, Map(
-      "runId" -> runId,
-      "filesTouched" -> touched.size.toString,
-      "filesUntouched" -> untouched.size.toString))
+    val newSnap = store.commitDelta("merge", newEntries,
+      removedPaths = touched.map(_.path).toSet,
+      summary = Map(
+        "runId" -> runId,
+        "filesTouched" -> touched.size.toString,
+        "filesUntouched" -> untouched.size.toString))
     MergeResult(newSnap, runId, touched.size, untouched.size,
       newEntries.map(_.rows).sum)
   }

@@ -86,10 +86,10 @@ object RemoveOrphans {
       val p = Paths.get(store.tableDir, "meta", s"snap-$id.json")
       if (Files.exists(p) && Files.getLastModifiedTime(p).toMillis < cutoffMs) {
         val snap = store.snapshot(id)
-        // data manifests are always commit-private (manifest-<id>-*); delete
-        // manifests may be INHERITED BY NAME from the parent — only remove
-        // the ones this crashed commit wrote itself
-        val own = snap.manifests ++
+        // delta commits REUSE manifests by name (and inherit delete
+        // manifests) — only remove the files this crashed commit wrote
+        // itself, identified by the id baked into the name
+        val own = snap.manifests.filter(_.startsWith(s"manifest-$id-")) ++
           snap.deleteManifests.filter(_.startsWith(s"delmanifest-$id-"))
         Files.delete(p)
         own.foreach(m =>

@@ -104,6 +104,17 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
   def scanCurrent(spark: SparkSession): DataFrame =
     scan(spark, currentSnapshotId.getOrElse(sys.error(s"$tableDir: no current snapshot")))
 
+  /** Time travel by wall clock: the newest snapshot committed at or before
+   * `tsMs` (expired history is gone — pin a tag for durable reads). */
+  def snapshotAsOf(tsMs: Long): Long = {
+    val ids = allSnapshotIds.filter(id => snapshot(id).timestampMs <= tsMs)
+    if (ids.isEmpty) sys.error(s"$tableDir: no snapshot at or before $tsMs")
+    ids.max
+  }
+
+  def scanAsOf(spark: SparkSession, tsMs: Long): DataFrame =
+    scan(spark, snapshotAsOf(tsMs))
+
   /** Zonemap scan: skip whole data files whose manifest min/max stats prove
    * they cannot match `preds` (see [[Pruning]]); result rows are identical to
    * `scan(...).filter(Pred.and(preds))` by construction. */
@@ -248,15 +259,108 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     }
     val shards = if (stamped.isEmpty) Seq(stamped) else
       stamped.grouped(manifestShardSize).toSeq
-    val manifestNames = shards.map { shard =>
-      val name = s"manifest-$id-${UUID.randomUUID().toString.take(8)}.json"
-      Files.write(metaDir.resolve(name),
-        Json.write(ManifestFile(shard)).getBytes(StandardCharsets.UTF_8))
-      name
+    val manifestNames = shards.map(writeManifest(id, _))
+    publish(operation, parent, id, manifestNames, manifestNames,
+      deleteManifestNames(parent, id, deletes),
+      deletes.isDefined,
+      summary ++ Map("files" -> stamped.size.toString,
+                     "rows" -> stamped.map(_.rows).sum.toString,
+                     "bytes" -> stamped.map(_.sizeBytes).sum.toString))
+  }
+
+  /**
+   * O(churn) commit: reuse every parent manifest untouched by the change —
+   * the Iceberg manifest-reuse discipline. `commit` rewrites the COMPLETE
+   * file list (O(table files) of driver JSON per commit — fine for full
+   * rewrites like a cluster pass, ruinous for a streaming append against
+   * 10^5-10^6 files); this publishes a snapshot as parent manifests minus
+   * `removedPaths` plus a fresh manifest for `added`:
+   *
+   *  - pure append / metadata-only op (`removedPaths` empty): NO parent
+   *    manifest is read or rewritten — commit cost is O(added), manifests
+   *    shared structurally with the parent;
+   *  - partial rewrite (compact/merge): only manifests CONTAINING a removed
+   *    path are rewritten (minus those paths); disjoint shards are reused.
+   *
+   * Shared manifests are immutable and GC'd by name-set difference
+   * (ExpireSnapshots), same as shared data files. Many delta commits
+   * accumulate small manifests; [[compactManifests]] re-shards.
+   */
+  def commitDelta(operation: String, added: Seq[DataFile],
+                  removedPaths: Set[String] = Set.empty,
+                  summary: Map[String, String] = Map.empty,
+                  deletes: Option[Seq[DataFile]] = None): Long = synchronized {
+    val parent = currentSnapshotId.getOrElse(-1L)
+    val id = if (parent == -1L) 1L else parent + 1L
+    val stampedAdded = added.map(e => if (e.seq > 0L) e else e.copy(seq = id))
+    val parentManifests = if (parent == -1L) Nil else snapshot(parent).manifests
+    var removedRows = 0L; var removedBytes = 0L; var removedFiles = 0L
+    val (reused, rewritten) =
+      if (removedPaths.isEmpty) (parentManifests, Seq.empty[String])
+      else parentManifests.partition { m =>
+        readManifestEntries(m).forall(e => !removedPaths.contains(e.path))
+      }
+    val rewrittenNames = rewritten.flatMap { m =>
+      val kept = readManifestEntries(m).filter { e =>
+        val out = removedPaths.contains(e.path)
+        if (out) { removedRows += e.rows; removedBytes += e.sizeBytes; removedFiles += 1 }
+        !out
+      }
+      if (kept.isEmpty) None else Some(writeManifest(id, kept))
     }
-    // delete manifests: inherited by NAME (immutable, shared across
-    // snapshots like data files), or rewritten when the op changes the set
-    val deleteManifestNames: Seq[String] = deletes match {
+    val addedNames = stampedAdded.grouped(manifestShardSize).map(writeManifest(id, _)).toSeq
+    val manifestNames = reused ++ rewrittenNames ++ addedNames
+    // totals incrementally from the parent's recorded summary (avoids the
+    // O(table) manifest read the delta commit exists to skip)
+    def parentCount(k: String): Long =
+      if (parent == -1L) 0L
+      else snapshot(parent).summary.get(k).flatMap(_.toLongOption).getOrElse {
+        val es = this.entries(parent)
+        k match {
+          case "files" => es.size.toLong
+          case "rows" => es.map(_.rows).sum
+          case _ => es.map(_.sizeBytes).sum
+        }
+      }
+    publish(operation, parent, id, manifestNames, rewrittenNames ++ addedNames,
+      deleteManifestNames(parent, id, deletes),
+      deletes.isDefined,
+      summary ++ Map(
+        "files" -> (parentCount("files") - removedFiles + stampedAdded.size).toString,
+        "rows" -> (parentCount("rows") - removedRows + stampedAdded.map(_.rows).sum).toString,
+        "bytes" -> (parentCount("bytes") - removedBytes + stampedAdded.map(_.sizeBytes).sum).toString,
+        "manifestsReused" -> reused.size.toString,
+        "manifestsRewritten" -> rewrittenNames.size.toString))
+  }
+
+  /** Re-shard the current snapshot's manifests into full-size shards
+   * (metadata-only): many delta commits leave one small manifest each; this
+   * folds them back to ceil(files / manifestShardSize) shards. Returns
+   * (new snapshot id, manifests before, after). */
+  def compactManifests(): (Long, Int, Int) = {
+    val cur = currentSnapshotId.getOrElse(sys.error(s"$tableDir: no current snapshot"))
+    val before = snapshot(cur).manifests.size
+    val id = commit("rewrite-manifests", entries(cur),
+      Map("manifestsBefore" -> before.toString))
+    (id, before, snapshot(id).manifests.size)
+  }
+
+  private def readManifestEntries(name: String): Seq[DataFile] =
+    Json.readManifest(new String(
+      Files.readAllBytes(metaDir.resolve(name)), StandardCharsets.UTF_8)).entries
+
+  private def writeManifest(id: Long, shard: Seq[DataFile]): String = {
+    val name = s"manifest-$id-${UUID.randomUUID().toString.take(8)}.json"
+    Files.write(metaDir.resolve(name),
+      Json.write(ManifestFile(shard)).getBytes(StandardCharsets.UTF_8))
+    name
+  }
+
+  /** Delete manifests: inherited by NAME (immutable, shared across
+   * snapshots like data files), or rewritten when the op changes the set. */
+  private def deleteManifestNames(parent: Long, id: Long,
+                                  deletes: Option[Seq[DataFile]]): Seq[String] =
+    deletes match {
       case None =>
         if (parent == -1L) Nil else snapshot(parent).deleteManifests
       case Some(ds) if ds.isEmpty => Nil
@@ -268,27 +372,31 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
           name
         }.toSeq
     }
+
+  /** Claim snap-<id>.json (O_EXCL), CAS CURRENT, atomic-rename publish.
+   * `ownManifests` / `ownDeletes` = files THIS commit wrote (cleaned up on
+   * failure); reused/inherited names are never touched. */
+  private def publish(operation: String, parent: Long, id: Long,
+                      manifestNames: Seq[String], ownManifests: Seq[String],
+                      delManifestNames: Seq[String], ownDeletes: Boolean,
+                      summary: Map[String, String]): Long = {
     val snap = Snapshot(id, parent, System.currentTimeMillis(), operation,
-      manifestNames,
-      summary ++ Map("files" -> stamped.size.toString,
-                     "rows" -> stamped.map(_.rows).sum.toString,
-                     "bytes" -> stamped.map(_.sizeBytes).sum.toString),
-      deleteManifestNames)
+      manifestNames, summary, delManifestNames)
     val snapPath = metaDir.resolve(s"snap-$id.json")
     def dropClaim(): Unit = {
       Files.deleteIfExists(snapPath)
-      manifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
-      if (deletes.isDefined)
-        deleteManifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+      ownManifests.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+      if (ownDeletes)
+        delManifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
     }
     try
       Files.write(snapPath, Json.write(snap).getBytes(StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        manifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
-        if (deletes.isDefined)
-          deleteManifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+        ownManifests.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+        if (ownDeletes)
+          delManifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
         throw new ConcurrentCommitException(
           s"snapshot id $id was claimed by another writer (parent $parent)")
     }
