@@ -156,6 +156,11 @@ object Maintain {
       case "compact-manifests" =>
         val (id, before, after) = store.compactManifests()
         println(s"snapshot $id: $before -> $after manifest shards")
+      case "layout" =>
+        // zonemap quality per stats column: expected files opened per probe
+        val es = store.entries(store.currentSnapshotId.get)
+        val cols = if (rest.nonEmpty) rest.toSeq else store.statsColumns
+        cols.foreach(c => println(graft.table.Layout.overlapDepth(es, c).pretty))
       case other => sys.error(s"unknown op: $other")
     }
     spark.stop()

@@ -956,19 +956,20 @@ object Audio {
       val dir = OracleFixtures.freshDir("q100_store", d)
       val store = MetaStore.forClips(dir)
       val n = clipCount(d)
-      Append.run(s, store,
-        ClipSynth.dataset(s, n / 2, 4, maxDurMs = 150).toDF())
-      Append.run(s, store,
-        ClipSynth.dataset(s, n, 4, maxDurMs = 150).toDF()
-          .filter(col("clip_id") > ClipSynth.clipId(n / 2 - 1)))
+      // synthesize only the id range each append needs (tone generation is
+      // the dominant cost; a synth-all-then-filter would pay it twice)
+      def synthRange(from: Long, until: Long, parts: Int) =
+        s.range(from, until, 1L, parts).map(i => ClipSynth.clip(i, 150)).toDF()
+      Append.run(s, store, synthRange(0, n / 2, 4))
+      Append.run(s, store, synthRange(n / 2, n, 4))
       Deletes.deleteWhere(s, store, Seq(Pred.EqualTo("codec", "ulaw")))
       val delSnap = store.currentSnapshotId.get
       val delFiles = store.deleteEntries(delSnap)
       val reKeys = s.read.parquet(delFiles.map(_.path): _*)
         .orderBy("clip_id").limit(10).as[String].collect().toSeq
+      val reIdx = reKeys.map(k => k.stripPrefix("clip_").toLong)
       Append.run(s, store,
-        ClipSynth.dataset(s, n, 2, maxDurMs = 150).toDF()
-          .filter(col("clip_id").isin(reKeys: _*))
+        reIdx.toDS().repartition(1).map(i => ClipSynth.clip(i, 150)).toDF()
           .withColumn("transcript", concat(col("transcript"), lit(" v2"))))
       // era lists BEFORE the compaction rewrites them (old snapshots keep
       // the raw files alive for the oracle's replay)

@@ -91,6 +91,24 @@ class ManifestDeltaSpec extends AnyFunSuite {
     assertThrows[RuntimeException](store.snapshotAsOf(t1 - 1000000))
   }
 
+  test("layout overlap depth: cluster rewrite tightens zonemaps, metric sees it") {
+    val store = freshStore("layout")
+    // 8 random-layout files: every file spans most of the dur_ms space
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 400, 8, maxDurMs = 200).toDF().repartition(8))
+    val before = graft.table.Layout.overlapDepth(
+      store.entries(store.currentSnapshotId.get), "dur_ms")
+    assert(before.avgDepth > 2.0, s"random layout should overlap, got $before")
+    // range-cluster on dur_ms only (no hash dim): files become range-disjoint
+    Cluster.run(spark, store, targetBytes = 64L * 1024,
+      hashCols = Seq.empty, rangeCols = Seq("dur_ms", "sr_hz"))
+    val after = graft.table.Layout.overlapDepth(
+      store.entries(store.currentSnapshotId.get), "dur_ms")
+    assert(after.files > 1, "cluster must produce multiple files for the metric")
+    assert(after.avgDepth < before.avgDepth,
+      s"cluster must reduce overlap: before=$before after=$after")
+  }
+
   test("shared manifests survive expiry of the snapshots that created them") {
     val store = freshStore("share-gc")
     Append.run(spark, store, batch(0, 10))
