@@ -1,0 +1,120 @@
+package graft.bench
+
+import java.nio.file.Files
+
+import graft.table._
+
+/**
+ * Metadata-scale probe: the 10^12-row design claim is really a claim about
+ * the 10^5–10^6-data-file regime (128 MB files), where what matters is the
+ * DRIVER-side cost of planning and committing against the manifest set —
+ * no real data needs to exist to measure it. This main synthesizes a table
+ * of K fake file entries with realistic stats/tuples, commits it through
+ * the real MetaStore, and times every metadata operation the engine does
+ * per query or per commit:
+ *
+ *  - snapshot load (`entries()`: manifest JSON parse, sharded),
+ *  - partition-tier elimination + zonemap pruning over all K entries,
+ *  - O(churn) streaming append (`commitDelta`, zero parent manifests read),
+ *  - partial rewrite (compact-shaped: remove files clustered in one shard),
+ *  - full manifest rewrite (`compactManifests`) for contrast,
+ *  - `snapshotAsOf` time travel.
+ *
+ * Usage: runMain graft.bench.MetaScale [K] (default 200000 ≈ a 25 TB table
+ * at 128 MB files; 10^6 extrapolates linearly — all ops below are O(K) or
+ * O(churn) by construction and the output proves which is which).
+ */
+object MetaScale {
+
+  private def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e6)
+  }
+
+  def synthEntry(i: Long, commitId: Long): DataFile = {
+    // contiguous clip_id ranges per file (post-cluster layout) so zonemap
+    // pruning has realistic selectivity; dur window + codec as tuples
+    val lo = i * 10000L
+    val hi = lo + 9999L
+    DataFile(
+      path = f"/warehouse/clips/data/append-x/_p_codec=${Seq("pcm16le", "ulaw", "pcm8")(
+        (i % 3).toInt)}/_p_dur_ms_trunc=${(i % 10) * 100}/part-$i%08d.parquet",
+      rows = 60000L,
+      sizeBytes = 128L * 1024 * 1024,
+      stats = Map(
+        "clip_id" -> ColStat(f"clip_$lo%012d", f"clip_$hi%012d", numeric = false, 0L),
+        "sr_hz" -> ColStat("8000", "44100", numeric = true, 0L),
+        "dur_ms" -> ColStat(((i % 10) * 100).toString,
+          ((i % 10) * 100 + 99).toString, numeric = true, 0L)),
+      seq = commitId,
+      partition = Map(
+        "codec" -> Seq("pcm16le", "ulaw", "pcm8")((i % 3).toInt),
+        "dur_ms_trunc" -> ((i % 10) * 100).toString))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toLong).getOrElse(200000L)
+    val root = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+    val dir = Files.createTempDirectory(root, "graft-metascale")
+    try {
+      val store = new MetaStore(dir.toString, MetaStore.ClipStatsColumns)
+      store.bloomColumn = None
+      store.setPartitionSpec(PartitionSpec(Seq(
+        Partitioning.identity("codec"),
+        Partitioning.truncate("dur_ms", 100, sourceType = "int"))))
+
+      val base = (0L until k).map(synthEntry(_, 1L))
+      val (_, tCommitFull) = time(store.commit("append", base))
+
+      val (entries, tLoad) = time(store.entries(store.currentSnapshotId.get))
+      require(entries.size == k.toInt, s"${entries.size} != $k")
+
+      val spec = store.partitionSpec.get
+      val preds = Seq(Pred.EqualTo("codec", "ulaw"),
+        Pred.Between("dur_ms", 120L, 180L))
+      // prunes run once per QUERY — warm JIT is the representative cost
+      entries.filter(spec.pruner(preds)); Pruning.keep(entries.take(50000), preds)
+      val (partKept, tPartition) =
+        time(entries.filter(spec.pruner(preds)))
+      val (zoneKept, tZonemap) = time(Pruning.keep(partKept, preds))
+      // a clustered point probe: clip_id range elimination over all K
+      val probe = Seq(Pred.EqualTo("clip_id", f"clip_${k * 5000L}%012d"))
+      Pruning.keep(entries.take(50000), probe)
+      val (pointKept, tPoint) = time(Pruning.keep(entries, probe))
+
+      val add10 = (k until k + 10L).map(synthEntry(_, 0L))
+      val (_, tAppendDelta) = time(
+        store.commitDelta("append", add10))
+      val reused = store.currentSnapshot.get.summary("manifestsReused").toInt
+
+      // compact-shaped partial rewrite: remove 100 files that live in ONE
+      // manifest shard (entries are sharded in commit order), add 1 merged
+      val victims = base.slice(1000, 1100).map(_.path).toSet
+      val (_, tPartialRewrite) = time(
+        store.commitDelta("compact", Seq(synthEntry(k + 100L, 0L)),
+          removedPaths = victims))
+      val rewritten = store.currentSnapshot.get.summary("manifestsRewritten").toInt
+
+      val (_, tAsOf) = time(store.snapshotAsOf(System.currentTimeMillis()))
+      val (_, tFullRewrite) = time(store.compactManifests())
+
+      println(
+        f"""{"metric":"meta-scale","files":$k,"shards":${(k / store.manifestShardSize) + 1},""" +
+        f""""commit_full_ms":$tCommitFull%.1f,"snapshot_load_ms":$tLoad%.1f,""" +
+        f""""prune_partition_ms":$tPartition%.1f,"partition_kept":${partKept.size},""" +
+        f""""prune_zonemap_ms":$tZonemap%.1f,"zonemap_kept":${zoneKept.size},""" +
+        f""""prune_point_ms":$tPoint%.1f,"point_kept":${pointKept.size},""" +
+        f""""append_delta_ms":$tAppendDelta%.1f,"manifests_reused":$reused,""" +
+        f""""partial_rewrite_ms":$tPartialRewrite%.1f,"manifests_rewritten":$rewritten,""" +
+        f""""asof_ms":$tAsOf%.1f,"manifest_compact_ms":$tFullRewrite%.1f}""")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      ()
+    }
+  }
+}

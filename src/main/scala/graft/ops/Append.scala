@@ -24,7 +24,10 @@ object Append {
           constraints: Seq[Constraint] = Seq.empty): Long = {
     Constraints.enforce(df, constraints)
     val dir = store.newDataDir("append")
-    df.write.mode("overwrite").parquet(dir)
+    // honors the table's hidden-partition spec when declared: one partition
+    // tuple per output file, tuple recorded in the manifest for exact
+    // file elimination at scan time (table/Partitioning.scala)
+    store.writeData(df, dir)
     val newEntries = store.collectStats(spark, dir)
     // O(batch) commit: parent manifests are reused structurally — a
     // streaming ingest against a 10^5-manifest-entry table never reads or

@@ -158,13 +158,24 @@ object Cluster {
         })
         // sort leads with _file so the dynamic-partition writer's required
         // ordering is satisfied (no extra non-stable sort injected); one
-        // token per partition makes it equivalent to sorting by _ckey alone
+        // token per partition makes it equivalent to sorting by _ckey alone.
+        // Partitioned tables: recompute the hidden-partition columns and
+        // fan each key range out per tuple (Iceberg fanout writer) — the
+        // rewrite preserves exact partition pruning, and within each tuple
+        // every file still covers one contiguous key range.
         val tw0 = System.nanoTime()
-        keyed.withColumn("_file", assign(col("_ckey")))
+        val pfields = store.partitionSpec.map(_.fields).getOrElse(Nil)
+        val pnames = pfields.map(graft.table.Partitioning.ColPrefix + _.name)
+        val assigned = keyed.withColumn("_file", assign(col("_ckey")))
+        val withP =
+          if (pfields.isEmpty) assigned
+          else assigned.select(assigned.columns.map(col) ++ pfields.map(f =>
+            f.expr.as(graft.table.Partitioning.ColPrefix + f.name)): _*)
+        withP
           .repartition(n, col("_file"))
-          .sortWithinPartitions("_file", "_ckey")
+          .sortWithinPartitions(("_file" +: pnames :+ "_ckey").map(col): _*)
           .drop("_ckey")
-          .write.mode("overwrite").partitionBy("_file").parquet(outDir)
+          .write.mode("overwrite").partitionBy("_file" +: pnames: _*).parquet(outDir)
         System.err.println(f"[cluster] shuffle+sort+write ${(System.nanoTime()-tw0)/1e9}%.1f s")
         val ts0 = System.nanoTime()
         val st = store.collectStats(spark, outDir)
@@ -205,10 +216,19 @@ object Cluster {
                 .filter(lo.map(col("_ckey") >= _).getOrElse(lit(true)) &&
                   hi.map(col("_ckey") < _).getOrElse(lit(true)))
               val batchDir = s"$outDir/batch=$b"
-              part.repartitionByRange(filesPerBatch, col("_ckey"))
-                .sortWithinPartitions("_ckey")
+              val pfields = store.partitionSpec.map(_.fields).getOrElse(Nil)
+              val pnames = pfields.map(graft.table.Partitioning.ColPrefix + _.name)
+              val ranged = part.repartitionByRange(filesPerBatch, col("_ckey"))
+              val withP =
+                if (pfields.isEmpty) ranged
+                else ranged.select(ranged.columns.map(col) ++ pfields.map(f =>
+                  f.expr.as(graft.table.Partitioning.ColPrefix + f.name)): _*)
+              val sorted = withP
+                .sortWithinPartitions((pnames :+ "_ckey").map(col): _*)
                 .drop("_ckey")
-                .write.mode("overwrite").parquet(batchDir)
+              (if (pnames.isEmpty) sorted.write
+               else sorted.write.partitionBy(pnames: _*))
+                .mode("overwrite").parquet(batchDir)
               val es = store.collectStats(spark, batchDir)
               store.saveItemResult(runId, item, graft.table.Json.write(es))
               store.markDone(runId, item)

@@ -63,9 +63,18 @@ object Compact {
           Deletes.readFiles(spark, store, snapId, bin)
             .withColumn("_bin", lit(i))
         }.reduce(_.unionByName(_))
-    tagged
+    // partitioned tables: recompute the hidden-partition columns so each
+    // bin's output lands under its tuple's path segments (bins are
+    // tuple-pure by construction, so this fans out to ONE file per bin)
+    val pfields = store.partitionSpec.map(_.fields).getOrElse(Nil)
+    val pnames = pfields.map(graft.table.Partitioning.ColPrefix + _.name)
+    val withP =
+      if (pfields.isEmpty) tagged
+      else tagged.select(tagged.columns.map(col) ++
+        pfields.map(f => f.expr.as(graft.table.Partitioning.ColPrefix + f.name)): _*)
+    withP
       .repartition(toRewrite.size, col("_bin"))
-      .write.mode("overwrite").partitionBy("_bin").parquet(outDir)
+      .write.mode("overwrite").partitionBy("_bin" +: pnames: _*).parquet(outDir)
     val newEntries = store.collectStats(spark, outDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
     store.appendLineage(spark, newEntries.zipWithIndex.map { case (e, p) =>
@@ -117,7 +126,13 @@ object Compact {
     val entries = store.entries(snapId)
     val threshold = (targetBytes * smallFileFrac).toLong
     val (candidates, kept) = entries.partition(_.sizeBytes < threshold)
-    val bins = binPackFFD(candidates, targetBytes)
+    // bins never mix partition tuples: a merged file must stay single-tuple
+    // or its path segment would lie to the pruner (files without a tuple
+    // group under the empty tuple and merge freely). Sorted group order
+    // keeps bin indices deterministic for checkpoint identity.
+    val bins = candidates.groupBy(_.partition).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .flatMap { case (_, fs) => binPackFFD(fs, targetBytes) }
     // single-file bins gain nothing from a rewrite — keep them in place
     val (toRewrite, singletons) = bins.partition(_.size >= 2)
     val outDir = store.newDataDir(s"compact")
@@ -161,7 +176,11 @@ object Compact {
               saved
             case _ =>
               val t0 = System.nanoTime()
-              val binDir = s"$outDir/bin=$i"
+              // re-home the merged file under its (single) tuple's path
+              // segments so collectStats re-parses the tuple
+              val pseg = graft.table.Partitioning.pathOf(bin.head.partition)
+              val binDir =
+                if (pseg.isEmpty) s"$outDir/bin=$i" else s"$outDir/bin=$i/$pseg"
               Deletes.readFiles(spark, store, snapId, bin)
                 .coalesce(1)
                 .write.mode("overwrite").parquet(binDir)

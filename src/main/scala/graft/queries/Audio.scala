@@ -617,6 +617,48 @@ object Audio {
         .withColumn("files_total", lit(ps.filesTotal))
     }),
 
+    // -- hidden partitioning (table/Partitioning.scala): the table declares
+    //    identity(codec) + truncate(dur_ms, 100); the append lays files out
+    //    one-tuple-per-file and a probe on the SOURCE columns eliminates
+    //    whole files from the manifest tuples BEFORE zonemaps — exact
+    //    elimination from birth, no cluster pass needed. At 10^5-10^6 files
+    //    the tuple tier is one driver-side string compare per file. --
+    //    Oracle: DuckDB recomputes, from the raw data files alone, (a) the
+    //    query rows, (b) the partition-tier keep count (each file's single
+    //    codec + its floor-100 dur window vs the probe), and (c) the final
+    //    zonemap keep count — all three cross-engine checked. --
+    "q101_partition_prune" -> ((s, d) => {
+      val dir = OracleFixtures.freshDir("q101_store", d)
+      val store = MetaStore.forClips(dir)
+      store.setPartitionSpec(graft.table.PartitionSpec(Seq(
+        graft.table.Partitioning.identity("codec"),
+        graft.table.Partitioning.truncate("dur_ms", 100, sourceType = "int"))))
+      Append.run(s, store,
+        ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 300).toDF())
+      val paths = store.entries(store.currentSnapshotId.get).map(_.path)
+      OracleFixtures.register("q101_partition_prune",
+        s"""WITH d AS (SELECT * FROM read_parquet(${OracleFixtures.pathList(paths)},
+           |    filename=true)),
+           |f AS (SELECT filename, min(codec) AS cd, min(dur_ms) AS mn,
+           |             max(dur_ms) AS mx, min(dur_ms) // 100 * 100 AS tw
+           |      FROM d GROUP BY filename),
+           |pk AS (SELECT count(*) AS p FROM f
+           |       WHERE cd = 'ulaw' AND tw <= 180 AND tw + 99 >= 120),
+           |kept AS (SELECT count(*) AS k FROM f
+           |         WHERE cd = 'ulaw' AND mx >= 120 AND mn <= 180),
+           |tot AS (SELECT count(*) AS t FROM f)
+           |SELECT clip_id, codec, dur_ms, pk.p AS files_kept_partition,
+           |       kept.k AS files_kept, tot.t AS files_total
+           |FROM d, pk, kept, tot
+           |WHERE codec = 'ulaw' AND dur_ms BETWEEN 120 AND 180""".stripMargin)
+      val ps = store.scanCurrentPruned(s, Seq(
+        Pred.EqualTo("codec", "ulaw"), Pred.Between("dur_ms", 120L, 180L)))
+      ps.df.select(col("clip_id"), col("codec"), col("dur_ms"))
+        .withColumn("files_kept_partition", lit(ps.filesKeptPartition))
+        .withColumn("files_kept", lit(ps.filesKept))
+        .withColumn("files_total", lit(ps.filesTotal))
+    }),
+
     // -- energy-based voice-activity detection (Dsp.vadSegments): each clip's
     //    labeled tone is laid out as a 600 ms utterance with two PLANTED
     //    60 ms silence gaps (bursts 0-150 / 210-360 / 420-600 ms); VAD over

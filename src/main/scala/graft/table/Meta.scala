@@ -23,12 +23,18 @@ final case class ColStat(min: String, max: String, numeric: Boolean, nullCount: 
  *   `seq < delete.seq` (Iceberg's sequence-number rule), so a row
  *   re-inserted AFTER a delete of its key stays visible. `0` = predates
  *   sequence tracking = oldest (every delete applies). */
+/** @param partition hidden-partition tuple (spec field name → value string)
+ *   parsed from the file's Hive-style `_p_` path segments at stats time —
+ *   the scan planner's EXACT elimination tier ([[PartitionSpec.mayMatch]]).
+ *   Empty = the file was written without tuple reconstruction (pre-spec
+ *   history, tuple-agnostic rewrites); such files are always kept. */
 final case class DataFile(
     path: String,
     rows: Long,
     sizeBytes: Long,
     stats: Map[String, ColStat],
-    seq: Long = 0L) {
+    seq: Long = 0L,
+    partition: Map[String, String] = Map.empty) {
   def statLong(col: String, lower: Boolean): Option[Long] =
     stats.get(col).filter(_.numeric).map(s => (if (lower) s.min else s.max).toLong)
 }
@@ -79,5 +85,13 @@ object Json {
     // (primitive Long `seq` defaults to 0 on its own)
     if (snap.deleteManifests == null) snap.copy(deleteManifests = Nil) else snap
   }
-  def readManifest(s: String): ManifestFile = mapper.readValue[ManifestFile](s)
+  def readManifest(s: String): ManifestFile = {
+    val m = mapper.readValue[ManifestFile](s)
+    // pre-partitioning manifest-*.json lacks the field; Jackson leaves the
+    // Map null (same back-compat rule as Snapshot.deleteManifests)
+    if (m.entries.exists(_.partition == null))
+      ManifestFile(m.entries.map(e =>
+        if (e.partition == null) e.copy(partition = Map.empty) else e))
+    else m
+  }
 }

@@ -145,6 +145,46 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
       if (maxs.isEmpty) None else Some(maxs.max))
   }
 
+  // ---- hidden partitioning ----
+  private def specPath = metaDir.resolve("partition-spec.json")
+
+  /** The table's hidden-partition spec, if declared ([[Partitioning]]). */
+  def partitionSpec: Option[PartitionSpec] =
+    if (Files.exists(specPath))
+      Some(Json.mapper.readValue[PartitionSpec](
+        new String(Files.readAllBytes(specPath), StandardCharsets.UTF_8)))
+    else None
+
+  /** Declare (or additively evolve) the partition spec. Existing field
+   * names must keep their exact definition — files already carry tuples
+   * under those names and the pruner trusts them; NEW fields only apply to
+   * files written afterwards (older files lack the tuple entry and are
+   * kept conservatively, the Iceberg spec-evolution rule). */
+  def setPartitionSpec(spec: PartitionSpec): Unit = {
+    partitionSpec.foreach { old =>
+      val byName = old.fields.map(f => f.name -> f).toMap
+      spec.fields.foreach { f =>
+        byName.get(f.name).foreach { prev =>
+          require(prev == f,
+            s"partition field '${f.name}' already declared as $prev; " +
+              "field definitions are immutable (add a new name instead)")
+        }
+      }
+    }
+    val tmp = metaDir.resolve(s"partition-spec.tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, Json.write(spec).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, specPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Write a batch under `dir` honoring the partition spec when one is
+   * declared (one tuple per output file, tuple in the path) — the write
+   * path for every op that doesn't manage its own layout. */
+  def writeData(df: DataFrame, dir: String): Unit = partitionSpec match {
+    case Some(spec) => spec.write(df, dir)
+    case None => df.write.mode("overwrite").parquet(dir)
+  }
+
   /** Fresh output directory for one maintenance pass. */
   def newDataDir(tag: String): String = {
     val d = dataDir.resolve(s"$tag-${UUID.randomUUID().toString.take(8)}")
@@ -160,6 +200,15 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * (vector-like/src/main/java/vec/ml/FeatureRange.kt:14-33).
    */
   def collectStats(spark: SparkSession, dir: String): Seq[DataFile] = {
+    // a PARTITIONED write of an empty batch produces zero files (the
+    // dynamic-partition writer has no tuple to open a file for, unlike the
+    // plain writer's schema-bearing empty part file) — an empty append must
+    // commit zero entries, not crash schema inference
+    val hasParquet = {
+      val s = Files.walk(Paths.get(dir))
+      try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
+    }
+    if (!hasParquet) return Seq.empty
     // bloom maintenance rides the same write path: every maintenance output
     // dir gets per-file key blooms in the meta/blooms side-table (one small
     // distributed pass over the key column; see FileBloom)
@@ -189,7 +238,8 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
           numeric.contains(c),
           r.getAs[Long](s"nulls_$c"))
       }.toMap
-      DataFile(path, r.getAs[Long]("_rows"), fileSize(path), stats)
+      DataFile(path, r.getAs[Long]("_rows"), fileSize(path), stats,
+        partition = Partitioning.tupleOf(path))
     }.toSeq.sortBy(_.path)
   }
 
@@ -295,21 +345,32 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     val stampedAdded = added.map(e => if (e.seq > 0L) e else e.copy(seq = id))
     val parentManifests = if (parent == -1L) Nil else snapshot(parent).manifests
     var removedRows = 0L; var removedBytes = 0L; var removedFiles = 0L
-    val (reused, rewritten) =
-      if (removedPaths.isEmpty) (parentManifests, Seq.empty[String])
-      else parentManifests.partition { m =>
-        readManifestEntries(m).forall(e => !removedPaths.contains(e.path))
+    // ONE JSON parse per parent manifest: classify and rewrite in the same
+    // pass (a second read per touched shard doubled the dominant cost of a
+    // partial rewrite at the 10^5-file regime — measured by MetaScale)
+    val reused = Seq.newBuilder[String]
+    val rewrittenNames = Seq.newBuilder[String]
+    var rewrittenCount = 0
+    parentManifests.foreach { m =>
+      if (removedPaths.isEmpty) reused += m
+      else {
+        val es = readManifestEntries(m)
+        if (es.forall(e => !removedPaths.contains(e.path))) reused += m
+        else {
+          rewrittenCount += 1
+          val kept = es.filter { e =>
+            val out = removedPaths.contains(e.path)
+            if (out) { removedRows += e.rows; removedBytes += e.sizeBytes; removedFiles += 1 }
+            !out
+          }
+          if (kept.nonEmpty) rewrittenNames += writeManifest(id, kept)
+        }
       }
-    val rewrittenNames = rewritten.flatMap { m =>
-      val kept = readManifestEntries(m).filter { e =>
-        val out = removedPaths.contains(e.path)
-        if (out) { removedRows += e.rows; removedBytes += e.sizeBytes; removedFiles += 1 }
-        !out
-      }
-      if (kept.isEmpty) None else Some(writeManifest(id, kept))
     }
     val addedNames = stampedAdded.grouped(manifestShardSize).map(writeManifest(id, _)).toSeq
-    val manifestNames = reused ++ rewrittenNames ++ addedNames
+    val reusedNames = reused.result()
+    val ownNames = rewrittenNames.result() ++ addedNames
+    val manifestNames = reusedNames ++ ownNames
     // totals incrementally from the parent's recorded summary (avoids the
     // O(table) manifest read the delta commit exists to skip)
     def parentCount(k: String): Long =
@@ -322,15 +383,15 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
           case _ => es.map(_.sizeBytes).sum
         }
       }
-    publish(operation, parent, id, manifestNames, rewrittenNames ++ addedNames,
+    publish(operation, parent, id, manifestNames, ownNames,
       deleteManifestNames(parent, id, deletes),
       deletes.isDefined,
       summary ++ Map(
         "files" -> (parentCount("files") - removedFiles + stampedAdded.size).toString,
         "rows" -> (parentCount("rows") - removedRows + stampedAdded.map(_.rows).sum).toString,
         "bytes" -> (parentCount("bytes") - removedBytes + stampedAdded.map(_.sizeBytes).sum).toString,
-        "manifestsReused" -> reused.size.toString,
-        "manifestsRewritten" -> rewrittenNames.size.toString))
+        "manifestsReused" -> reusedNames.size.toString,
+        "manifestsRewritten" -> rewrittenCount.toString))
   }
 
   /** Re-shard the current snapshot's manifests into full-size shards

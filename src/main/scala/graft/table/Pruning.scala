@@ -120,7 +120,10 @@ final case class PrunedScan(
     filesKept: Int,
     filesTotal: Int,
     rowsKeptUpperBound: Long,
-    rowsTotal: Long) {
+    rowsTotal: Long,
+    /** Files surviving the partition-tuple tier alone (= filesTotal when no
+     * spec is declared) — separates the exact-tuple evidence from zonemaps. */
+    filesKeptPartition: Int = -1) {
   def filesSkipped: Int = filesTotal - filesKept
 }
 
@@ -143,7 +146,15 @@ object Pruning {
    */
   def scan(spark: SparkSession, store: MetaStore, snapshotId: Long,
            entries: Seq[DataFile], preds: Seq[Pred]): PrunedScan = {
-    val zoneKept = keep(entries, preds)
+    // tier 0 — partition-tuple elimination (exact, cheapest: a string
+    // compare per file against the declared spec; files without a tuple
+    // are kept). Runs BEFORE zonemaps so stats parsing never touches files
+    // the tuple already excludes.
+    val partKept = store.partitionSpec match {
+      case Some(spec) => entries.filter(spec.pruner(preds))
+      case None => entries
+    }
+    val zoneKept = keep(partKept, preds)
     // point-lookup bloom prune: zonemaps cannot prune equality probes on a
     // hash-scattered key (every file's min/max spans the key space after a
     // curve rewrite); the per-file bloom side-table can. Conservative by
@@ -173,6 +184,7 @@ object Pruning {
     PrunedScan(
       base.filter(Pred.and(preds)),
       kept.size, entries.size,
-      kept.map(_.rows).sum, entries.map(_.rows).sum)
+      kept.map(_.rows).sum, entries.map(_.rows).sum,
+      filesKeptPartition = partKept.size)
   }
 }
