@@ -161,6 +161,39 @@ object Maintain {
         val es = store.entries(store.currentSnapshotId.get)
         val cols = if (rest.nonEmpty) rest.toSeq else store.statsColumns
         cols.foreach(c => println(graft.table.Layout.overlapDepth(es, c).pretty))
+      case "partition" =>
+        // declare/evolve the hidden-partition spec:
+        //   partition identity:codec bucket:clip_id:8 truncate:dur_ms:100:int
+        val fields = rest.toSeq.map { s =>
+          s.split(':') match {
+            case Array("identity", c) => graft.table.Partitioning.identity(c)
+            case Array("identity", c, t) => graft.table.Partitioning.identity(c, t)
+            case Array("bucket", c, n) => graft.table.Partitioning.bucket(c, n.toInt)
+            case Array("bucket", c, n, t) =>
+              graft.table.Partitioning.bucket(c, n.toInt, t)
+            case Array("truncate", c, w) =>
+              graft.table.Partitioning.truncate(c, w.toLong)
+            case Array("truncate", c, w, t) =>
+              graft.table.Partitioning.truncate(c, w.toLong, t)
+            case _ => sys.error(s"bad partition field '$s' " +
+              "(identity:<col>[:<type>] | bucket:<col>:<n>[:<type>] | " +
+              "truncate:<col>:<w>[:<type>])")
+          }
+        }
+        store.setPartitionSpec(graft.table.PartitionSpec(fields))
+        println(s"partition spec: ${fields.map(f =>
+          s"${f.transform}(${f.source}${if (f.param > 0) "," + f.param else ""})")
+          .mkString(", ")} (applies to future writes)")
+      case "partitions" =>
+        // tuple -> (files, rows) census from the manifest alone
+        val es = store.entries(store.currentSnapshotId.get)
+        es.groupBy(_.partition).toSeq
+          .sortBy { case (t, _) => t.toSeq.sorted.mkString(",") }
+          .foreach { case (t, fs) =>
+            val tup = if (t.isEmpty) "(unpartitioned)"
+              else t.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(", ")
+            println(f"$tup%-50s files=${fs.size}%4d rows=${fs.map(_.rows).sum}")
+          }
       case other => sys.error(s"unknown op: $other")
     }
     spark.stop()

@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
  */
 object Components {
 
+  /** Edge-count bound under which [[minLabel]] solves components on the
+   * DRIVER with union-find instead of iterating Spark jobs — the same
+   * small-side escape hatch as a broadcast join. A near-dup edge set is
+   * usually tiny relative to its corpus (dup groups are rare and small), so
+   * a 100 TB dedup often lands here; 2M edges ≈ tens of MB collected, and
+   * union-find is O(E α(E)) vs diameter× (join+groupBy+checkpoint+count)
+   * jobs whose per-iteration fixed cost dominates at small sizes
+   * (measured: the loop costs ~1 s/iteration on a 2k-edge graph). */
+  var localSolveMaxEdges: Long = 2000000L
+
   /** Label every node of the undirected edge list with the minimum node id
    * of its component. Returns (id, cluster_id); only nodes that appear in
    * an edge are labeled. */
@@ -29,6 +39,7 @@ object Components {
     // symmetric union — both union branches read the checkpointed rows
     // instead of re-running the upstream plan per branch
     val e0 = edges.select(col(a).as("src"), col(b).as("dst")).localCheckpoint()
+    if (e0.count() <= localSolveMaxEdges) return localSolve(e0)
     val sym = e0
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
@@ -70,6 +81,48 @@ object Components {
       return starContract(edges, a, b)
     }
     labels.withColumnRenamed("lbl", "cluster_id")
+  }
+
+  /** Driver-side union-find with path compression over a collected edge
+   * list; cluster label = component minimum under the column's own ordering
+   * (ids may be numeric or string — both are Comparable). Same contract as
+   * the distributed loop; only reached below [[localSolveMaxEdges]]. */
+  private def localSolve(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    val idType = e0.schema("src").dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    e0.collect().foreach { row =>
+      val (s, d) = (row.get(0), row.get(1))
+      if (s != null && d != null) {
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(d)) parent.put(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs != rd) parent.put(rs, rd)
+      }
+    }
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { id =>
+      val r = find(id)
+      val cur = minOf.get(r)
+      if (cur == null ||
+        id.asInstanceOf[Comparable[Any]].compareTo(cur) < 0) minOf.put(r, id)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    parent.keySet().forEach { id =>
+      rows.add(org.apache.spark.sql.Row(id, minOf.get(find(id))))
+    }
+    System.err.println(s"[components] local union-find: ${rows.size} nodes")
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 
   /**

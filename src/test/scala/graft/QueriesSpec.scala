@@ -69,11 +69,46 @@ class QueriesSpec extends AnyFunSuite {
     // pair {20,21}; labels must be each component's min id
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
-    val got = graft.ops.Components.minLabel(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // local union-find path (default: edge count under the threshold)
+    val got = graft.ops.Components.minLabel(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
+    // distributed loop path (threshold forced to 0) must agree exactly
+    val saved = graft.ops.Components.localSolveMaxEdges
+    try {
+      graft.ops.Components.localSolveMaxEdges = 0L
+      val gotDist = graft.ops.Components.minLabel(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist === want)
+    } finally graft.ops.Components.localSolveMaxEdges = saved
+  }
+
+  test("Components.minLabel local/distributed parity on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 300 nodes, 400 edges
+    def mix(i: Long) = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & Long.MaxValue
+    }
+    val edges = (0L until 400L)
+      .map(i => (mix(i) % 300L, mix(i + 7919L) % 300L)).toDF("id_a", "id_b")
+    val local = graft.ops.Components.minLabel(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saved = graft.ops.Components.localSolveMaxEdges
+    val dist = try {
+      graft.ops.Components.localSolveMaxEdges = 0L
+      graft.ops.Components.minLabel(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally { graft.ops.Components.localSolveMaxEdges = saved }
+    assert(local === dist)
+    // string ids take the Comparable path: same components, lex-min labels
+    val sEdges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val sGot = graft.ops.Components.minLabel(sEdges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("Components.starContract: 10k-node path labels in O(log n) rounds") {
