@@ -184,6 +184,22 @@ object Maintain {
         println(s"partition spec: ${fields.map(f =>
           s"${f.transform}(${f.source}${if (f.param > 0) "," + f.param else ""})")
           .mkString(", ")} (applies to future writes)")
+      case "auto" =>
+        // policy-driven maintenance: plan (metadata-only) then run what's
+        // needed; `auto plan` prints the diagnosis without executing
+        val policy = MaintenancePolicy(
+          targetBytes = rest.find(_.forall(_.isDigit)).map(_.toLong * 1024 * 1024)
+            .getOrElse(128L * 1024 * 1024))
+        if (rest.contains("plan")) {
+          val p = AutoMaintain.plan(store, policy)
+          if (p.isEmpty) println("plan: nothing to do (converged)")
+          else p.foreach(d => println(s"plan: ${d.op} — ${d.reason}"))
+        } else {
+          val applied = AutoMaintain.run(spark, store, policy)
+          if (applied.isEmpty) println("auto: nothing to do (converged)")
+          else applied.foreach(a =>
+            println(s"auto: ${a.decision.op} -> snapshot ${a.snapshotId} (${a.decision.reason})"))
+        }
       case "partitions" =>
         // tuple -> (files, rows) census from the manifest alone
         val es = store.entries(store.currentSnapshotId.get)

@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.table.{Layout, MetaStore}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Policy-driven maintenance: decide — from MANIFEST METADATA ALONE, zero
+ * data IO — which maintenance passes a table currently needs, then run only
+ * those, in dependency order. This is the brain a maintenance daemon loops:
+ * at 10^5–10^6 files nobody schedules compaction by hand, and blindly
+ * running every pass every time turns O(churn) nights into O(table) ones.
+ *
+ * The reference aspires to exactly this janitorial loop for its volumes
+ * ("append-only journal … periodically collapsed", reference
+ * README.md:141-145); here each trigger is a measurable layout property:
+ *
+ *  - small-file debt → bin-pack [[Compact]] (trigger: count of files under
+ *    `smallFileFrac * targetBytes` in any partition tuple exceeds the bound;
+ *    partition-aware, matching Compact's tuple-pure bins);
+ *  - zonemap decay → curve [[Cluster]] (trigger: [[Layout.overlapDepth]] on
+ *    the leading range column exceeds the bound — appends interleave key
+ *    ranges, so expected files-per-probe degrades measurably as the table
+ *    grows between rewrites);
+ *  - manifest sprawl → [[MetaStore.compactManifests]] (many delta commits
+ *    leave one small shard each);
+ *  - outrun delete files → [[Deletes.expireInert]] (a full rewrite left no
+ *    covered data file);
+ *  - history debt → [[ExpireSnapshots]] + [[RemoveOrphans]] (bounded
+ *    snapshot count behind an age floor, then crash-debris GC).
+ *
+ * `plan` is pure and cheap (one manifest read); `run` executes the plan and
+ * re-plans after, so a converged table reports an EMPTY plan — the loop's
+ * fixed point. Order matters and is encoded here: deletes expire before
+ * cluster only if already inert; compact before cluster (cluster reads
+ * fewer, larger files); manifest/ snapshot hygiene last (they see the final
+ * layout).
+ */
+final case class MaintenancePolicy(
+    targetBytes: Long = 128L * 1024 * 1024,
+    smallFileFrac: Double = 0.75,
+    maxSmallFiles: Int = 16,
+    clusterRangeCols: Seq[String] = Seq("sr_hz", "dur_ms"),
+    clusterHashCols: Seq[String] = Seq.empty,
+    maxOverlapDepth: Double = 4.0,
+    minFilesForCluster: Int = 4,
+    maxManifestShards: Int = 32,
+    expireKeepLast: Int = 5,
+    expireMinAgeMs: Long = 0L,
+    orphanMinAgeMs: Long = 3600L * 1000)
+
+object AutoMaintain {
+
+  final case class Decision(op: String, reason: String)
+  final case class Applied(decision: Decision, snapshotId: Long)
+
+  /** Metadata-only diagnosis: which passes does the table need right now? */
+  def plan(store: MetaStore, policy: MaintenancePolicy): Seq[Decision] = {
+    val snapId = store.currentSnapshotId.getOrElse(return Nil)
+    val entries = store.entries(snapId)
+    val out = Seq.newBuilder[Decision]
+
+    val threshold = (policy.targetBytes * policy.smallFileFrac).toLong
+    // compact merges within a tuple, so debt is per-tuple: 20 partitions
+    // with one small file each are NOT compactable debt
+    val smallByTuple = entries.filter(_.sizeBytes < threshold)
+      .groupBy(_.partition).map(_._2.size)
+    val mergeable = smallByTuple.filter(_ >= 2).sum
+    if (mergeable > policy.maxSmallFiles)
+      out += Decision("compact",
+        s"$mergeable mergeable small files (<${threshold} B) exceed bound ${policy.maxSmallFiles}")
+
+    val inertable = {
+      val dels = store.deleteEntries(snapId)
+      dels.nonEmpty && {
+        val minDataSeq = entries.map(_.seq).minOption.getOrElse(Long.MaxValue)
+        dels.exists(_.seq <= minDataSeq)
+      }
+    }
+    if (inertable)
+      out += Decision("expire-deletes", "delete files outrun by every data file")
+
+    if (entries.size >= policy.minFilesForCluster)
+      policy.clusterRangeCols.headOption.foreach { c =>
+        val rep = Layout.overlapDepth(entries, c)
+        if (rep.filesWithStats > 0 && rep.avgDepth > policy.maxOverlapDepth)
+          out += Decision("cluster",
+            f"$c overlap depth ${rep.avgDepth}%.1f exceeds ${policy.maxOverlapDepth}%.1f " +
+              f"(expected files opened per probe)")
+      }
+
+    if (store.snapshot(snapId).manifests.size > policy.maxManifestShards)
+      out += Decision("compact-manifests",
+        s"${store.snapshot(snapId).manifests.size} manifest shards exceed ${policy.maxManifestShards}")
+
+    if (store.allSnapshotIds.size > policy.expireKeepLast)
+      out += Decision("expire",
+        s"${store.allSnapshotIds.size} snapshots exceed keepLast=${policy.expireKeepLast}")
+
+    out.result()
+  }
+
+  /** Execute the current plan in order; returns what ran and the snapshot
+   * each pass committed. A second `plan` right after returns only decisions
+   * whose trigger the passes could not clear (e.g. expire behind an age
+   * floor) — on a quiesced table it is empty. */
+  def run(spark: SparkSession, store: MetaStore,
+          policy: MaintenancePolicy = MaintenancePolicy(),
+          runId: String = s"auto-${System.currentTimeMillis()}"): Seq[Applied] =
+    plan(store, policy).map { d =>
+      val snap = d.op match {
+        case "compact" =>
+          Compact.run(spark, store, policy.targetBytes, policy.smallFileFrac,
+            runId = s"$runId-compact").snapshotId
+        case "expire-deletes" =>
+          Deletes.expireInert(store)._1
+        case "cluster" =>
+          Cluster.run(spark, store, ZOrderCurve, policy.targetBytes,
+            runId = s"$runId-cluster", hashCols = policy.clusterHashCols,
+            rangeCols = policy.clusterRangeCols).snapshotId
+        case "compact-manifests" =>
+          store.compactManifests()._1
+        case "expire" =>
+          ExpireSnapshots.run(store, policy.expireKeepLast, policy.expireMinAgeMs)
+          RemoveOrphans.run(store, policy.orphanMinAgeMs)
+          store.currentSnapshotId.get
+      }
+      Applied(d, snap)
+    }
+}

@@ -659,6 +659,64 @@ object Audio {
         .withColumn("files_total", lit(ps.filesTotal))
     }),
 
+    // -- policy-driven auto-maintenance (ops/AutoMaintain.scala): 8
+    //    interleaved appends build small-file debt and zonemap decay; the
+    //    planner diagnoses both from manifest metadata alone, runs
+    //    compact + Z-cluster, and converges (second plan empty). --
+    //    Oracle: DuckDB re-derives the DECISIONS and both layout metrics
+    //    from the raw pre/post data files — the compact trigger from the
+    //    pre-file count, the cluster trigger and the before/after expected
+    //    files-opened-per-probe from per-file sr_hz min/max via the same
+    //    interval-stabbing count (probe at each file's lower endpoint) —
+    //    and re-reads the table rows from the PRE files, proving content
+    //    invariance of the whole maintenance pass cross-engine. --
+    "q102_auto_maintain" -> ((s, d) => {
+      import s.implicits._
+      val dir = OracleFixtures.freshDir("q102_store", d)
+      val store = MetaStore.forClips(dir)
+      val n = clipCount(d)
+      (0 until 8).foreach { k =>
+        Append.run(s, store, s.range(k * n / 8, (k + 1) * n / 8, 1L, 2)
+          .map(i => ClipSynth.clip(i, maxDurMs = 150)).toDF())
+      }
+      val policy = MaintenancePolicy(
+        targetBytes = 4L * 1024 * 1024, maxSmallFiles = 4,
+        maxOverlapDepth = 3.0, expireKeepLast = 1000,
+        maxManifestShards = 1000)
+      val preEntries = store.entries(store.currentSnapshotId.get)
+      val prePaths = preEntries.map(_.path)
+      val depthBefore = graft.table.Layout.overlapDepth(preEntries, "sr_hz").avgDepth
+      val applied = AutoMaintain.run(s, store, policy, runId = "q102-auto")
+      require(AutoMaintain.plan(store, policy).isEmpty, "auto-maintain did not converge")
+      val postEntries = store.entries(store.currentSnapshotId.get)
+      val depthAfter = graft.table.Layout.overlapDepth(postEntries, "sr_hz").avgDepth
+      val decisions = applied.map(_.decision.op).mkString(",")
+      OracleFixtures.register("q102_auto_maintain",
+        s"""WITH pre AS (SELECT * FROM read_parquet(${OracleFixtures.pathList(prePaths)},
+           |    filename=true)),
+           |post AS (SELECT * FROM read_parquet(${OracleFixtures.pathList(
+                postEntries.map(_.path))}, filename=true)),
+           |fpre AS (SELECT filename, min(sr_hz) AS mn, max(sr_hz) AS mx
+           |         FROM pre GROUP BY filename),
+           |fpost AS (SELECT filename, min(sr_hz) AS mn, max(sr_hz) AS mx
+           |          FROM post GROUP BY filename),
+           |dpre AS (SELECT avg(d) AS v FROM (SELECT (SELECT count(*) FROM fpre b
+           |    WHERE b.mn <= a.mn AND b.mx >= a.mn) AS d FROM fpre a)),
+           |dpost AS (SELECT avg(d) AS v FROM (SELECT (SELECT count(*) FROM fpost b
+           |    WHERE b.mn <= a.mn AND b.mx >= a.mn) AS d FROM fpost a)),
+           |dec AS (SELECT
+           |    (CASE WHEN (SELECT count(*) FROM fpre) > 4 THEN 'compact,' ELSE '' END)
+           |    || (CASE WHEN (SELECT v FROM dpre) > 3.0 THEN 'cluster' ELSE '' END)
+           |    AS ops)
+           |SELECT pre.clip_id, pre.sr_hz, pre.dur_ms, dec.ops AS decisions,
+           |       round(dpre.v, 3) AS depth_before, round(dpost.v, 3) AS depth_after
+           |FROM pre, dec, dpre, dpost""".stripMargin)
+      store.scanCurrent(s).select(col("clip_id"), col("sr_hz"), col("dur_ms"))
+        .withColumn("decisions", lit(decisions))
+        .withColumn("depth_before", round(lit(depthBefore), 3))
+        .withColumn("depth_after", round(lit(depthAfter), 3))
+    }),
+
     // -- energy-based voice-activity detection (Dsp.vadSegments): each clip's
     //    labeled tone is laid out as a 600 ms utterance with two PLANTED
     //    60 ms silence gaps (bursts 0-150 / 210-360 / 420-600 ms); VAD over
