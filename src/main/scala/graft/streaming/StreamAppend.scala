@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.Append
+import graft.ops.{Append, AutoMaintain, MaintenancePolicy}
 import graft.table.MetaStore
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -32,14 +32,33 @@ object StreamAppend {
       Map("streamBatchId" -> batchId.toString))
   }
 
-  /** Start the ingest query (micro-batch; caller owns stop/await). */
+  /** Start the ingest query (micro-batch; caller owns stop/await).
+   *
+   * @param maintainEvery run [[AutoMaintain]] after every Nth committed
+   *   batch (0 = never): continuous ingest accumulates exactly the debt its
+   *   policy-driven planner diagnoses (small files per batch, interleaved
+   *   key ranges), so the ingest loop IS the maintenance daemon — no
+   *   external scheduler. Safe by construction: maintenance commits carry
+   *   no `streamBatchId` (replay detection unaffected), compaction is
+   *   CDC-invisible so live [[ChangeFeed]] consumers see only the appends,
+   *   and a maintenance pass that crashes mid-run resumes from its own
+   *   checkpoints on the next trigger. Replayed batches don't re-trigger
+   *   (only a COMMITTING batch counts). */
   def start(store: MetaStore, source: DataFrame, checkpointDir: String,
-            queryName: String): StreamingQuery =
+            queryName: String, maintainEvery: Int = 0,
+            policy: MaintenancePolicy = MaintenancePolicy()): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val replay = committedBatchIds(store).contains(batchId)
         commitBatch(store, batch.toDF(), batchId)
+        if (!replay && maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+          val applied = AutoMaintain.run(batch.sparkSession, store, policy,
+            runId = s"$queryName-auto-$batchId")
+          if (applied.nonEmpty) System.err.println(
+            s"[stream-maintain] batch=$batchId ran ${applied.map(_.decision.op).mkString(",")}")
+        }
       }
       .start()
 }

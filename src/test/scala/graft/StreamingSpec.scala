@@ -146,6 +146,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.scanCurrent(spark).count() === 150)
   }
 
+  test("streaming ingest with in-loop auto-maintenance: compaction rides the cadence") {
+    import graft.streaming.StreamAppend
+    import graft.table.MetaStore
+    import graft.synth.ClipSynth
+    val srcDir = Files.createTempDirectory("graft-ingauto-src-").toString
+    val ckpt = Files.createTempDirectory("graft-ingauto-ckpt-").toString
+    val store = MetaStore.forClips(
+      Files.createTempDirectory("graft-ingauto-table-").toString)
+
+    // 4 source files -> 4 micro-batches (maxFilesPerTrigger=1), 2 small
+    // data files each; maintenance every 2nd batch with a tight small-file
+    // bound must trigger at least one compact inside the ingest loop
+    (0 until 4).foreach { k =>
+      ClipSynth.dataset(spark, 100, 2, maxDurMs = 100).toDF()
+        .withColumn("clip_id",
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit(s"s${k}_"),
+            org.apache.spark.sql.functions.col("clip_id")))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val src = spark.readStream.option("maxFilesPerTrigger", 1)
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val policy = graft.ops.MaintenancePolicy(maxSmallFiles = 2,
+      maxOverlapDepth = 1e9, expireKeepLast = 1000)
+    val q = StreamAppend.start(store, src, ckpt, "ingauto_q",
+      maintainEvery = 2, policy = policy)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    assert(store.scanCurrent(spark).count() === 400)
+    val ops = store.allSnapshotIds.map(store.snapshot(_).operation)
+    assert(ops.count(_ == "append") === 4)
+    assert(ops.contains("compact"), s"ops=$ops")
+    // maintenance commits never carry a batch id: replay detection intact
+    assert(StreamAppend.committedBatchIds(store).size === 4)
+    // replaying a committed batch after maintenance is still a no-op
+    val snaps = store.allSnapshotIds.size
+    StreamAppend.commitBatch(store,
+      ClipSynth.dataset(spark, 100, 2, maxDurMs = 100).toDF(), 0L)
+    assert(store.allSnapshotIds.size === snaps)
+  }
+
   test("streaming audio feature extraction matches the batch map exactly") {
     import graft.synth.{Clip, ClipSynth}
     import spark.implicits._
