@@ -56,10 +56,21 @@ object Maintain {
         val id = Append.run(spark, store, ClipSynth.dataset(spark, n, files).toDF())
         println(s"committed snapshot $id: $n clips in $files files")
       case "compact" =>
-        val mb = rest.headOption.map(_.toLong).getOrElse(128L)
-        val r = Compact.run(spark, store, targetBytes = mb * 1024 * 1024)
+        // compact [mb] [col eq value]  — optional scope: only files that may
+        // contain matching rows (partition tuple + zonemap) are candidates
+        val mb = rest.headOption.filter(_.forall(_.isDigit))
+          .map(_.toLong).getOrElse(128L)
+        val scopeArgs = rest.dropWhile(_.forall(_.isDigit)).toSeq
+        val scope = scopeArgs match {
+          case Seq(c, "eq", v) => Seq(graft.table.Pred.EqualTo(c, v): graft.table.Pred)
+          case Seq() => Nil
+          case other => sys.error(s"bad compact scope: ${other.mkString(" ")}")
+        }
+        val r = Compact.run(spark, store, targetBytes = mb * 1024 * 1024,
+          scope = scope)
         println(s"snapshot ${r.snapshotId}: ${r.filesBefore} -> ${r.filesAfter} files" +
-          s" (${r.binsRewritten} bins, ${r.binsSkippedByCheckpoint} resumed)")
+          s" (${r.binsRewritten} bins, ${r.binsSkippedByCheckpoint} resumed" +
+          (if (scope.nonEmpty) s", scoped ${scopeArgs.mkString(" ")}" else "") + ")")
       case "cluster" =>
         val curve = if (rest.headOption.contains("hilbert")) HilbertCurve else ZOrderCurve
         val mb = rest.lift(1).map(_.toLong).getOrElse(128L)

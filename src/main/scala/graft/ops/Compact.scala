@@ -116,16 +116,33 @@ object Compact {
    *   per-bin mode). false = independent per-bin jobs with checkpoint
    *   markers — shuffle-free and resumable, right when bins are large.
    */
+  /** @param scope optional file-level filter (Iceberg RewriteDataFiles
+   *   semantics): only files that MAY contain rows matching these
+   *   predicates — by partition tuple, then zonemap stats — are compaction
+   *   candidates; everything else is carried untouched. At 10^5–10^6 files
+   *   this is how maintenance runs inside a window: one partition (or one
+   *   key range) at a time, each pass O(scope), never O(table). Whole
+   *   files are rewritten (no row filtering), so scope never changes
+   *   contents — it only narrows which files are eligible to merge. */
   def run(spark: SparkSession, store: MetaStore,
           targetBytes: Long = 128L * 1024 * 1024,
           smallFileFrac: Double = 0.75,
           runId: String = s"compact-${System.currentTimeMillis()}",
           maxConcurrentBins: Int = 4,
-          singleJob: Boolean = false): CompactResult = {
+          singleJob: Boolean = false,
+          scope: Seq[graft.table.Pred] = Nil): CompactResult = {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("compact: empty table"))
     val entries = store.entries(snapId)
     val threshold = (targetBytes * smallFileFrac).toLong
-    val (candidates, kept) = entries.partition(_.sizeBytes < threshold)
+    val inScope: graft.table.DataFile => Boolean =
+      if (scope.isEmpty) _ => true
+      else {
+        val tuplePruner = store.partitionSpec.map(_.pruner(scope))
+          .getOrElse((_: graft.table.DataFile) => true)
+        f => tuplePruner(f) && scope.forall(_.mayMatch(f))
+      }
+    val (candidates, kept) =
+      entries.partition(e => e.sizeBytes < threshold && inScope(e))
     // bins never mix partition tuples: a merged file must stay single-tuple
     // or its path segment would lie to the pruner (files without a tuple
     // group under the empty tuple and merge freely). Sorted group order

@@ -121,6 +121,28 @@ class PartitioningSpec extends AnyFunSuite {
     assert(sortedRows(ps.df) == expected)
   }
 
+  test("scoped compaction touches only the scope's files") {
+    val store = newStore()
+    store.setPartitionSpec(PartitionSpec(Seq(Partitioning.identity("codec"))))
+    (0 until 3).foreach { _ =>
+      Append.run(spark, store, ClipSynth.dataset(spark, 120, 2, maxDurMs = 120).toDF())
+    }
+    val before = store.entries(store.currentSnapshotId.get)
+    val expected = sortedRows(store.scanCurrent(spark))
+    val res = Compact.run(spark, store, targetBytes = 64L * 1024 * 1024,
+      runId = "scoped-compact",
+      scope = Seq(Pred.EqualTo("codec", "ulaw")))
+    val after = store.entries(store.currentSnapshotId.get)
+    // non-ulaw files are carried byte-identically; ulaw files merged
+    val beforeOther = before.filter(_.partition.get("codec") != Some("ulaw")).map(_.path).toSet
+    val afterOther = after.filter(_.partition.get("codec") != Some("ulaw")).map(_.path).toSet
+    assert(beforeOther == afterOther, "out-of-scope files must be untouched")
+    assert(after.count(_.partition.get("codec") == Some("ulaw")) <
+      before.count(_.partition.get("codec") == Some("ulaw")))
+    assert(res.filesAfter < res.filesBefore)
+    assert(sortedRows(store.scanCurrent(spark)) == expected)
+  }
+
   test("single-job compaction keeps tuples too") {
     val store = newStore()
     store.setPartitionSpec(PartitionSpec(Seq(Partitioning.identity("codec"))))
