@@ -159,8 +159,9 @@ object Maintain {
           case o => sys.error(s"delete-where: unknown op $o (eq|lt|gteq)")
         }
         val r = Deletes.deleteWhere(spark, store, Seq(pred))
-        println(s"snapshot ${r.snapshotId}: equality delete of " +
-          s"${r.deleteRows} keys in ${r.deleteFiles} delete file(s)")
+        println(s"snapshot ${r.snapshotId}: dropped ${r.filesDropped} " +
+          s"fully-covered file(s) (${r.rowsDropped} rows, metadata-only) + " +
+          s"equality delete of ${r.deleteRows} keys in ${r.deleteFiles} delete file(s)")
       case "expire-deletes" =>
         val (id, dropped) = Deletes.expireInert(store)
         println(s"snapshot $id: dropped $dropped inert delete file(s)")

@@ -81,11 +81,22 @@ object AutoMaintain {
 
     if (entries.size >= policy.minFilesForCluster)
       policy.clusterRangeCols.headOption.foreach { c =>
-        val rep = Layout.overlapDepth(entries, c)
-        if (rep.filesWithStats > 0 && rep.avgDepth > policy.maxOverlapDepth)
-          out += Decision("cluster",
-            f"$c overlap depth ${rep.avgDepth}%.1f exceeds ${policy.maxOverlapDepth}%.1f " +
-              f"(expected files opened per probe)")
+        // measure WITHIN partition tuples: tuple pruning runs before
+        // zonemaps, so a probe never opens files across tuples it excludes
+        // — and the cluster rewrite's per-tuple fanout means GLOBAL depth
+        // stays high forever on a partitioned table (a trigger that never
+        // converges). Weighted by each tuple's measured file count.
+        val groups = entries.groupBy(_.partition).values
+          .map(g => Layout.overlapDepth(g.toSeq, c))
+          .filter(_.filesWithStats > 0).toSeq
+        val files = groups.map(_.filesWithStats).sum
+        if (files > 0) {
+          val avg = groups.map(r => r.avgDepth * r.filesWithStats).sum / files
+          if (avg > policy.maxOverlapDepth)
+            out += Decision("cluster",
+              f"$c within-tuple overlap depth $avg%.1f exceeds ${policy.maxOverlapDepth}%.1f " +
+                f"(expected files opened per tuple-pruned probe)")
+        }
       }
 
     if (store.snapshot(snapId).manifests.size > policy.maxManifestShards)

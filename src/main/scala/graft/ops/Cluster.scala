@@ -53,7 +53,12 @@ object Cluster {
   def scaledDim(c: Column, minV: Long, maxV: Long, bits: Int): Column = {
     val span = math.max(1L, maxV - minV)
     val maxOut = (1L << bits) - 1
-    ((c.cast("long") - minV) * maxOut / span).cast("long")
+    // scale through double: (v-min)*maxOut in long arithmetic overflows
+    // whenever span * 2^bits exceeds 2^63 (a 63-bit single-dim key, or any
+    // wide-span dim like epoch micros). The key is a LAYOUT value — only
+    // monotonicity matters, and double scaling is monotone; worst-case
+    // rounding past 2^53 perturbs bucket boundaries, never correctness.
+    ((c.cast("long") - minV).cast("double") * maxOut / span).cast("long")
   }
 
   /** Range cols scaled using per-table min/max from the manifest entries. */
@@ -97,7 +102,10 @@ object Cluster {
     val entries = store.entries(snapId)
     val totalBytes = entries.map(_.sizeBytes).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val bitsPerDim = 63 / (hashCols.size + rangeCols.size)
+    // cap at 31 bits/dim: 2^31 buckets per dim is far beyond any file-count
+    // resolution need, and it keeps single-dim keys out of the long-overflow
+    // regime scaledDim's double path would otherwise round through
+    val bitsPerDim = math.min(31, 63 / (hashCols.size + rangeCols.size))
 
     val t0 = System.nanoTime()
     val df = store.scan(spark, snapId)

@@ -1,13 +1,17 @@
 package graft.ops
 
-import graft.table.{DataFile, MetaStore, Pred}
+import graft.table.{DataFile, MetaStore, Pred, Pruning}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 final case class DeleteResult(
     snapshotId: Long,
     deleteFiles: Int,
-    deleteRows: Long)
+    deleteRows: Long,
+    /** Whole data files dropped METADATA-ONLY by [[Deletes.deleteWhere]]'s
+     * partition-drop fast path (tuple/stats proved every row matched). */
+    filesDropped: Int = 0,
+    rowsDropped: Long = 0L)
 
 /**
  * Merge-on-read row-level deletes: equality-delete FILES, Iceberg-style.
@@ -85,7 +89,7 @@ object Deletes {
    * snapshot carries delete manifests). */
   def scan(spark: SparkSession, store: MetaStore, snapshotId: Long): DataFrame = {
     val entries = store.entries(snapshotId)
-    if (entries.isEmpty) spark.emptyDataFrame
+    if (entries.isEmpty) store.emptyLike(spark)
     else readFiles(spark, store, snapshotId, entries)
   }
 
@@ -117,15 +121,71 @@ object Deletes {
     DeleteResult(newSnap, entries.size, rows)
   }
 
-  /** Predicate-shaped delete: resolve `preds` to key values via the
-   * zonemap/bloom-PRUNED scan (only candidate files are opened), project
-   * `keyCols`, and commit them as an equality delete. */
+  /**
+   * Predicate-shaped delete, two tiers in ONE atomic commit:
+   *
+   *  1. **Partition-drop fast path** — files whose partition tuple or
+   *     zonemap stats PROVE every row matches ([[Pred.mustMatchAll]] /
+   *     [[graft.table.PartitionSpec.mustMatchAll]]; requires zero nulls in
+   *     the column) are removed from the manifest, metadata-only: no key
+   *     parquet, no read-side anti-join baggage, O(dropped files) commit.
+   *     This is how "DELETE WHERE codec = 'ulaw'" on a codec-partitioned
+   *     100 TB table stays a metadata operation — Iceberg's drop-partition
+   *     semantics. Old snapshots still reference the files (time travel /
+   *     rollback / CDC all see the deletion as removed rows).
+   *  2. **Equality-delete residue** — rows matching `preds` in files only
+   *     PARTIALLY covered are resolved to `keyCols` via the pruned scan
+   *     (only candidate files opened, dropped files excluded) and committed
+   *     as a merge-on-read equality delete, as before.
+   *
+   * Key-based residue semantics unchanged: an equality delete removes every
+   * visible row sharing the key (keys are expected unique, e.g. clip_id).
+   */
   def deleteWhere(spark: SparkSession, store: MetaStore, preds: Seq[Pred],
-                  keyCols: Seq[String] = Seq("clip_id")): DeleteResult = {
+                  keyCols: Seq[String] = Seq("clip_id"),
+                  runId: String = s"delete-${System.currentTimeMillis()}"): DeleteResult = {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
-    val keys = store.scanPruned(spark, snapId, preds).df
-      .select(keyCols.map(col): _*)
-    run(spark, store, keys)
+    val entries = store.entries(snapId)
+    val spec = store.partitionSpec
+    val (covered, rest) = entries.partition(f => preds.forall(p =>
+      spec.exists(_.mustMatchAll(f, p)) || p.mustMatchAll(f)))
+
+    // residue: files that may still contain matching rows (tuple + zonemap
+    // conservative keep), read delete-aware so already-deleted rows don't
+    // re-resolve
+    val tupleKeep = spec.map(_.pruner(preds))
+      .getOrElse((_: DataFile) => true)
+    val candidates = Pruning.keep(rest.filter(tupleKeep), preds)
+    val keyDf =
+      if (candidates.isEmpty) None
+      else Some(readFiles(spark, store, snapId, candidates)
+        .filter(Pred.and(preds)).select(keyCols.map(col): _*).distinct())
+
+    if (covered.isEmpty)
+      return keyDf.map(run(spark, store, _, runId))
+        .getOrElse(DeleteResult(snapId, 0, 0))
+
+    // ONE commit carrying both tiers: manifest minus covered files, plus
+    // (when residue exists) a fresh equality-delete file
+    val expectedId = snapId + 1
+    val delEntries = keyDf.map { k =>
+      val outDir = store.newDataDir("delete")
+      k.coalesce(1).write.mode("overwrite").parquet(outDir)
+      store.collectStats(spark, outDir).map(_.copy(seq = expectedId))
+        .filter(_.rows > 0)
+    }.getOrElse(Nil)
+    val rowsDropped = covered.map(_.rows).sum
+    val newSnap = store.commitDelta("delete", Nil,
+      removedPaths = covered.map(_.path).toSet,
+      summary = Map(
+        "runId" -> runId,
+        "filesDropped" -> covered.size.toString,
+        "rowsDropped" -> rowsDropped.toString,
+        "deleteRows" -> delEntries.map(_.rows).sum.toString,
+        "deleteFiles" -> delEntries.size.toString),
+      deletes = Some(store.deleteEntries(snapId) ++ delEntries))
+    DeleteResult(newSnap, delEntries.size, delEntries.map(_.rows).sum,
+      filesDropped = covered.size, rowsDropped = rowsDropped)
   }
 
   /**

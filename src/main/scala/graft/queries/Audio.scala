@@ -717,6 +717,55 @@ object Audio {
         .withColumn("depth_after", round(lit(depthAfter), 3))
     }),
 
+    // -- partition-drop delete (ops/Deletes.deleteWhere fast path): on a
+    //    codec-partitioned table, DELETE WHERE codec='ulaw' AND dur>=60
+    //    drops files whose tuple + zonemap stats PROVE every row matches,
+    //    metadata-only (no key parquet, no read-side anti-join); rows
+    //    matching only PART of a file become an equality-delete residue —
+    //    both tiers land in ONE atomic commit. --
+    //    Oracle: DuckDB replays the whole thing from the PRE files — the
+    //    survivors are exactly pre-rows NOT matching the predicate, the
+    //    dropped-file count is re-derived from per-file tuples (single
+    //    codec per file) where EVERY row matches, and the residue row count
+    //    is the matching rows outside dropped files. --
+    "q103_partition_drop" -> ((s, d) => {
+      val dir = OracleFixtures.freshDir("q103_store", d)
+      val store = MetaStore.forClips(dir)
+      store.setPartitionSpec(graft.table.PartitionSpec(Seq(
+        graft.table.Partitioning.identity("codec"),
+        graft.table.Partitioning.truncate("dur_ms", 200, sourceType = "int"))))
+      Append.run(s, store,
+        ClipSynth.dataset(s, clipCount(d), 8, maxDurMs = 400).toDF())
+      val prePaths = store.entries(store.currentSnapshotId.get).map(_.path)
+      // ulaw files in the [200,400) dur window are provably covered (tuple
+      // codec + truncate window >= 150); [0,200) ulaw files hold the hot
+      // dur=100 rows, so they survive with an equality-delete residue
+      val res = Deletes.deleteWhere(s, store, Seq(
+        Pred.EqualTo("codec", "ulaw"), Pred.GtEq("dur_ms", 150L)))
+      OracleFixtures.register("q103_partition_drop",
+        s"""WITH pre AS (SELECT * FROM read_parquet(${OracleFixtures.pathList(prePaths)},
+           |    filename=true)),
+           |f AS (SELECT filename,
+           |        min(codec) AS cd, count(*) AS n,
+           |        sum(CASE WHEN codec = 'ulaw' AND dur_ms >= 150
+           |                 THEN 1 ELSE 0 END) AS nmatch
+           |      FROM pre GROUP BY filename),
+           |drp AS (SELECT count(*) AS files,
+           |               CAST(coalesce(sum(n), 0) AS BIGINT) AS rows_dropped
+           |        FROM f WHERE nmatch = n),
+           |resid AS (SELECT CAST(coalesce(sum(nmatch), 0) AS BIGINT) AS rows_residue
+           |          FROM f WHERE nmatch < n)
+           |SELECT pre.clip_id, pre.codec, pre.dur_ms,
+           |       drp.files AS files_dropped, drp.rows_dropped,
+           |       resid.rows_residue AS delete_rows
+           |FROM pre, drp, resid
+           |WHERE NOT (codec = 'ulaw' AND dur_ms >= 150)""".stripMargin)
+      store.scanCurrent(s).select(col("clip_id"), col("codec"), col("dur_ms"))
+        .withColumn("files_dropped", lit(res.filesDropped))
+        .withColumn("rows_dropped", lit(res.rowsDropped))
+        .withColumn("delete_rows", lit(res.deleteRows))
+    }),
+
     // -- energy-based voice-activity detection (Dsp.vadSegments): each clip's
     //    labeled tone is laid out as a 600 ms utterance with two PLANTED
     //    60 ms silence gaps (bursts 0-150 / 210-360 / 420-600 ms); VAD over

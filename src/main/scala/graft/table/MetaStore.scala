@@ -97,8 +97,23 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     if (graft.ops.Evolve.evolutions(this).nonEmpty)
       return graft.ops.Evolve.scan(spark, this, snapshotId)
     val paths = entries(snapshotId).map(_.path)
-    if (paths.isEmpty) spark.emptyDataFrame
+    if (paths.isEmpty) emptyLike(spark)
     else spark.read.parquet(paths: _*)
+  }
+
+  /** Zero-row frame that still CARRIES THE TABLE SCHEMA when any historical
+   * data file is reachable (footer-only read under a constant-false filter)
+   * — so `scan().filter(col(...))` keeps working after an operation empties
+   * the table (e.g. a whole-table partition-drop delete). A table that
+   * never held data falls back to a schemaless empty frame. */
+  private[graft] def emptyLike(spark: SparkSession): DataFrame = {
+    val anyFile = allSnapshotIds.reverseIterator
+      .flatMap(id => entries(id).iterator)
+      .find(e => Files.exists(Paths.get(e.path)))
+    anyFile match {
+      case Some(e) => spark.read.parquet(e.path).filter(lit(false))
+      case None => spark.emptyDataFrame
+    }
   }
 
   def scanCurrent(spark: SparkSession): DataFrame =

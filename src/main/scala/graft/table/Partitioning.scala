@@ -117,6 +117,20 @@ final case class PartField(
       }
   }
 
+  /** Dual proof: is EVERY row of a file with tuple value `v` guaranteed to
+   * match `pred`? (identity: pred holds at the point v; numeric truncate:
+   * pred holds over the whole window; bucket/string-truncate: never
+   * provable). Drives the metadata-only partition-drop delete path. */
+  def mustMatch(v: String, pred: Pred): Boolean = transform match {
+    case "identity" => pred.mustMatchAll(syntheticStats(v, v))
+    case "truncate" if numericSource =>
+      try {
+        val lo = BigDecimal(v)
+        pred.mustMatchAll(syntheticStats(lo.toString, (lo + param - 1).toString))
+      } catch { case _: NumberFormatException => false }
+    case _ => false
+  }
+
   /** One-row synthetic file whose stats are exactly this field's value
    * range — reuses [[Pred.mayMatch]]'s conservative compare machinery. */
   private def syntheticStats(min: String, max: String): DataFile =
@@ -151,6 +165,13 @@ final case class PartitionSpec(fields: Seq[PartField]) {
         case Some(v) => f.mayMatch(v, pred)
       }
     }
+
+  /** Dual of [[mayMatch]]: true ONLY when some field's tuple value PROVES
+   * every row of the file matches `pred`. */
+  def mustMatchAll(file: DataFile, pred: Pred): Boolean =
+    fields.exists(f => f.source == pred.column &&
+      file.partition.get(f.name).exists(v =>
+        v != Partitioning.HiveNull && f.mustMatch(v, pred)))
 
   /** Memoizing batch filter for one query's `preds`: distinct tuple values
    * number in the transform ranges' product, not the file count, so at

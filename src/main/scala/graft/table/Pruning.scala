@@ -29,6 +29,23 @@ sealed trait Pred {
 
   /** false ONLY when the file's stats PROVE no row can match. */
   def mayMatch(f: DataFile): Boolean
+
+  /** true ONLY when the file's stats PROVE EVERY row matches — the dual
+   * proof obligation (whole-file coverage, used by the metadata-only
+   * partition-drop delete path). Sufficient, not necessary: the predicate
+   * must hold over the whole [min,max] interval and the file must have
+   * zero nulls in the column (a null row never matches a comparison, so a
+   * file containing one can never be fully covered). Default false keeps
+   * unknown/undecidable cases on the safe side. */
+  def mustMatchAll(f: DataFile): Boolean = {
+    val s = f.stats.get(column).orNull
+    if (s == null || s.nullCount > 0 || f.rows == 0) false
+    else provenOn(s.min, s.max, s.numeric).getOrElse(false)
+  }
+
+  /** Is the predicate true at EVERY point of [min,max]? None = undecidable. */
+  protected def provenOn(min: String, max: String,
+                         numeric: Boolean): Option[Boolean] = Some(false)
 }
 
 object Pred {
@@ -58,24 +75,32 @@ object Pred {
     def toColumn: Column = col(column) >= lit(v)
     def mayMatch(f: DataFile): Boolean =
       statTest(f, column)((_, max, num) => cmp(max, v, num).map(_ >= 0))
+    override protected def provenOn(min: String, max: String, num: Boolean) =
+      cmp(min, v, num).map(_ >= 0)
   }
 
   final case class Gt(column: String, v: Any) extends Pred {
     def toColumn: Column = col(column) > lit(v)
     def mayMatch(f: DataFile): Boolean =
       statTest(f, column)((_, max, num) => cmp(max, v, num).map(_ > 0))
+    override protected def provenOn(min: String, max: String, num: Boolean) =
+      cmp(min, v, num).map(_ > 0)
   }
 
   final case class LtEq(column: String, v: Any) extends Pred {
     def toColumn: Column = col(column) <= lit(v)
     def mayMatch(f: DataFile): Boolean =
       statTest(f, column)((min, _, num) => cmp(min, v, num).map(_ <= 0))
+    override protected def provenOn(min: String, max: String, num: Boolean) =
+      cmp(max, v, num).map(_ <= 0)
   }
 
   final case class Lt(column: String, v: Any) extends Pred {
     def toColumn: Column = col(column) < lit(v)
     def mayMatch(f: DataFile): Boolean =
       statTest(f, column)((min, _, num) => cmp(min, v, num).map(_ < 0))
+    override protected def provenOn(min: String, max: String, num: Boolean) =
+      cmp(max, v, num).map(_ < 0)
   }
 
   final case class EqualTo(column: String, v: Any) extends Pred {
@@ -85,6 +110,9 @@ object Pred {
         for (lo <- cmp(min, v, num); hi <- cmp(max, v, num))
           yield lo <= 0 && hi >= 0
       }
+    override protected def provenOn(min: String, max: String, num: Boolean) =
+      for (lo <- cmp(min, v, num); hi <- cmp(max, v, num))
+        yield lo == 0 && hi == 0
   }
 
   /** Inclusive range — the canonical post-cluster probe shape. */
@@ -95,6 +123,9 @@ object Pred {
         for (a <- cmp(max, lo, num); b <- cmp(min, hi, num))
           yield a >= 0 && b <= 0
       }
+    override protected def provenOn(min: String, max: String, num: Boolean) =
+      for (a <- cmp(min, lo, num); b <- cmp(max, hi, num))
+        yield a >= 0 && b <= 0
   }
 
   final case class InSet(column: String, vs: Seq[Any]) extends Pred {
@@ -107,6 +138,12 @@ object Pred {
         }
         if (checks.exists(_.isEmpty)) None // any undecidable member -> keep
         else Some(checks.exists(_.contains(true)))
+      }
+    override protected def provenOn(min: String, max: String, num: Boolean) =
+      cmp(min, max, num) match {
+        case Some(0) => Some(vs.exists(v => cmp(min, v, num).contains(0)))
+        case Some(_) => Some(false) // multi-valued file: not all in a point set
+        case None => None
       }
   }
 
@@ -177,7 +214,7 @@ object Pruning {
     val readFiles = (fs: Seq[DataFile]) =>
       graft.ops.Deletes.readFiles(spark, store, snapshotId, fs)
     val base =
-      if (entries.isEmpty) spark.emptyDataFrame
+      if (entries.isEmpty) store.emptyLike(spark)
       else if (kept.isEmpty)
         readFiles(Seq(entries.head)).filter(lit(false))
       else readFiles(kept)

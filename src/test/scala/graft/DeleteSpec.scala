@@ -191,4 +191,68 @@ class DeleteSpec extends AnyFunSuite {
     assert(res.rows == exported.count())
     assert(visibleIds(store) == exported.select("clip_id").as[String].collect().toSet)
   }
+
+  test("partition-drop fast path: DELETE WHERE codec = X is metadata-only") {
+    val store = freshStore("pdrop")
+    store.setPartitionSpec(graft.table.PartitionSpec(Seq(
+      graft.table.Partitioning.identity("codec"))))
+    Append.run(spark, store, ClipSynth.dataset(spark, 200, 4, maxDurMs = 60).toDF())
+    val all = visibleIds(store)
+    val ulaw = (0L until 200L).filter(i => ClipSynth.codec(i) == "ulaw")
+      .map(ClipSynth.clipId).toSet
+
+    val res = Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "ulaw")))
+    // every ulaw file was provably covered by its tuple: zero delete files
+    assert(res.filesDropped > 0 && res.rowsDropped == ulaw.size.toLong,
+      s"res=$res")
+    assert(res.deleteFiles == 0 && res.deleteRows == 0, s"res=$res")
+    assert(store.deleteEntries(store.currentSnapshotId.get).isEmpty,
+      "no merge-on-read baggage for a fully covered delete")
+    assert(visibleIds(store) == all -- ulaw)
+    // time travel still sees the dropped rows (files live until expiry)
+    assert(store.scan(spark, res.snapshotId - 1).count() == 200)
+    // re-insert of a dropped key is trivially visible (no delete file)
+    val back = ulaw.head
+    Append.run(spark, store, Seq(ClipSynth.clip(back.stripPrefix("clip_").toLong,
+      maxDurMs = 60)).toDS().toDF())
+    assert(visibleIds(store).contains(back))
+  }
+
+  test("mixed coverage: drops covered files, equality-deletes the residue, one commit") {
+    val store = freshStore("pmixed")
+    // unpartitioned, but CLUSTERED on dur_ms so some files are fully inside
+    // the predicate range (zonemap mustMatchAll) and boundary files are not
+    Append.run(spark, store, ClipSynth.dataset(spark, 600, 8, maxDurMs = 500).toDF())
+    Cluster.run(spark, store, ZOrderCurve, targetBytes = 96L * 1024,
+      runId = "pmixed-cluster", hashCols = Seq.empty, rangeCols = Seq("dur_ms"))
+    val snapsBefore = store.allSnapshotIds.size
+    val expectSurvivors = store.scanCurrent(spark)
+      .filter(!col("dur_ms").between(80, 400))
+      .select("clip_id").as[String].collect().toSet
+
+    val res = Deletes.deleteWhere(spark, store,
+      Seq(Pred.Between("dur_ms", 80L, 400L)))
+    assert(res.filesDropped > 0, s"no file fully covered: $res")
+    assert(res.deleteRows > 0, s"no boundary residue: $res")
+    assert(store.allSnapshotIds.size == snapsBefore + 1, "must be ONE commit")
+    assert(visibleIds(store) == expectSurvivors)
+    // summary carries both tiers
+    val sum = store.currentSnapshot.get.summary
+    assert(sum("filesDropped").toInt == res.filesDropped)
+    assert(sum("deleteRows").toLong == res.deleteRows)
+  }
+
+  test("null rows are never swept by a whole-file drop") {
+    val store = freshStore("pnull")
+    // a file whose dur_ms stats span [100,100] but contains a NULL row:
+    // mustMatchAll must refuse (nullCount > 0), the null row survives
+    val rows = Seq(("a", 100), ("b", 100)).toDF("clip_id", "dur_ms")
+      .unionByName(Seq(("c", Option.empty[Int])).toDF("clip_id", "dur_ms"))
+    Append.run(spark, store, rows.coalesce(1))
+    val res = Deletes.deleteWhere(spark, store,
+      Seq(Pred.EqualTo("dur_ms", 100)), keyCols = Seq("clip_id"))
+    assert(res.filesDropped == 0, "file with nulls must not be dropped whole")
+    assert(res.deleteRows == 2)
+    assert(visibleIds(store) == Set("c"))
+  }
 }
