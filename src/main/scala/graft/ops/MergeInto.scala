@@ -41,7 +41,8 @@ object MergeInto {
           targetBytes: Long = 128L * 1024 * 1024,
           runId: String = s"merge-${System.currentTimeMillis()}",
           broadcastUpdates: Boolean = true,
-          deleteKeys: Option[DataFrame] = None): MergeResult = {
+          deleteKeys: Option[DataFrame] = None,
+          extraSummary: Map[String, String] = Map.empty): MergeResult = {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("merge: empty table"))
     val entries = store.entries(snapId)
     val t0 = System.nanoTime()
@@ -97,7 +98,7 @@ object MergeInto {
     })
     val newSnap = store.commitDelta("merge", newEntries,
       removedPaths = touched.map(_.path).toSet,
-      summary = Map(
+      summary = extraSummary ++ Map(
         "runId" -> runId,
         "filesTouched" -> touched.size.toString,
         "filesUntouched" -> untouched.size.toString))

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import graft.ops.{Append, AutoMaintain, MaintenancePolicy}
+import graft.ops.{Append, AutoMaintain, MaintenancePolicy, MergeInto}
 import graft.table.MetaStore
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, desc, row_number}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /**
@@ -31,6 +33,47 @@ object StreamAppend {
     Append.run(batch.sparkSession, store, batch,
       Map("streamBatchId" -> batchId.toString))
   }
+
+  /** Upsert one micro-batch via copy-on-write MERGE (exactly-once through
+   * the same batch-id ledger as [[commitBatch]]). A first batch against an
+   * empty table appends. When `orderCol` is set, duplicate keys WITHIN the
+   * batch are resolved last-wins by that column before merging (a CDC-shaped
+   * source can carry several updates for one key per trigger); without it,
+   * the batch must be key-unique — MERGE's full-outer would duplicate. */
+  def commitMergeBatch(store: MetaStore, batch: DataFrame, batchId: Long,
+                       keyCol: String = "clip_id",
+                       orderCol: Option[String] = None): Unit = {
+    if (committedBatchIds(store).contains(batchId)) return // restart replay
+    val deduped = orderCol match {
+      case Some(oc) =>
+        val w = Window.partitionBy(keyCol).orderBy(desc(oc))
+        batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      case None => batch
+    }
+    if (store.currentSnapshotId.isEmpty)
+      Append.run(batch.sparkSession, store, deduped,
+        Map("streamBatchId" -> batchId.toString))
+    else
+      MergeInto.run(batch.sparkSession, store, deduped, keyCol,
+        runId = s"stream-merge-$batchId",
+        extraSummary = Map("streamBatchId" -> batchId.toString)): Unit
+  }
+
+  /** Start a streaming UPSERT query: each micro-batch MERGEs into the
+   * table (update-or-insert by `keyCol`), exactly-once across restarts via
+   * the snapshot ledger — the streaming face of [[graft.ops.MergeInto]]
+   * for CDC-shaped sources. */
+  def startUpsert(store: MetaStore, source: DataFrame, checkpointDir: String,
+                  queryName: String, keyCol: String = "clip_id",
+                  orderCol: Option[String] = None): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        commitMergeBatch(store, batch.toDF(), batchId, keyCol, orderCol)
+      }
+      .start()
 
   /** Start the ingest query (micro-batch; caller owns stop/await).
    *

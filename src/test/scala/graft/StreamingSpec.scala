@@ -188,6 +188,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.allSnapshotIds.size === snaps)
   }
 
+  test("streaming upsert MERGEs each batch exactly-once (CDC-shaped source)") {
+    import graft.streaming.StreamAppend
+    import graft.table.MetaStore
+    import graft.synth.ClipSynth
+    import org.apache.spark.sql.functions._
+    val srcDir = Files.createTempDirectory("graft-ups-src-").toString
+    val ckpt = Files.createTempDirectory("graft-ups-ckpt-").toString
+    val store = MetaStore.forClips(
+      Files.createTempDirectory("graft-ups-table-").toString)
+    graft.ops.Append.run(spark, store,
+      ClipSynth.dataset(spark, 100, 2, maxDurMs = 80).toDF())
+
+    // 3 update batches: batch k updates transcripts of ids [k*20, k*20+30)
+    // (overlapping) and INSERTS ids [100+k*10, 100+k*10+10); a later batch
+    // overwrites an earlier batch's update for overlapping keys
+    (0 until 3).foreach { k =>
+      val upd = ClipSynth.dataset(spark, 200, 2, maxDurMs = 80).toDF()
+        .filter(col("clip_id") >= ClipSynth.clipId(k * 20) &&
+          col("clip_id") < ClipSynth.clipId(k * 20 + 30) ||
+          (col("clip_id") >= ClipSynth.clipId(100 + k * 10) &&
+            col("clip_id") < ClipSynth.clipId(100 + k * 10 + 10)))
+        .withColumn("transcript", concat(col("transcript"), lit(s" u$k")))
+      upd.coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val src = spark.readStream.option("maxFilesPerTrigger", 1)
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val q = StreamAppend.startUpsert(store, src, ckpt, "upsert_q")
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val table = store.scanCurrent(spark)
+    assert(table.count() === 130) // 100 seed + 30 inserts
+    // a key updated by several batches holds the LAST batch's value
+    // (id 25 is in batches 0+1; id 45 in 1+2; id 5 only in 0). NOTE:
+    // file-source batch order tracks the source files' modification
+    // timestamps, which this test wrote in k order.
+    def tr(i: Long) = table.filter(col("clip_id") === ClipSynth.clipId(i))
+      .select("transcript").collect().head.getString(0)
+    assert(tr(25).endsWith(" u1"), s"got '${tr(25)}'")
+    assert(tr(45).endsWith(" u2"), s"got '${tr(45)}'")
+    assert(tr(5).endsWith(" u0"), s"got '${tr(5)}'")
+    assert(StreamAppend.committedBatchIds(store).size === 3)
+    // replay is a no-op
+    val snaps = store.allSnapshotIds.size
+    StreamAppend.commitMergeBatch(store,
+      ClipSynth.dataset(spark, 10, 1).toDF(), 1L)
+    assert(store.allSnapshotIds.size === snaps)
+  }
+
   test("streaming audio feature extraction matches the batch map exactly") {
     import graft.synth.{Clip, ClipSynth}
     import spark.implicits._
