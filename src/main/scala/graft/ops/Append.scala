@@ -31,7 +31,11 @@ object Append {
     val newEntries = store.collectStats(spark, dir)
     // O(batch) commit: parent manifests are reused structurally — a
     // streaming ingest against a 10^5-manifest-entry table never reads or
-    // rewrites the existing file list
-    store.commitDelta("append", newEntries, summary = summary)
+    // rewrites the existing file list. An append is valid against ANY newer
+    // snapshot, so a lost commit race (another writer advanced CURRENT) is
+    // retried rather than surfaced — multi-writer appends just work.
+    MetaStore.withCommitRetry() {
+      store.commitDelta("append", newEntries, summary = summary)
+    }
   }
 }

@@ -100,25 +100,30 @@ object Deletes {
    */
   def run(spark: SparkSession, store: MetaStore, keys: DataFrame,
           runId: String = s"delete-${System.currentTimeMillis()}"): DeleteResult = {
-    val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
     val outDir = store.newDataDir("delete")
     keys.distinct().coalesce(1).write.mode("overwrite").parquet(outDir)
     // stats via the standard path (present-column min/max; per-file bloom
     // rides along and is harmless), then stamp the delete's seq = the id
     // this commit WILL take (parent + 1 by construction; a racing writer
-    // fails the commit and nothing is published)
-    val expectedId = snapId + 1
-    val entries = store.collectStats(spark, outDir).map(_.copy(seq = expectedId))
-    val rows = entries.map(_.rows).sum
-    if (rows == 0) return DeleteResult(snapId, 0, 0) // empty key set: no-op
-    // metadata-only delta commit: the data file list is untouched, so every
-    // parent manifest is reused — O(delete keys), never O(table)
-    val newSnap = store.commitDelta("delete", Nil, summary = Map(
-      "runId" -> runId,
-      "deleteRows" -> rows.toString,
-      "deleteFiles" -> entries.size.toString),
-      deletes = Some(store.deleteEntries(snapId) ++ entries))
-    DeleteResult(newSnap, entries.size, rows)
+    // fails the commit and nothing is published). A lost race re-reads the
+    // parent state and re-stamps — deleting keys is valid against any
+    // newer snapshot (the key parquet itself is reused verbatim).
+    val rawEntries = store.collectStats(spark, outDir)
+    if (rawEntries.map(_.rows).sum == 0)
+      return DeleteResult(store.currentSnapshotId.getOrElse(-1L), 0, 0)
+    MetaStore.withCommitRetry() {
+      val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
+      val entries = rawEntries.map(_.copy(seq = snapId + 1))
+      val rows = entries.map(_.rows).sum
+      // metadata-only delta commit: the data file list is untouched, so every
+      // parent manifest is reused — O(delete keys), never O(table)
+      val newSnap = store.commitDelta("delete", Nil, summary = Map(
+        "runId" -> runId,
+        "deleteRows" -> rows.toString,
+        "deleteFiles" -> entries.size.toString),
+        deletes = Some(store.deleteEntries(snapId) ++ entries))
+      DeleteResult(newSnap, entries.size, rows)
+    }
   }
 
   /**
@@ -143,7 +148,11 @@ object Deletes {
    */
   def deleteWhere(spark: SparkSession, store: MetaStore, preds: Seq[Pred],
                   keyCols: Seq[String] = Seq("clip_id"),
-                  runId: String = s"delete-${System.currentTimeMillis()}"): DeleteResult = {
+                  runId: String = s"delete-${System.currentTimeMillis()}"): DeleteResult =
+  // a lost commit race re-runs the WHOLE resolution: the covered-file set
+  // and residue keys must be re-proven against the snapshot that beat us
+  // (predicate re-resolution is the correct serialization of DELETE WHERE)
+  MetaStore.withCommitRetry() {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
     val entries = store.entries(snapId)
     val spec = store.partitionSpec

@@ -541,4 +541,25 @@ object MetaStore {
   val ClipStatsColumns: Seq[String] = Seq("clip_id", "sr_hz", "dur_ms", "codec")
 
   def forClips(tableDir: String): MetaStore = new MetaStore(tableDir, ClipStatsColumns)
+
+  /** Retry `body` across commit races with jittered backoff. ONLY for
+   * operations whose body re-reads table state and whose effect is valid
+   * against any newer snapshot (append: pure add; delete: predicate
+   * re-resolution IS the correct serialization). Rewrites (compact/
+   * cluster/merge) must NOT blind-retry — their planned inputs may have
+   * been rewritten away; the caller re-plans instead. */
+  def withCommitRetry[T](maxAttempts: Int = 5)(body: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep((10L << attempt) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(25))
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
 }

@@ -224,4 +224,35 @@ class RobustnessSpec extends AnyFunSuite {
     assert(tagged.filter(col("quality_score") === 0.5).count() == 30L,
       "every pre-evolution row must read the evolution default")
   }
+
+  test("concurrent appends all land: commit races retry instead of failing") {
+    import graft.synth.ClipSynth
+    val dir = java.nio.file.Files.createTempDirectory("graft-raceapp").toString
+    val store = graft.table.MetaStore.forClips(dir)
+    val threads = 4
+    val perThread = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tasks = (0 until threads).map { t =>
+      new Runnable {
+        def run(): Unit =
+          try (0 until perThread).foreach { k =>
+            val base = (t * perThread + k) * 50L
+            graft.ops.Append.run(spark, store,
+              spark.range(base, base + 50L, 1L, 1)
+                .map(i => ClipSynth.clip(i, maxDurMs = 40))(
+                  org.apache.spark.sql.Encoders.product[graft.synth.Clip]).toDF())
+          } catch { case e: Throwable => errs.add(e) }
+      }
+    }
+    tasks.foreach(pool.submit)
+    pool.shutdown()
+    assert(pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES))
+    assert(errs.isEmpty, s"append failed under contention: ${errs.peek()}")
+    // every append landed exactly once, snapshot ids stayed contiguous
+    assert(store.scanCurrent(spark).count() === threads * perThread * 50L)
+    val ids = store.allSnapshotIds
+    assert(ids === (1L to (threads * perThread)))
+    assert(ids.map(store.snapshot(_).operation).forall(_ == "append"))
+  }
 }
