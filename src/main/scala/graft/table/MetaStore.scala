@@ -200,6 +200,32 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     case None => df.write.mode("overwrite").parquet(dir)
   }
 
+  // ---- metadata tables (Iceberg's table$files / table$snapshots analog) ----
+
+  /** One row per data file of `snapshotId`: path, rows, size, sequence
+   * number, partition tuple (map), and per-column stats (map of structs) —
+   * the manifest AS a DataFrame, so layout questions ("rows per partition
+   * tuple", "files under 10 MB", "min/max drift per column") are plain
+   * Spark queries instead of driver loops. Driver-side construction is
+   * O(files) — the same cost any metadata read pays. */
+  def filesTable(spark: SparkSession, snapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    spark.createDataset(entries(snapshotId))(Encoders.product[DataFile]).toDF()
+  }
+
+  def filesTableCurrent(spark: SparkSession): DataFrame =
+    filesTable(spark,
+      currentSnapshotId.getOrElse(sys.error(s"$tableDir: no current snapshot")))
+
+  /** One row per retained snapshot: id, parent, timestamp, operation,
+   * manifest names, summary map, delete manifests — the history log AS a
+   * DataFrame (ops/rows/bytes trends, commit cadence, operation mix). */
+  def snapshotsTable(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    spark.createDataset(allSnapshotIds.map(snapshot))(
+      Encoders.product[Snapshot]).toDF()
+  }
+
   /** Fresh output directory for one maintenance pass. */
   def newDataDir(tag: String): String = {
     val d = dataDir.resolve(s"$tag-${UUID.randomUUID().toString.take(8)}")

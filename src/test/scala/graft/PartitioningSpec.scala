@@ -214,6 +214,33 @@ class PartitioningSpec extends AnyFunSuite {
     assert(store.scanCurrent(spark).count() == 50)
   }
 
+  test("metadata tables: files/snapshots as queryable DataFrames") {
+    val store = newStore()
+    store.setPartitionSpec(PartitionSpec(Seq(Partitioning.identity("codec"))))
+    Append.run(spark, store, ClipSynth.dataset(spark, 200, 4, maxDurMs = 120).toDF())
+    Append.run(spark, store, ClipSynth.dataset(spark, 100, 2, maxDurMs = 120)
+      .toDF().withColumn("clip_id", concat(lit("m_"), col("clip_id"))))
+    val files = store.filesTableCurrent(spark)
+    // rows-per-tuple from the metadata table == rows-per-codec from the data
+    val byTuple = files.selectExpr("partition['codec'] AS codec", "rows")
+      .groupBy("codec").agg(sum("rows").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byData = store.scanCurrent(spark).groupBy("codec").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTuple == byData)
+    // per-column stats are queryable structs
+    val minDur = files.selectExpr("CAST(stats['dur_ms'].min AS INT) AS mn")
+      .agg(min("mn")).collect().head.getInt(0)
+    assert(minDur == store.scanCurrent(spark).agg(min("dur_ms"))
+      .collect().head.getInt(0))
+    // snapshots table carries the operation log
+    val snaps = store.snapshotsTable(spark)
+    assert(snaps.count() == 2)
+    assert(snaps.filter(col("operation") === "append").count() == 2)
+    assert(snaps.selectExpr("CAST(summary['rows'] AS LONG)").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(200L, 300L))
+  }
+
   test("pre-spec history: empty tuples are always kept") {
     val store = newStore()
     Append.run(spark, store, ClipSynth.dataset(spark, 100, 2, maxDurMs = 100).toDF())
