@@ -766,6 +766,61 @@ object Audio {
         .withColumn("delete_rows", lit(res.deleteRows))
     }),
 
+    // -- streaming upsert (streaming/StreamAppend.startUpsert): three
+    //    CDC-shaped micro-batches MERGE into a seeded table through the
+    //    exactly-once batch ledger; batches overlap in keys (later batch
+    //    wins) and carry inserts. Batch order is pinned by explicit source
+    //    file mtimes (the file source's ordering key). --
+    //    Oracle: DuckDB replays the merge relationally — seed tagged batch
+    //    -1, each update file its batch index, last-writer-wins per key via
+    //    row_number over batch DESC. --
+    "q104_stream_upsert" -> ((s, d) => {
+      val fx = OracleFixtures.freshDir("q104_fx", d)
+      val n = clipCount(d)
+      val store = MetaStore.forClips(s"$fx/table")
+      val seed = ClipSynth.dataset(s, n, 8, maxDurMs = 120).toDF()
+      Append.run(s, store, seed)
+      seed.write.mode("overwrite").parquet(s"$fx/seed")
+      val srcDir = new java.io.File(s"$fx/src"); srcDir.mkdirs()
+      (0 until 3).foreach { k =>
+        val lo = k * n / 5
+        val hi = lo + n / 4
+        val insLo = n + k * n / 10
+        val insHi = insLo + n / 10
+        val upd = ClipSynth.dataset(s, 2 * n, 8, maxDurMs = 120).toDF()
+          .filter((col("clip_id") >= ClipSynth.clipId(lo) &&
+              col("clip_id") < ClipSynth.clipId(hi)) ||
+            (col("clip_id") >= ClipSynth.clipId(insLo) &&
+              col("clip_id") < ClipSynth.clipId(insHi)))
+          .withColumn("transcript", concat(col("transcript"), lit(s" u$k")))
+        upd.coalesce(1).write.mode("overwrite").parquet(s"$fx/u$k")
+        val part = new java.io.File(s"$fx/u$k").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(srcDir, s"b$k.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L * (k + 1)) // pin batch order
+      }
+      val q = graft.streaming.StreamAppend.startUpsert(store,
+        s.readStream.schema(seed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+        s"$fx/ckpt", "q104_upsert")
+      try q.processAllAvailable() finally q.stop()
+      def era(b: Int, path: String) =
+        s"""SELECT clip_id, sr_hz, dur_ms, codec, transcript, $b AS b
+           |FROM read_parquet('$path/*.parquet')""".stripMargin
+      OracleFixtures.register("q104_stream_upsert",
+        s"""WITH everything AS (${era(-1, s"$fx/seed")}
+           |UNION ALL ${era(0, s"$fx/u0")}
+           |UNION ALL ${era(1, s"$fx/u1")}
+           |UNION ALL ${era(2, s"$fx/u2")}),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY clip_id
+           |        ORDER BY b DESC) AS rn FROM everything)
+           |SELECT clip_id, sr_hz, dur_ms, codec, transcript
+           |FROM r WHERE rn = 1""".stripMargin)
+      store.scanCurrent(s)
+        .select("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+    }),
+
     // -- energy-based voice-activity detection (Dsp.vadSegments): each clip's
     //    labeled tone is laid out as a 600 ms utterance with two PLANTED
     //    60 ms silence gaps (bursts 0-150 / 210-360 / 420-600 ms); VAD over
