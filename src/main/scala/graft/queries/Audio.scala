@@ -782,16 +782,17 @@ object Audio {
       Append.run(s, store, seed)
       seed.write.mode("overwrite").parquet(s"$fx/seed")
       val srcDir = new java.io.File(s"$fx/src"); srcDir.mkdirs()
+      import s.implicits._
+      def synthRange(from: Long, until: Long) =
+        s.range(from, until, 1L, 4).map(i => ClipSynth.clip(i, 120)).toDF()
       (0 until 3).foreach { k =>
         val lo = k * n / 5
         val hi = lo + n / 4
         val insLo = n + k * n / 10
         val insHi = insLo + n / 10
-        val upd = ClipSynth.dataset(s, 2 * n, 8, maxDurMs = 120).toDF()
-          .filter((col("clip_id") >= ClipSynth.clipId(lo) &&
-              col("clip_id") < ClipSynth.clipId(hi)) ||
-            (col("clip_id") >= ClipSynth.clipId(insLo) &&
-              col("clip_id") < ClipSynth.clipId(insHi)))
+        // synthesize ONLY the id ranges this batch touches (tone generation
+        // dominates; the q100 lesson)
+        val upd = synthRange(lo, hi).unionByName(synthRange(insLo, insHi))
           .withColumn("transcript", concat(col("transcript"), lit(s" u$k")))
         upd.coalesce(1).write.mode("overwrite").parquet(s"$fx/u$k")
         val part = new java.io.File(s"$fx/u$k").listFiles()
