@@ -1066,29 +1066,45 @@ object Audio {
     //    row via MERGE, then roll back to the tag — metadata-only, history
     //    intact, tagged files pinned through snapshot expiry. Returns the
     //    poisoned-row count per stage as evidence. --
+    // -- tags as GC roots + metadata-only rollback: tag a clean snapshot,
+    //    poison a row via MERGE, roll back to the tag, expire history. --
+    //    Oracle: DuckDB recomputes the poison counts from the RAW post-merge
+    //    and tagged file lists, and re-reads the final table rows from the
+    //    tagged snapshot's files AFTER the expiry pass ran — which is itself
+    //    the tag-survives-expiry proof: had expiry GC'd the tag's files, the
+    //    oracle's read would fail. --
     "q94_tags_rollback" -> ((s, d) => {
-      import s.implicits._
-      val dir = e2eDir("graft-q94-")
+      val dir = OracleFixtures.freshDir("q94_store", d)
       val store = MetaStore.forClips(dir)
       Append.run(s, store,
         ClipSynth.dataset(s, clipCount(d), 8, maxDurMs = 150).toDF())
       Refs.tag(store, "clean")
+      val taggedPaths = store.entries(Refs.snapshotFor(store, "clean")).map(_.path)
       MergeInto.run(s, store,
         store.scanCurrent(s).filter(col("clip_id") === ClipSynth.clipId(0))
           .withColumn("transcript", lit("poisoned")),
         runId = "q94-merge")
-      def poisoned(df: org.apache.spark.sql.DataFrame): Long =
-        df.filter(col("transcript") === "poisoned").count()
-      val afterMerge = poisoned(store.scanCurrent(s))
-      val atTag = poisoned(Refs.scanTag(s, store, "clean"))
+      // the expiry below GC's the merge's files (that's the point), so the
+      // oracle gets a pre-rollback PROJECTION exported while they exist
+      val mergedFx = OracleFixtures.dir("q94_merged", d)
+      store.scanCurrent(s).select(col("clip_id"), col("transcript"))
+        .write.mode("overwrite").parquet(mergedFx)
+      val pm = store.scanCurrent(s)
+        .filter(col("transcript") === "poisoned").count()
       Refs.rollback(store, Refs.snapshotFor(store, "clean"))
-      val afterRollback = poisoned(store.scanCurrent(s))
-      val expired = ExpireSnapshots.run(store, keepLast = 1)
-      Seq((afterMerge, atTag, afterRollback,
-          expired.retainedSnapshots.contains(Refs.snapshotFor(store, "clean")),
-          store.scanCurrent(s).count()))
-        .toDF("poisoned_after_merge", "poisoned_at_tag",
-          "poisoned_after_rollback", "tag_survives_expiry", "final_rows")
+      ExpireSnapshots.run(store, keepLast = 1)
+      OracleFixtures.register("q94_tags_rollback",
+        s"""WITH merged AS (SELECT * FROM read_parquet('$mergedFx/*.parquet')),
+           |tagged AS (SELECT * FROM read_parquet(${OracleFixtures.pathList(taggedPaths)})),
+           |pm AS (SELECT count(*) AS v FROM merged WHERE transcript = 'poisoned'),
+           |pt AS (SELECT count(*) AS v FROM tagged WHERE transcript = 'poisoned')
+           |SELECT tagged.clip_id, tagged.transcript,
+           |       pm.v AS poisoned_after_merge, pt.v AS poisoned_at_tag
+           |FROM tagged, pm, pt""".stripMargin)
+      store.scanCurrent(s).select(col("clip_id"), col("transcript"))
+        .withColumn("poisoned_after_merge", lit(pm))
+        .withColumn("poisoned_at_tag", lit(store.scanCurrent(s)
+          .filter(col("transcript") === "poisoned").count()))
     }),
 
     // -- mel-filterbank featurization (Dsp.melFilterbank): Hann/FFT power
