@@ -460,13 +460,58 @@ object Audio {
     //    -> signal-level verify vs the ORIGINAL snapshot (old payload
     //    resampled to target = reference; SNR >= 20 dB + meta). The audio
     //    analog of a canonicalizing compaction; returns per-clip verdicts. --
+    //    Oracle: the decoded signal pairs are exported (ref = old clip
+    //    decoded + linearly resampled to the target rate engine-side — the
+    //    resample arithmetic itself is q70's oracle — out = new clip
+    //    decoded) with both transcripts and the new metadata; DuckDB
+    //    recomputes the SNR power ratio with list arithmetic, replays the
+    //    length/zero-noise/zero-signal edge rules, and re-derives every
+    //    meta/transcript/pass verdict. --
     "q82_transcode_e2e" -> ((s, d) => {
+      import s.implicits._
       val dir = e2eDir("graft-q82-")
       val store = MetaStore.forClips(dir)
       Append.run(s, store,
         ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).toDF())
       val s0 = store.currentSnapshotId.get
       val res = Transcode.run(s, store, Pcm.Pcm16le, 16000, runId = "q82")
+      val fx = OracleFixtures.freshDir("q82_pcm", d)
+      val oldC = store.scan(s, s0).select(col("clip_id"),
+        col("bytes").as("o_bytes"), col("sr_hz").as("o_sr"),
+        col("codec").as("o_codec"), col("transcript").as("o_transcript"))
+      store.scan(s, res.snapshotId).join(oldC, Seq("clip_id"))
+        .select("clip_id", "o_bytes", "o_sr", "o_codec", "o_transcript",
+          "bytes", "codec", "sr_hz", "transcript")
+        .map { r =>
+          val ref = graft.audio.Dsp.resampleLinear(
+            Pcm.decode(r.getString(3), r.getAs[Array[Byte]](1)),
+            r.getInt(2), 16000)
+          val out = Pcm.decode(r.getString(6), r.getAs[Array[Byte]](5))
+          (r.getString(0), ref.map(_.toInt), out.map(_.toInt),
+            r.getString(4), r.getString(8), r.getString(6), r.getInt(7))
+        }.toDF("clip_id", "ref", "outp", "o_transcript", "n_transcript",
+          "n_codec", "n_sr")
+        .write.mode("overwrite").parquet(fx)
+      OracleFixtures.register("q82_transcode_e2e",
+        s"""WITH p AS (SELECT * FROM read_parquet('$fx/*.parquet')),
+           |e AS (SELECT clip_id,
+           |    len(ref) AS nr, len(outp) AS no,
+           |    list_aggregate(list_transform(ref,
+           |      x -> CAST(x AS DOUBLE) * x), 'sum') AS sig,
+           |    list_aggregate(list_transform(range(1, len(ref) + 1),
+           |      i -> POWER(CAST(ref[i] AS DOUBLE) - outp[i], 2)), 'sum') AS noise,
+           |    n_codec = 'pcm16le' AND n_sr = 16000 AS meta_ok,
+           |    o_transcript = n_transcript AS transcript_ok
+           |  FROM p),
+           |v AS (SELECT clip_id, meta_ok, transcript_ok,
+           |    CASE WHEN nr != no THEN -1.0
+           |         WHEN coalesce(noise, 0) = 0 THEN 999.0
+           |         WHEN sig = 0 THEN -1.0
+           |         ELSE 10.0 * log10(sig / noise) END AS raw_snr
+           |  FROM e)
+           |SELECT clip_id, round(raw_snr, 1) AS snr_db, meta_ok, transcript_ok,
+           |       raw_snr >= 20.0 AND meta_ok AND transcript_ok AS pass
+           |FROM v""".stripMargin)
       Transcode.verify(s, store, s0, res.snapshotId, Pcm.Pcm16le, 16000,
         minSnrDb = 20.0)
         .select(col("clip_id"), round(col("snr_db"), 1).as("snr_db"),
