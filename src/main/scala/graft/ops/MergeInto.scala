@@ -33,6 +33,11 @@ final case class MergeResult(
  */
 object MergeInto {
 
+  /** Update batches at or below this many distinct keys use pruned
+   * candidate discovery (tuple + zonemap + bloom); above it, the full
+   * discovery scan (bloom probing is O(files × keys) executor-side). */
+  var SmallKeySetLimit: Int = 10000
+
   /** @param deleteKeys WHEN MATCHED THEN DELETE branch: rows of the target
    *                     whose key appears here are dropped during the
    *                     copy-on-write rewrite. */
@@ -51,12 +56,43 @@ object MergeInto {
       (u, dk) => u.unionByName(dk.select(col(keyCol)))).distinct()
     val updKeys = if (broadcastUpdates) broadcast(updKeys0) else updKeys0
 
-    // 1. which data files contain matched keys?
-    val touchedPaths = store.scan(spark, snapId)
-      .select(col(keyCol), input_file_name().as("_file"))
-      .join(updKeys, keyCol)
-      .select("_file").distinct()
-      .collect().map(r => store.normalizePath(r.getString(0))).toSet
+    // 1. which data files contain matched keys? For a SMALL key set — the
+    // canonical merge shape: a daily update batch against a huge table —
+    // eliminate candidate files by partition tuple + zonemap + per-file
+    // bloom BEFORE any data read, so the discovery scan touches the
+    // candidates' key column, not the whole table's (at 10^6 files the
+    // full-table discovery read IS the merge's cost). Larger key sets fall
+    // back to the full discovery scan (bloom probing is O(files x keys)).
+    val keyVals: Option[Seq[Any]] = {
+      val head = updKeys0.limit(SmallKeySetLimit + 1).collect()
+      if (head.length <= SmallKeySetLimit) Some(head.map(_.get(0)).toSeq)
+      else None
+    }
+    val candidates = keyVals match {
+      case Some(vs) if vs.nonEmpty =>
+        val pred = graft.table.Pred.InSet(keyCol, vs)
+        val tupleKeep = store.partitionSpec.map(_.pruner(Seq(pred)))
+          .getOrElse((_: graft.table.DataFile) => true)
+        val zoneKept = graft.table.Pruning.keep(entries.filter(tupleKeep), Seq(pred))
+        if (store.bloomColumn.contains(keyCol) && zoneKept.nonEmpty) {
+          val surviving = graft.table.FileBloom.prunePaths(spark, store,
+            zoneKept.map(_.path), vs.map(_.toString))
+          zoneKept.filter(e => surviving.contains(e.path))
+        } else zoneKept
+      case _ => entries
+    }
+    val touchedPaths =
+      if (candidates.isEmpty) Set.empty[String] // pure insert: no file can match
+      else {
+        val discovery =
+          if (candidates.size == entries.size) store.scan(spark, snapId)
+          else Deletes.readFiles(spark, store, snapId, candidates)
+        discovery
+          .select(col(keyCol), input_file_name().as("_file"))
+          .join(updKeys, keyCol)
+          .select("_file").distinct()
+          .collect().map(r => store.normalizePath(r.getString(0))).toSet
+      }
     val (touched, untouched) = entries.partition(e => touchedPaths.contains(e.path))
 
     // 2. rewrite touched files + append inserts, preserving cluster order
@@ -101,7 +137,8 @@ object MergeInto {
       summary = extraSummary ++ Map(
         "runId" -> runId,
         "filesTouched" -> touched.size.toString,
-        "filesUntouched" -> untouched.size.toString))
+        "filesUntouched" -> untouched.size.toString,
+        "filesScannedForDiscovery" -> candidates.size.toString))
     MergeResult(newSnap, runId, touched.size, untouched.size,
       newEntries.map(_.rows).sum)
   }

@@ -193,4 +193,34 @@ class MaintenanceSpec extends AnyFunSuite {
       runId = "shard-compact")
     assert(store.entries(c.snapshotId).map(_.rows).sum === 200)
   }
+
+  test("small-batch MERGE discovers touched files via pruned candidates, not a table scan") {
+    import spark.implicits._
+    import graft.synth.ClipSynth
+    val dir = java.nio.file.Files.createTempDirectory("graft-mergeprune").toString
+    val store = graft.table.MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 2000, 8, maxDurMs = 150).toDF())
+    // cluster so clip_id zonemaps are tight per file
+    Cluster.run(spark, store, ZOrderCurve, targetBytes = 64L * 1024,
+      runId = "mp-cluster", hashCols = Seq.empty, rangeCols = Seq("sr_hz", "dur_ms"))
+    val total = store.entries(store.currentSnapshotId.get).size
+    assert(total > 4)
+
+    val upd = Seq(ClipSynth.clip(7, maxDurMs = 150), ClipSynth.clip(400, maxDurMs = 150))
+      .toDS().toDF().withColumn("transcript", lit("merged-small"))
+    val res = MergeInto.run(spark, store, upd, runId = "mp-merge")
+    val sum = store.snapshot(res.snapshotId).summary
+    val scanned = sum("filesScannedForDiscovery").toInt
+    assert(scanned < total, s"discovery scanned $scanned of $total files")
+    assert(store.scanCurrent(spark)
+      .filter(col("transcript") === "merged-small").count() === 2)
+    assert(store.scanCurrent(spark).count() === 2000)
+
+    // pure insert of brand-new keys: zero candidate files, rows appended
+    val ins = spark.range(900000L, 900005L, 1L, 1)
+      .map(i => ClipSynth.clip(i, maxDurMs = 150)).toDF()
+    val res2 = MergeInto.run(spark, store, ins, runId = "mp-insert")
+    assert(store.snapshot(res2.snapshotId).summary("filesScannedForDiscovery").toInt == 0)
+    assert(store.scanCurrent(spark).count() === 2005)
+  }
 }
