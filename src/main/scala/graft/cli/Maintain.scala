@@ -31,6 +31,9 @@ import org.apache.spark.sql.SparkSession
  *     transcode [codec] [rateHz]    canonicalize payloads (default pcm16le 16000)
  *     orphans [minAgeH]             delete unreachable data files (crashed writes)
  *     publish <snapId|tag> <dest>   export a snapshot as standalone parquet
+ *     materialize-deletes           pay down merge-on-read debt: promote
+ *                                   provably-clean files metadata-only,
+ *                                   rewrite the rest, retire delete files
  */
 object Maintain {
 
@@ -165,6 +168,11 @@ object Maintain {
       case "expire-deletes" =>
         val (id, dropped) = Deletes.expireInert(store)
         println(s"snapshot $id: dropped $dropped inert delete file(s)")
+      case "materialize-deletes" =>
+        val r = Deletes.materialize(spark, store)
+        println(s"snapshot ${r.snapshotId}: rewrote ${r.filesRewritten} " +
+          s"file(s), promoted ${r.filesPromoted} metadata-only, retired " +
+          s"${r.deletesRetired} delete file(s)")
       case "compact-manifests" =>
         val (id, before, after) = store.compactManifests()
         println(s"snapshot $id: $before -> $after manifest shards")

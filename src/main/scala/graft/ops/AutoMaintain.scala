@@ -23,6 +23,9 @@ import org.apache.spark.sql.SparkSession
  *    grows between rewrites);
  *  - manifest sprawl → [[MetaStore.compactManifests]] (many delta commits
  *    leave one small shard each);
+ *  - merge-on-read delete debt → [[Deletes.materialize]] (too many delete
+ *    eras or delete rows: promote provably-clean files metadata-only,
+ *    rewrite the rest, retire every delete file in one commit);
  *  - outrun delete files → [[Deletes.expireInert]] (a full rewrite left no
  *    covered data file);
  *  - history debt → [[ExpireSnapshots]] + [[RemoveOrphans]] (bounded
@@ -46,7 +49,12 @@ final case class MaintenancePolicy(
     maxManifestShards: Int = 32,
     expireKeepLast: Int = 5,
     expireMinAgeMs: Long = 0L,
-    orphanMinAgeMs: Long = 3600L * 1000)
+    orphanMinAgeMs: Long = 3600L * 1000,
+    /** Merge-on-read debt bounds ([[Deletes.materialize]] trigger): live
+     * delete ERAS (distinct delete seqs — each is one extra anti-join on
+     * every scan) and live delete rows as a fraction of table rows. */
+    maxDeleteEras: Int = 6,
+    maxDeleteRowFrac: Double = 0.02)
 
 object AutoMaintain {
 
@@ -69,15 +77,31 @@ object AutoMaintain {
       out += Decision("compact",
         s"$mergeable mergeable small files (<${threshold} B) exceed bound ${policy.maxSmallFiles}")
 
-    val inertable = {
-      val dels = store.deleteEntries(snapId)
-      dels.nonEmpty && {
+    val dels = store.deleteEntries(snapId)
+    // merge-on-read debt: each delete ERA is one more anti-join on every
+    // scan until a rewrite retires it — a streaming MOR upsert adds one per
+    // batch. Bounded here; materialize promotes provably-clean files
+    // metadata-only and rewrites the rest, retiring all delete files.
+    val morDebt = dels.nonEmpty && {
+      val eras = dels.map(_.seq).distinct.size
+      val delRows = dels.map(_.rows).sum
+      val tableRows = math.max(entries.map(_.rows).sum, 1L)
+      eras > policy.maxDeleteEras ||
+        delRows > policy.maxDeleteRowFrac * tableRows
+    }
+    if (morDebt)
+      out += Decision("materialize-deletes",
+        s"${dels.map(_.seq).distinct.size} delete eras / ${dels.map(_.rows).sum} delete rows " +
+          s"exceed bounds (eras>${policy.maxDeleteEras} or rows>" +
+          f"${policy.maxDeleteRowFrac}%.2f*table)")
+    else {
+      val inertable = dels.nonEmpty && {
         val minDataSeq = entries.map(_.seq).minOption.getOrElse(Long.MaxValue)
         dels.exists(_.seq <= minDataSeq)
       }
+      if (inertable)
+        out += Decision("expire-deletes", "delete files outrun by every data file")
     }
-    if (inertable)
-      out += Decision("expire-deletes", "delete files outrun by every data file")
 
     if (entries.size >= policy.minFilesForCluster)
       policy.clusterRangeCols.headOption.foreach { c =>
@@ -124,6 +148,9 @@ object AutoMaintain {
             runId = s"$runId-compact").snapshotId
         case "expire-deletes" =>
           Deletes.expireInert(store)._1
+        case "materialize-deletes" =>
+          Deletes.materialize(spark, store,
+            runId = s"$runId-materialize").snapshotId
         case "cluster" =>
           Cluster.run(spark, store, ZOrderCurve, policy.targetBytes,
             runId = s"$runId-cluster", hashCols = policy.clusterHashCols,

@@ -4,6 +4,16 @@ import graft.table.{DataFile, MetaStore, Pred, Pruning}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+final case class MaterializeResult(
+    snapshotId: Long,
+    /** Covered files actually rewritten (delete keys may live in them). */
+    filesRewritten: Int,
+    /** Covered files PROMOTED metadata-only: tuple/zonemap/bloom proved no
+     * delete key can be present, so only their `seq` was bumped. */
+    filesPromoted: Int,
+    /** Delete files retired by the same commit. */
+    deletesRetired: Int)
+
 final case class DeleteResult(
     snapshotId: Long,
     deleteFiles: Int,
@@ -217,5 +227,108 @@ object Deletes {
       "deletesKept" -> live.size.toString),
       deletes = Some(live))
     (id, inert.size)
+  }
+
+  /**
+   * Materialize every live equality delete and retire the delete files, in
+   * ONE atomic commit — the pass that pays down merge-on-read read debt
+   * ([[graft.ops.MergeInto.runMor]] leaves one delete era per batch; each
+   * era is an extra anti-join on every scan until a rewrite retires it).
+   *
+   * Two tiers, like [[deleteWhere]] but in the opposite direction:
+   *
+   *  1. **Seq promotion (metadata-only)** — a covered file that PROVABLY
+   *     contains none of the delete keys (partition tuple / zonemap /
+   *     per-file bloom all conservative, same pruning stack as
+   *     [[MergeInto]]'s touched-file discovery) doesn't need its bytes
+   *     rewritten: applying the deletes to it is a no-op, so the commit
+   *     just re-enters it with `seq` = the new commit id, lifting it above
+   *     every delete. At 10^5-10^6 files where a delete batch names a few
+   *     thousand keys, THIS is the whole game — the alternative rewrites
+   *     the table to retire kilobytes of delete files.
+   *  2. **Rewrite** — files that may contain a key are read delete-aware
+   *     ([[readFiles]]: deletes applied, evolution defaults materialized)
+   *     and written back; born with the new commit's seq.
+   *
+   * After the commit the minimum data seq >= every delete's seq, so the
+   * same commit drops ALL delete manifests (`deletes = Some(Nil)`).
+   * Old snapshots keep theirs — time travel / CDC are unaffected.
+   *
+   * NOT retried on commit race (it is a rewrite: planned inputs may have
+   * been rewritten away) — the caller re-plans, like compact/cluster.
+   *
+   * Promotion proof needs the key VALUES driver-side; delete sets larger
+   * than `promoteKeyLimit` rows (or keyed on anything but single columns)
+   * skip the proof and rewrite every covered file.
+   */
+  def materialize(spark: SparkSession, store: MetaStore,
+                  runId: String = s"materialize-${System.currentTimeMillis()}",
+                  promoteKeyLimit: Int = 100000): MaterializeResult = {
+    val snapId = store.currentSnapshotId.getOrElse(sys.error("materialize: empty table"))
+    val entries = store.entries(snapId)
+    val dels = store.deleteEntries(snapId)
+    if (dels.isEmpty) return MaterializeResult(snapId, 0, 0, 0)
+    val covered = entries.filter(f => dels.exists(_.seq > f.seq))
+    if (covered.isEmpty) { // already outrun — plain retire
+      val (id, n) = expireInert(store)
+      return MaterializeResult(id, 0, 0, n)
+    }
+
+    // promotion proof: per delete-key column, the distinct key values (only
+    // when every delete file keys on exactly ONE column and the total stays
+    // driver-sized; multi-column keys would need tuple-level proofs)
+    val delCols = dels.map(d => spark.read.parquet(d.path).columns.toSeq)
+    val provable = dels.map(_.rows).sum <= promoteKeyLimit && delCols.forall(_.size == 1)
+    val toRewrite: Seq[DataFile] =
+      if (!provable) covered
+      else {
+        val byCol = dels.zip(delCols).groupBy(_._2.head)
+        // a file needs a rewrite iff it MAY contain a key of SOME delete
+        // that covers it (delete.seq > file.seq)
+        val mayPerCol: Map[String, DataFile => Boolean] =
+          byCol.map { case (c, ds) =>
+            val maxSeq = ds.map(_._1.seq).max
+            val vals = spark.read.parquet(ds.map(_._1.path): _*)
+              .distinct().collect().map(_.get(0)).toSeq
+            val pred = Pred.InSet(c, vals)
+            val tupleKeep = store.partitionSpec.map(_.pruner(Seq(pred)))
+              .getOrElse((_: DataFile) => true)
+            val bloomSurvivors: Option[Set[String]] =
+              if (store.bloomColumn.contains(c)) {
+                val zoneCand = covered.filter(f =>
+                  f.seq < maxSeq && tupleKeep(f) && pred.mayMatch(f))
+                Some(graft.table.FileBloom.prunePaths(spark, store,
+                  zoneCand.map(_.path), vals.map(_.toString)))
+              } else None
+            c -> ((f: DataFile) => f.seq < maxSeq && tupleKeep(f) &&
+              pred.mayMatch(f) && bloomSurvivors.forall(_.contains(f.path)))
+          }
+        covered.filter(f => mayPerCol.values.exists(_(f)))
+      }
+    val promoted = covered.filterNot(f => toRewrite.exists(_.path == f.path))
+
+    val newEntries =
+      if (toRewrite.isEmpty) Nil
+      else {
+        val outDir = store.newDataDir("materialize")
+        store.writeData(readFiles(spark, store, snapId, toRewrite), outDir)
+        store.collectStats(spark, outDir)
+      }
+    val t0 = System.currentTimeMillis()
+    store.appendLineage(spark, newEntries.zipWithIndex.map { case (e, p) =>
+      graft.table.LineageRecord(runId, snapId, "materialize", e.path, p,
+        e.rows, e.sizeBytes, 0L, t0, "done")
+    })
+    // seq = 0 on promoted re-entries -> commitDelta stamps the new id
+    val id = store.commitDelta("materialize-deletes",
+      newEntries ++ promoted.map(_.copy(seq = 0L)),
+      removedPaths = covered.map(_.path).toSet,
+      summary = Map(
+        "runId" -> runId,
+        "filesRewritten" -> toRewrite.size.toString,
+        "filesPromoted" -> promoted.size.toString,
+        "deletesRetired" -> dels.size.toString),
+      deletes = Some(Nil))
+    MaterializeResult(id, toRewrite.size, promoted.size, dels.size)
   }
 }

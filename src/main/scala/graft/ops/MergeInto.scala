@@ -10,7 +10,10 @@ final case class MergeResult(
     runId: String,
     filesTouched: Int,
     filesUntouched: Int,
-    updatedOrInserted: Long)
+    updatedOrInserted: Long,
+    /** Equality-delete rows committed by the merge-on-read mode
+     * ([[MergeInto.runMor]]); 0 for copy-on-write. */
+    deleteRows: Long = 0L)
 
 /**
  * Copy-on-write MERGE INTO keyed on `clip_id`: WHEN MATCHED THEN UPDATE (all
@@ -141,5 +144,95 @@ object MergeInto {
         "filesScannedForDiscovery" -> candidates.size.toString))
     MergeResult(newSnap, runId, touched.size, untouched.size,
       newEntries.map(_.rows).sum)
+  }
+
+  /**
+   * Merge-on-read MERGE INTO — same WHEN MATCHED UPDATE / NOT MATCHED INSERT
+   * (/ optional MATCHED DELETE) semantics as [[run]], but the commit is pure
+   * churn instead of a rewrite:
+   *
+   *  - ONE equality-delete file covering every update + delete key
+   *    (`seq` = the new snapshot id, so by the Iceberg sequence rule it
+   *    masks only OLDER rows of those keys — [[Deletes]]), plus
+   *  - the update rows appended as new data files with the SAME `seq`
+   *    (born above the delete, so the new versions stay visible).
+   *
+   * Scan results are IDENTICAL to copy-on-write by construction; the cost
+   * flips from O(touched files) to O(batch). On a 10^12-row table where a
+   * daily batch touches a few rows in most files, copy-on-write rewrites
+   * nearly the whole table — this commits kilobytes. The price is read-side
+   * debt (one more delete era per merge), which compaction materializes and
+   * [[Deletes.expireInert]] then retires; [[AutoMaintain]] watches it.
+   * Iceberg's `write.merge.mode = merge-on-read` made the same trade.
+   *
+   * Key discovery never scans the table at all (no touched-file discovery
+   * pass) — deleting a key that exists nowhere is a no-op under the
+   * sequence rule, so pure inserts need no membership probe.
+   *
+   * Safe under [[MetaStore.withCommitRetry]]: like [[Deletes.run]], the
+   * batch is valid against any newer snapshot (append + key delete commute
+   * with other appends), unlike copy-on-write whose planned inputs can be
+   * rewritten away.
+   *
+   * @param outputFiles coalesce the appended batch to this many data files
+   *   (0 = keep the incoming partitioning); small CDC batches default to 1
+   *   to avoid seeding small-file debt 32 files at a time.
+   */
+  def runMor(spark: SparkSession, store: MetaStore, updates: DataFrame,
+             keyCol: String = "clip_id",
+             runId: String = s"merge-mor-${System.currentTimeMillis()}",
+             deleteKeys: Option[DataFrame] = None,
+             outputFiles: Int = 1,
+             extraSummary: Map[String, String] = Map.empty): MergeResult = {
+    val t0 = System.nanoTime()
+
+    // appended data files (written once; reused verbatim across commit
+    // retries). A key in BOTH updates and deleteKeys must end up deleted —
+    // copy-on-write applies the delete after the update ([[run]]) — so the
+    // delete keys are excluded from the batch (their appended rows would
+    // otherwise share the delete's seq and outlive it).
+    val batch0 = deleteKeys match {
+      case Some(dk) => updates.join(
+        broadcast(dk.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+      case None => updates
+    }
+    val batch = if (outputFiles > 0) batch0.coalesce(outputFiles) else batch0
+    val outDir = store.newDataDir("merge-mor")
+    store.writeData(batch, outDir)
+    val addedRaw = store.collectStats(spark, outDir)
+
+    // one equality-delete key file: update keys ∪ delete keys
+    val allKeys = deleteKeys.foldLeft(updates.select(col(keyCol)))(
+      (u, dk) => u.unionByName(dk.select(col(keyCol)))).distinct()
+    val delDir = store.newDataDir("delete")
+    allKeys.coalesce(1).write.mode("overwrite").parquet(delDir)
+    val delRaw = store.collectStats(spark, delDir).filter(_.rows > 0)
+
+    MetaStore.withCommitRetry() {
+      val parent = store.currentSnapshotId.getOrElse(-1L)
+      val expectedId = if (parent == -1L) 1L else parent + 1L
+      val delEntries =
+        if (parent == -1L) Nil // empty table: nothing older to mask
+        else delRaw.map(_.copy(seq = expectedId))
+      val parentDeletes = if (parent == -1L) Nil else store.deleteEntries(parent)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      store.appendLineage(spark, addedRaw.zipWithIndex.map { case (e, p) =>
+        LineageRecord(runId, parent, "merge-mor", e.path, p, e.rows, e.sizeBytes,
+          wallMs, System.currentTimeMillis(), "done")
+      })
+      val newSnap = store.commitDelta("merge-mor", addedRaw,
+        summary = extraSummary ++ Map(
+          "runId" -> runId,
+          "filesTouched" -> "0",
+          "deleteRows" -> delEntries.map(_.rows).sum.toString,
+          "deleteFiles" -> delEntries.size.toString),
+        deletes =
+          if (delEntries.isEmpty && parentDeletes.isEmpty) None
+          else Some(parentDeletes ++ delEntries))
+      MergeResult(newSnap, runId, 0,
+        if (parent == -1L) 0 else store.entries(parent).size,
+        addedRaw.map(_.rows).sum,
+        deleteRows = delEntries.map(_.rows).sum)
+    }
   }
 }

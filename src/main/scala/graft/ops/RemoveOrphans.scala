@@ -50,7 +50,10 @@ object RemoveOrphans {
     val reachable: Set[String] =
       store.allSnapshotIds.flatMap(id =>
         store.entries(id) ++ store.deleteEntries(id)).map(_.path).toSet ++
-        checkpointRoots(store)
+        checkpointRoots(store) ++
+        // staged-but-unpublished WAP batches: no snapshot references them,
+        // but they are pending work, not garbage
+        Wap.stagedRoots(store)
     val dataDir = Paths.get(store.tableDir, "data")
     val cutoff = System.currentTimeMillis() - minAgeMs
     var scanned = 0

@@ -867,6 +867,130 @@ object Audio {
         .select("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
     }),
 
+    // -- merge-on-read MERGE (ops/MergeInto.runMor): two CDC batches land as
+    //    pure churn — one appended data file + one equality-delete file each,
+    //    ZERO data files rewritten (asserted via the returned result and
+    //    surfaced as the oracle-checked mor_rewrites column) — then
+    //    Deletes.materialize pays the read debt: files provably free of
+    //    delete keys are PROMOTED metadata-only (seq bump), key-bearing
+    //    files rewritten, every delete file retired in one commit. The write
+    //    mode a 10^12-row table needs for frequent small upserts. --
+    //    Oracle: DuckDB replays both merges relationally over the exported
+    //    pre-merge era files and batch parquets — last-writer-wins per key
+    //    by batch index, delete keys as era-1 tombstones (a key re-inserted
+    //    by batch 2 must come back) — and the final scan after materialize
+    //    must still hash-match it. --
+    "q105_merge_mor" -> ((s, d) => {
+      import s.implicits._
+      val fx = OracleFixtures.freshDir("q105_fx", d)
+      val store = MetaStore.forClips(s"$fx/table")
+      val n = clipCount(d)
+      def synthRange(from: Long, until: Long, parts: Int) =
+        s.range(from, until, 1L, parts).map(i => ClipSynth.clip(i, 150)).toDF()
+      Append.run(s, store, synthRange(0, n / 2, 4))
+      Append.run(s, store, synthRange(n / 2, n, 4))
+      val basePaths = store.entries(store.currentSnapshotId.get).map(_.path)
+      // batch 1: update the low quarter, insert past the end, delete an
+      // upper-half slice (disjoint from the updates)
+      val u1 = synthRange(0, n / 4, 2).unionByName(synthRange(n, n + n / 10, 1))
+        .withColumn("transcript", concat(col("transcript"), lit(" u1")))
+      u1.coalesce(1).write.mode("overwrite").parquet(s"$fx/u1")
+      s.range(n / 2, n / 2 + n / 20).map(i => ClipSynth.clipId(i)).toDF("clip_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$fx/delk")
+      val r1 = MergeInto.runMor(s, store, s.read.parquet(s"$fx/u1"),
+        deleteKeys = Some(s.read.parquet(s"$fx/delk")), runId = "q105-m1")
+      // batch 2 overlaps batch 1 (later wins) and re-inserts deleted keys
+      val u2 = synthRange(n / 8, n / 4 + n / 8, 2)
+        .unionByName(synthRange(n / 2, n / 2 + n / 40, 1))
+        .withColumn("transcript", concat(col("transcript"), lit(" u2")))
+      u2.coalesce(1).write.mode("overwrite").parquet(s"$fx/u2")
+      val r2 = MergeInto.runMor(s, store, s.read.parquet(s"$fx/u2"),
+        runId = "q105-m2")
+      val m = Deletes.materialize(s, store)
+      require(store.deleteEntries(m.snapshotId).isEmpty,
+        "materialize must retire every delete file")
+      def era(b: Int, src: String, tomb: Int = 0) =
+        if (tomb == 1)
+          s"""SELECT clip_id, CAST(NULL AS INT) AS sr_hz,
+             |  CAST(NULL AS INT) AS dur_ms, CAST(NULL AS VARCHAR) AS codec,
+             |  CAST(NULL AS VARCHAR) AS transcript, $b AS b, 1 AS tomb
+             |FROM read_parquet($src)""".stripMargin
+        else
+          s"""SELECT clip_id, sr_hz, dur_ms, codec, transcript, $b AS b, 0 AS tomb
+             |FROM read_parquet($src)""".stripMargin
+      OracleFixtures.register("q105_merge_mor",
+        s"""WITH everything AS (
+           |${era(-1, OracleFixtures.pathList(basePaths))}
+           |UNION ALL ${era(1, s"'$fx/u1/*.parquet'")}
+           |UNION ALL ${era(1, s"'$fx/delk/*.parquet'", tomb = 1)}
+           |UNION ALL ${era(2, s"'$fx/u2/*.parquet'")}),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY clip_id
+           |        ORDER BY b DESC, tomb DESC) AS rn FROM everything)
+           |SELECT clip_id, sr_hz, dur_ms, codec, transcript,
+           |       0 AS mor_rewrites
+           |FROM r WHERE rn = 1 AND tomb = 0""".stripMargin)
+      store.scanCurrent(s)
+        .select("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+        .withColumn("mor_rewrites", lit(r1.filesTouched + r2.filesTouched))
+    }),
+
+    // -- write-audit-publish (ops/Wap): a good batch is STAGED outside the
+    //    snapshot log (readers see nothing), audited in isolation against
+    //    the clip constraints, and atomically published as an O(batch)
+    //    delta commit; a bad batch (sr_hz out of range) is staged, fails
+    //    its audit, is blocked from publish, and is discarded — the Iceberg
+    //    WAP workflow where the auditor never reads the table, only the
+    //    staged files. --
+    //    Oracle: DuckDB recomputes the final table (base era files ∪ the
+    //    exported good batch — the bad batch must leave no trace) and
+    //    re-derives the audit violation count from the exported bad batch
+    //    with the same range rule. --
+    "q106_wap" -> ((s, d) => {
+      import s.implicits._
+      val fx = OracleFixtures.freshDir("q106_fx", d)
+      val store = MetaStore.forClips(s"$fx/table")
+      val n = clipCount(d)
+      def synthRange(from: Long, until: Long, parts: Int) =
+        s.range(from, until, 1L, parts).map(i => ClipSynth.clip(i, 150)).toDF()
+      Append.run(s, store, synthRange(0, n, 4))
+      val basePaths = store.entries(store.currentSnapshotId.get).map(_.path)
+
+      val good = synthRange(n, n + n / 5, 2)
+        .withColumn("transcript", concat(col("transcript"), lit(" staged")))
+      good.coalesce(1).write.mode("overwrite").parquet(s"$fx/good")
+      Wap.stage(s, store, s.read.parquet(s"$fx/good"), "good")
+      require(Wap.audit(s, store, "good").isEmpty, "good batch must audit clean")
+      Wap.publish(store, "good")
+
+      val bad = synthRange(n / 3, n / 3 + n / 10, 1).withColumn("sr_hz", lit(999))
+      bad.coalesce(1).write.mode("overwrite").parquet(s"$fx/bad")
+      Wap.stage(s, store, s.read.parquet(s"$fx/bad"), "bad")
+      val v = Wap.audit(s, store, "bad")
+      require(v.nonEmpty, "bad batch must fail its audit")
+      val vRows = v.map(_.rows).max
+      require(
+        try { Wap.publish(store, "bad"); false }
+        catch { case _: IllegalArgumentException => true },
+        "unaudited batch must not publish")
+      Wap.discard(store, "bad")
+
+      OracleFixtures.register("q106_wap",
+        s"""WITH t AS (
+           |  SELECT clip_id, sr_hz, dur_ms, codec, transcript
+           |  FROM read_parquet(${OracleFixtures.pathList(basePaths)})
+           |  UNION ALL
+           |  SELECT clip_id, sr_hz, dur_ms, codec, transcript
+           |  FROM read_parquet('$fx/good/*.parquet')),
+           |bad AS (SELECT count(*) AS n FROM read_parquet('$fx/bad/*.parquet')
+           |  WHERE sr_hz IS NULL OR sr_hz < 8000 OR sr_hz > 48000)
+           |SELECT t.clip_id, t.sr_hz, t.dur_ms, t.codec, t.transcript,
+           |       bad.n AS audit_violations
+           |FROM t, bad""".stripMargin)
+      store.scanCurrent(s)
+        .select("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+        .withColumn("audit_violations", lit(vRows))
+    }),
+
     // -- energy-based voice-activity detection (Dsp.vadSegments): each clip's
     //    labeled tone is laid out as a 600 ms utterance with two PLANTED
     //    60 ms silence gaps (bursts 0-150 / 210-360 / 420-600 ms); VAD over

@@ -42,7 +42,8 @@ object StreamAppend {
    * the batch must be key-unique — MERGE's full-outer would duplicate. */
   def commitMergeBatch(store: MetaStore, batch: DataFrame, batchId: Long,
                        keyCol: String = "clip_id",
-                       orderCol: Option[String] = None): Unit = {
+                       orderCol: Option[String] = None,
+                       mor: Boolean = false): Unit = {
     if (committedBatchIds(store).contains(batchId)) return // restart replay
     val deduped = orderCol match {
       case Some(oc) =>
@@ -54,6 +55,14 @@ object StreamAppend {
     if (store.currentSnapshotId.isEmpty)
       Append.run(batch.sparkSession, store, deduped,
         Map("streamBatchId" -> batchId.toString))
+    else if (mor)
+      // merge-on-read: per-batch cost is O(batch) — one appended file + one
+      // equality-delete file — never O(touched files); the right mode for a
+      // high-frequency CDC stream against a huge table. Read debt is
+      // retired by the in-loop AutoMaintain ([[start]]'s maintainEvery).
+      MergeInto.runMor(batch.sparkSession, store, deduped, keyCol,
+        runId = s"stream-merge-$batchId",
+        extraSummary = Map("streamBatchId" -> batchId.toString)): Unit
     else
       MergeInto.run(batch.sparkSession, store, deduped, keyCol,
         runId = s"stream-merge-$batchId",
@@ -66,12 +75,13 @@ object StreamAppend {
    * for CDC-shaped sources. */
   def startUpsert(store: MetaStore, source: DataFrame, checkpointDir: String,
                   queryName: String, keyCol: String = "clip_id",
-                  orderCol: Option[String] = None): StreamingQuery =
+                  orderCol: Option[String] = None,
+                  mor: Boolean = false): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        commitMergeBatch(store, batch.toDF(), batchId, keyCol, orderCol)
+        commitMergeBatch(store, batch.toDF(), batchId, keyCol, orderCol, mor)
       }
       .start()
 

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops._
+import graft.synth.ClipSynth
+import graft.table.MetaStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read MERGE ([[MergeInto.runMor]]): copy-on-write parity, O(batch)
+  * commit shape (zero data files rewritten), read-debt payoff via
+  * [[Deletes.materialize]] (seq promotion + rewrite), and the AutoMaintain
+  * delete-debt trigger. */
+class MergeMorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(tag: String): MetaStore =
+    MetaStore.forClips(Files.createTempDirectory(s"graft-mor-$tag").toString)
+
+  /** ids [0,30) then [30,60) in two appends (seqs 1 and 2). */
+  private def seed(store: MetaStore): Unit = {
+    Append.run(spark, store, ClipSynth.dataset(spark, 30, 2, maxDurMs = 40).toDF())
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 60, 2, maxDurMs = 40).toDF()
+        .filter(col("clip_id") > ClipSynth.clipId(29)))
+  }
+
+  private def updateBatch() = // 10 updates of existing keys + 5 inserts
+    ClipSynth.dataset(spark, 15, 1, maxDurMs = 40).toDF()
+      .filter(col("clip_id") <= ClipSynth.clipId(9))
+      .withColumn("transcript", concat(col("transcript"), lit(" upd")))
+      .unionByName(
+        spark.range(60, 65).map(i => ClipSynth.clip(i, 40)).toDF()
+          .withColumn("transcript", concat(col("transcript"), lit(" ins"))))
+
+  private def rows(store: MetaStore): Set[(String, String)] =
+    store.scanCurrent(spark).select("clip_id", "transcript")
+      .as[(String, String)].collect().toSet
+
+  test("merge-on-read result equals copy-on-write; zero data files rewritten") {
+    val cow = freshStore("cow"); seed(cow)
+    val mor = freshStore("mor"); seed(mor)
+    // clipId(5) is ALSO in the update batch: delete must win, as in COW
+    val delKeys = Seq(ClipSynth.clipId(20), ClipSynth.clipId(21), ClipSynth.clipId(5))
+      .toDF("clip_id")
+
+    MergeInto.run(spark, cow, updateBatch(), deleteKeys = Some(delKeys))
+    val beforePaths = mor.entries(mor.currentSnapshotId.get).map(_.path).toSet
+    val res = MergeInto.runMor(spark, mor, updateBatch(), deleteKeys = Some(delKeys))
+
+    assert(rows(cow) == rows(mor), "MOR and COW merge must produce identical rows")
+    assert(res.filesTouched == 0)
+    assert(res.deleteRows == 17, "10 update keys + 5 insert keys + 2 delete keys")
+    val afterPaths = mor.entries(res.snapshotId).map(_.path).toSet
+    assert(beforePaths.subsetOf(afterPaths), "no parent data file may be rewritten")
+    assert(mor.deleteEntries(res.snapshotId).size == 1, "one delete era per merge")
+  }
+
+  test("successive MOR merges: last write wins; materialize retires all debt") {
+    val store = freshStore("succ"); seed(store)
+    val k = ClipSynth.clipId(5)
+    (1 to 3).foreach { v =>
+      val upd = ClipSynth.dataset(spark, 6, 1, maxDurMs = 40).toDF()
+        .filter(col("clip_id") === k)
+        .withColumn("transcript", lit(s"version $v"))
+      MergeInto.runMor(spark, store, upd, runId = s"mor-$v")
+    }
+    val snap = store.currentSnapshotId.get
+    assert(store.deleteEntries(snap).size == 3, "three delete eras accumulated")
+    val before = rows(store)
+    assert(before.count(_._1 == k) == 1)
+    assert(before.find(_._1 == k).get._2 == "version 3")
+
+    val m = Deletes.materialize(spark, store)
+    assert(m.deletesRetired == 3)
+    assert(store.deleteEntries(m.snapshotId).isEmpty)
+    assert(rows(store) == before, "materialize must not change visible rows")
+    // every data file now sits at/above every retired delete's seq
+    assert(store.entries(m.snapshotId).map(_.seq).min >= snap)
+  }
+
+  test("materialize promotes provably-clean files metadata-only") {
+    val store = freshStore("promote"); seed(store)
+    // delete keys land only in the [0,30) file(s): the [30,60) files must be
+    // PROMOTED (zonemap/bloom prove absence), not rewritten
+    val upd = ClipSynth.dataset(spark, 3, 1, maxDurMs = 40).toDF()
+      .withColumn("transcript", lit("touched"))
+    MergeInto.runMor(spark, store, upd)
+    val before = rows(store)
+    val entriesBefore = store.entries(store.currentSnapshotId.get)
+
+    val m = Deletes.materialize(spark, store)
+    val covered = entriesBefore.filter(e =>
+      store.deleteEntries(store.snapshot(m.snapshotId).parentId)
+        .exists(_.seq > e.seq))
+    assert(m.filesPromoted > 0, "files not containing any delete key must be promoted")
+    assert(m.filesRewritten > 0, "files containing delete keys must be rewritten")
+    assert(m.filesPromoted + m.filesRewritten == covered.size)
+    assert(rows(store) == before)
+    // promoted files keep their exact paths (metadata-only), with seq lifted
+    val after = store.entries(m.snapshotId)
+    val promoted = covered.map(_.path).toSet.intersect(after.map(_.path).toSet)
+    assert(promoted.size == m.filesPromoted)
+    promoted.foreach { p =>
+      assert(after.find(_.path == p).get.seq == m.snapshotId,
+        "promoted file's seq must be the materialize commit id")
+    }
+  }
+
+  test("AutoMaintain diagnoses MOR debt and converges after materialize") {
+    val store = freshStore("auto"); seed(store)
+    val policy = MaintenancePolicy(maxDeleteEras = 2, expireKeepLast = 1000)
+    (1 to 4).foreach { v =>
+      val upd = ClipSynth.dataset(spark, 2, 1, maxDurMs = 40).toDF()
+        .withColumn("transcript", lit(s"u$v"))
+      MergeInto.runMor(spark, store, upd, runId = s"auto-mor-$v")
+    }
+    val before = rows(store)
+    val plan = AutoMaintain.plan(store, policy)
+    assert(plan.exists(_.op == "materialize-deletes"),
+      s"4 delete eras must trigger materialize (plan: $plan)")
+    AutoMaintain.run(spark, store, policy)
+    assert(store.deleteEntries(store.currentSnapshotId.get).isEmpty)
+    assert(rows(store) == before)
+    assert(!AutoMaintain.plan(store, policy).exists(_.op.contains("delete")),
+      "delete debt must be cleared")
+  }
+
+  test("streaming upsert in MOR mode: parity with relational replay, zero rewrites") {
+    val store = freshStore("stream"); seed(store)
+    val basePaths = store.entries(store.currentSnapshotId.get).map(_.path).toSet
+    val batches = (0 until 3).map { v =>
+      ClipSynth.dataset(spark, 10, 1, maxDurMs = 40).toDF()
+        .filter(col("clip_id") <= ClipSynth.clipId(3 + v))
+        .withColumn("transcript", lit(s"batch $v"))
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamAppend.commitMergeBatch(store, b, i.toLong, mor = true)
+    }
+    // replay of batch 1 must be a no-op (exactly-once ledger)
+    graft.streaming.StreamAppend.commitMergeBatch(store, batches(1), 1L, mor = true)
+    val expect = rows(freshStoreWithReplay(batches))
+    assert(rows(store) == expect)
+    assert(basePaths.subsetOf(
+      store.entries(store.currentSnapshotId.get).map(_.path).toSet),
+      "MOR streaming upsert must never rewrite base files")
+  }
+
+  /** Relational replay: base ∪ batches, last batch wins per key. */
+  private def freshStoreWithReplay(batches: Seq[org.apache.spark.sql.DataFrame]): MetaStore = {
+    val store = freshStore("replay"); seed(store)
+    batches.foreach(b => MergeInto.run(spark, store, b)) // COW as the oracle
+    store
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ops._
+import graft.synth.ClipSynth
+import graft.table.MetaStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-Audit-Publish staging ([[Wap]]): isolation before publish, the
+  * audit gate, atomic publication, discard, GC-root protection, and the
+  * schema-era guard. */
+class WapSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(tag: String): MetaStore =
+    MetaStore.forClips(Files.createTempDirectory(s"graft-wap-$tag").toString)
+
+  private def seed(store: MetaStore): Unit =
+    Append.run(spark, store, ClipSynth.dataset(spark, 40, 2, maxDurMs = 40).toDF())
+
+  private def batch(lo: Long, hi: Long) =
+    spark.range(lo, hi).map(i => ClipSynth.clip(i, 40)).toDF()
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select("clip_id").as[String].collect().toSet
+
+  test("staged rows are invisible until publish; publish is O(batch) append") {
+    val store = freshStore("iso"); seed(store)
+    val before = ids(store.scanCurrent(spark))
+    val manifestsBefore = store.snapshot(store.currentSnapshotId.get).manifests.toSet
+
+    Wap.stage(spark, store, batch(40, 50), "nightly")
+    assert(ids(store.scanCurrent(spark)) == before, "staged rows must be invisible")
+    assert(ids(Wap.scanStaged(spark, store, "nightly")) ==
+      (40L until 50L).map(ClipSynth.clipId).toSet)
+    assert(ids(Wap.scanWith(spark, store, "nightly")) ==
+      before ++ (40L until 50L).map(ClipSynth.clipId))
+
+    assert(Wap.audit(spark, store, "nightly").isEmpty)
+    val id = Wap.publish(store, "nightly")
+    assert(ids(store.scanCurrent(spark)) ==
+      before ++ (40L until 50L).map(ClipSynth.clipId))
+    // O(batch): every parent manifest reused by the publish commit
+    assert(manifestsBefore.subsetOf(store.snapshot(id).manifests.toSet))
+    assert(Wap.list(store).isEmpty, "record must be dropped after publish")
+    assert(store.snapshot(id).summary("wapName") == "nightly")
+  }
+
+  test("publish requires a clean audit; violations block and discard cleans up") {
+    val store = freshStore("audit"); seed(store)
+    val bad = batch(40, 46).withColumn("sr_hz", lit(999)) // out of range
+    Wap.stage(spark, store, bad, "suspect")
+    intercept[IllegalArgumentException](Wap.publish(store, "suspect"))
+    val v = Wap.audit(spark, store, "suspect")
+    assert(v.nonEmpty && v.exists(_.constraint.startsWith("in_range(sr_hz")))
+    assert(v.find(_.constraint.startsWith("in_range(sr_hz")).get.rows == 6)
+    intercept[IllegalArgumentException](Wap.publish(store, "suspect"))
+
+    val paths = Wap.get(store, "suspect").entries.map(_.path)
+    assert(paths.forall(p => Files.exists(Paths.get(p))))
+    val deleted = Wap.discard(store, "suspect")
+    assert(deleted == paths.size)
+    assert(paths.forall(p => !Files.exists(Paths.get(p))))
+    assert(Wap.list(store).isEmpty)
+    // force bypasses the audit gate on a fresh stage
+    Wap.stage(spark, store, batch(50, 52), "forced")
+    Wap.publish(store, "forced", force = true)
+    assert(ids(store.scanCurrent(spark)).contains(ClipSynth.clipId(51)))
+  }
+
+  test("RemoveOrphans never collects a staged batch") {
+    val store = freshStore("gc"); seed(store)
+    val rec = Wap.stage(spark, store, batch(40, 45), "pending")
+    val res = RemoveOrphans.run(store, minAgeMs = 0L) // no age floor at all
+    assert(res.orphansDeleted == 0)
+    assert(rec.entries.forall(e => Files.exists(Paths.get(e.path))))
+    // after discard the files are already gone; GC stays a no-op
+    Wap.discard(store, "pending")
+    assert(RemoveOrphans.run(store, minAgeMs = 0L).orphansDeleted == 0)
+  }
+
+  test("publish survives interleaved appends; refuses across schema evolution") {
+    val store = freshStore("race"); seed(store)
+    Wap.stage(spark, store, batch(40, 44), "w1")
+    Wap.audit(spark, store, "w1")
+    Append.run(spark, store, batch(100, 105)) // someone else commits first
+    val id = Wap.publish(store, "w1")
+    assert(store.currentSnapshotId.get == id)
+    assert(ids(store.scanCurrent(spark)).contains(ClipSynth.clipId(42)))
+    assert(ids(store.scanCurrent(spark)).contains(ClipSynth.clipId(101)))
+
+    Wap.stage(spark, store, batch(50, 53), "w2")
+    Wap.audit(spark, store, "w2")
+    Evolve.addColumn(spark, store, "lang", "string", "'und'")
+    val e = intercept[IllegalArgumentException](Wap.publish(store, "w2"))
+    assert(e.getMessage.contains("schema era"))
+    Wap.discard(store, "w2")
+  }
+}
