@@ -34,6 +34,11 @@ import org.apache.spark.sql.SparkSession
  *     materialize-deletes           pay down merge-on-read debt: promote
  *                                   provably-clean files metadata-only,
  *                                   rewrite the rest, retire delete files
+ *     wap-stage <name> <n> [fromId] stage a batch outside the snapshot log
+ *     wap-audit <name>              constraint-audit the staged batch only
+ *     wap-publish <name> [force]    atomic O(batch) publish (audit-gated)
+ *     wap-discard <name>            drop record + staged files
+ *     wap-list                      pending staged batches
  */
 object Maintain {
 
@@ -173,6 +178,30 @@ object Maintain {
         println(s"snapshot ${r.snapshotId}: rewrote ${r.filesRewritten} " +
           s"file(s), promoted ${r.filesPromoted} metadata-only, retired " +
           s"${r.deletesRetired} delete file(s)")
+      case "wap-stage" => // <name> <nClips> [fromId] — stage a synthetic batch
+        val from = if (rest.length > 2) rest(2).toLong else 0L
+        import spark.implicits._
+        val batch = spark.range(from, from + rest(1).toLong)
+          .map(i => graft.synth.ClipSynth.clip(i, 200)).toDF()
+        val rec = Wap.stage(spark, store, batch, rest(0))
+        println(s"staged '${rec.name}': ${rec.entries.map(_.rows).sum} rows in " +
+          s"${rec.entries.size} file(s); invisible until wap-publish")
+      case "wap-audit" =>
+        val bad = Wap.audit(spark, store, rest(0))
+        if (bad.isEmpty) println(s"audit '${rest(0)}': clean (publishable)")
+        else println(s"audit '${rest(0)}': VIOLATIONS " +
+          bad.map(v => s"${v.constraint}=${v.rows}").mkString(", "))
+      case "wap-publish" =>
+        val id = Wap.publish(store, rest(0), force = rest.contains("force"))
+        println(s"published '${rest(0)}' as snapshot $id")
+      case "wap-discard" =>
+        println(s"discarded '${rest(0)}': ${Wap.discard(store, rest(0))} file(s) deleted")
+      case "wap-list" =>
+        val recs = Wap.list(store)
+        if (recs.isEmpty) println("no staged batches")
+        recs.foreach(r => println(s"${r.name}  rows=${r.entries.map(_.rows).sum} " +
+          s"files=${r.entries.size} staged=${java.time.Instant.ofEpochMilli(r.createdMs)} " +
+          s"audited=${if (r.auditedMs > 0) "yes" else "NO"}"))
       case "compact-manifests" =>
         val (id, before, after) = store.compactManifests()
         println(s"snapshot $id: $before -> $after manifest shards")
