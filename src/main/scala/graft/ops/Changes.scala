@@ -128,11 +128,7 @@ object Changes {
     // cannot see them: keys in delete files ADDED in (from, to] that were
     // visible at `from` and are no longer visible at `to` are row deletes.
     // Bounded by the delete churn: the key set drives a zonemap+bloom-PRUNED
-    // visibility probe on both snapshots, never a full scan. A key deleted
-    // and RE-INSERTED within the range stays visible at `to`, so it is not
-    // emitted here; the file-diff path classifies the re-insert as `insert`
-    // (the pre-delete row lived in an unchurned file the diff never reads —
-    // the net-effect `update` is approximated as `insert`, documented).
+    // visibility probe on both snapshots, never a full scan.
     val fromDelPaths = store.deleteEntries(fromId).map(_.path).toSet
     val deltaDels = store.deleteEntries(toId).filterNot(e => fromDelPaths.contains(e.path))
     val keyed = deltaDels.map(_.path).filter { p =>
@@ -149,9 +145,21 @@ object Changes {
         val atTo = store.scanPruned(spark, toId, pred).df.select(keyCol)
         val deleted = atFrom.except(atTo)
           .withColumn("change_type", lit("delete"))
+        // the MERGE-ON-READ UPSERT shape: a key the file-diff path classified
+        // as `insert` (its new row is in an added file, its OLD row sits in
+        // an UNCHURNED file the diff never reads, masked by one of the
+        // range's delete files) that was VISIBLE at `from` is a net UPDATE.
+        // Same pruned probe, no extra scan. Covers deleted-then-re-inserted
+        // keys too (visible at both ends, new content -> update).
+        val wasVisible = broadcast(atFrom.distinct().withColumn("_was", lit(true)))
+        val reclassified = base.join(wasVisible, Seq(keyCol), "left_outer")
+          .withColumn("change_type",
+            when(col("change_type") === "insert" && col("_was"), "update")
+              .otherwise(col("change_type")))
+          .drop("_was")
         // a delete materialized by a rewrite within the same range appears
         // in BOTH paths (file diff + delete diff) — identical rows, distinct
-        base.unionByName(deleted).distinct()
+        reclassified.unionByName(deleted).distinct()
       }
     }
   }

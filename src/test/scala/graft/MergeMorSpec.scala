@@ -154,4 +154,22 @@ class MergeMorSpec extends AnyFunSuite {
     batches.foreach(b => MergeInto.run(spark, store, b)) // COW as the oracle
     store
   }
+
+  test("CDC across a MOR merge: updates are updates, not phantom inserts") {
+    val store = freshStore("cdc"); seed(store)
+    val from = store.currentSnapshotId.get
+    val delKeys = Seq(ClipSynth.clipId(25)).toDF("clip_id")
+    MergeInto.runMor(spark, store, updateBatch(), deleteKeys = Some(delKeys))
+    val to = store.currentSnapshotId.get
+
+    val ch = Changes.rowChanges(spark, store, from, to)
+      .as[(String, String)].collect().groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    assert(ch.getOrElse("update", Set.empty) ==
+      (0L to 9L).map(ClipSynth.clipId).toSet,
+      s"updated keys must classify as update, got $ch")
+    assert(ch.getOrElse("insert", Set.empty) ==
+      (60L until 65L).map(ClipSynth.clipId).toSet)
+    assert(ch.getOrElse("delete", Set.empty) == Set(ClipSynth.clipId(25)))
+  }
 }
