@@ -54,10 +54,16 @@ object ChangeFeed {
       if (!ids.contains(sinceSnapshot)) retentionError(
         s"the cursor snapshot $sinceSnapshot itself was expired")
     }
+    // feed-visible ops = pure row additions: plain appends and WAP publishes
+    // (a published staged batch is an append that took the audit detour —
+    // its commit adds files, removes none, and touches no deletes). Rewrites
+    // and upserts (compact / cluster / merge / merge-mor / rollback) stay
+    // invisible: the feed contract is APPENDED rows.
+    val appendOps = Set("append", "wap-publish")
     val appendSnaps = store.allSnapshotIds
       .filter(id => id > sinceSnapshot && id <= cur)
       .map(store.snapshot)
-      .filter(_.operation == "append")
+      .filter(s => appendOps.contains(s.operation))
     appendSnaps.foreach { s =>
       if (s.parentId >= 0 && !ids.contains(s.parentId)) retentionError(
         s"append snapshot ${s.id} diffs against expired parent ${s.parentId}")

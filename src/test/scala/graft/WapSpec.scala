@@ -82,6 +82,19 @@ class WapSpec extends AnyFunSuite {
     assert(RemoveOrphans.run(store, minAgeMs = 0L).orphansDeleted == 0)
   }
 
+  test("a published batch reaches ChangeFeed consumers like any append") {
+    val store = freshStore("feed"); seed(store)
+    val cursor = store.currentSnapshotId.get
+    Wap.stage(spark, store, batch(40, 48), "release")
+    assert(graft.streaming.ChangeFeed.poll(spark, store, cursor).isEmpty,
+      "staged rows must not reach the feed before publish")
+    Wap.audit(spark, store, "release")
+    Wap.publish(store, "release")
+    val poll = graft.streaming.ChangeFeed.poll(spark, store, cursor)
+    assert(ids(poll.df) == (40L until 48L).map(ClipSynth.clipId).toSet,
+      "the published batch is the feed delta")
+  }
+
   test("publish survives interleaved appends; refuses across schema evolution") {
     val store = freshStore("race"); seed(store)
     Wap.stage(spark, store, batch(40, 44), "w1")
