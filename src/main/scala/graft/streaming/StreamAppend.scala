@@ -72,16 +72,33 @@ object StreamAppend {
   /** Start a streaming UPSERT query: each micro-batch MERGEs into the
    * table (update-or-insert by `keyCol`), exactly-once across restarts via
    * the snapshot ledger — the streaming face of [[graft.ops.MergeInto]]
-   * for CDC-shaped sources. */
+   * for CDC-shaped sources.
+   *
+   * @param maintainEvery run [[AutoMaintain]] after every Nth committed
+   *   batch (0 = never), like [[start]]. ESSENTIAL with `mor = true`: each
+   *   MOR batch leaves one delete era (one extra anti-join per scan) and
+   *   one small file — exactly the debt the policy's delete-eras/rows and
+   *   small-file triggers diagnose and `materialize-deletes` + compact
+   *   retire. Without it a long-running MOR stream degrades reads
+   *   unboundedly. */
   def startUpsert(store: MetaStore, source: DataFrame, checkpointDir: String,
                   queryName: String, keyCol: String = "clip_id",
                   orderCol: Option[String] = None,
-                  mor: Boolean = false): StreamingQuery =
+                  mor: Boolean = false,
+                  maintainEvery: Int = 0,
+                  policy: MaintenancePolicy = MaintenancePolicy()): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val replay = committedBatchIds(store).contains(batchId)
         commitMergeBatch(store, batch.toDF(), batchId, keyCol, orderCol, mor)
+        if (!replay && maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+          val applied = AutoMaintain.run(batch.sparkSession, store, policy,
+            runId = s"$queryName-auto-$batchId")
+          if (applied.nonEmpty) System.err.println(
+            s"[stream-maintain] batch=$batchId ran ${applied.map(_.decision.op).mkString(",")}")
+        }
       }
       .start()
 

@@ -155,6 +155,38 @@ class MergeMorSpec extends AnyFunSuite {
     store
   }
 
+  test("streaming MOR upsert with in-loop maintenance keeps delete debt bounded") {
+    val srcDir = Files.createTempDirectory("graft-morups-src-").toString
+    val ckpt = Files.createTempDirectory("graft-morups-ckpt-").toString
+    val store = freshStore("morups"); seed(store)
+    (0 until 4).foreach { k =>
+      val upd = ClipSynth.dataset(spark, 60, 1, maxDurMs = 40).toDF()
+        .filter(col("clip_id") <= ClipSynth.clipId(4 + k))
+        .withColumn("transcript", lit(s"mor batch $k"))
+      upd.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b$k")
+      val part = new java.io.File(s"$srcDir/b$k").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"f$k.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (k + 1)) // pin batch order
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$srcDir/b$k"))
+    }
+    val src = spark.readStream.option("maxFilesPerTrigger", 1)
+      .schema(spark.read.parquet(s"$srcDir/f0.parquet").schema).parquet(srcDir)
+    val q = graft.streaming.StreamAppend.startUpsert(store, src, ckpt,
+      "morups_q", mor = true, maintainEvery = 2,
+      policy = MaintenancePolicy(maxDeleteEras = 1, expireKeepLast = 1000))
+    try q.processAllAvailable() finally q.stop()
+
+    assert(store.deleteEntries(store.currentSnapshotId.get).isEmpty,
+      "in-loop maintenance must have materialized the accumulated delete eras")
+    val r = rows(store)
+    assert(r.find(_._1 == ClipSynth.clipId(3)).get._2 == "mor batch 3",
+      "last batch wins for keys present in every batch")
+    assert(r.find(_._1 == ClipSynth.clipId(7)).get._2 == "mor batch 3")
+    assert(r.size == 60, "updates only — no row count change")
+  }
+
   test("CDC across a MOR merge: updates are updates, not phantom inserts") {
     val store = freshStore("cdc"); seed(store)
     val from = store.currentSnapshotId.get
