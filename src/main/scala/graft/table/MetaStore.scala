@@ -149,8 +149,17 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * file entries. Only exact when no entry has nulls in `column` beyond the
    * recorded nullCount semantics: min/max stats ignore nulls, matching SQL
    * aggregate semantics.
+   *
+   * Refuses under LIVE equality deletes: manifest row counts include rows a
+   * delete file masks, so the fold would silently over-count (Iceberg
+   * disables count(*) pushdown under delete files for the same reason).
+   * Retire the debt first ([[graft.ops.Deletes.materialize]] /
+   * `expireInert`) or aggregate through a scan.
    */
   def statsAggregate(snapshotId: Long, column: String): (Long, Option[Long], Option[Long]) = {
+    require(deleteEntries(snapshotId).isEmpty,
+      s"statsAggregate: snapshot $snapshotId carries live equality deletes; " +
+        "manifest counts would over-count masked rows (materialize deletes first)")
     val es = entries(snapshotId)
     val rows = es.map(_.rows).sum
     val mins = es.flatMap(_.statLong(column, lower = true))

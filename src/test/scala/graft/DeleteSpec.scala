@@ -143,6 +143,21 @@ class DeleteSpec extends AnyFunSuite {
     assert(visibleIds(store) == hidden, "rollback onto the delete re-hides rows")
   }
 
+  test("statsAggregate refuses under live deletes, works again after materialize") {
+    val store = freshStore("stats")
+    seed(store)
+    val (rows0, _, _) = store.statsAggregate(store.currentSnapshotId.get, "dur_ms")
+    assert(rows0 == 60)
+    Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "ulaw")))
+    val snap = store.currentSnapshotId.get
+    val e = intercept[IllegalArgumentException](store.statsAggregate(snap, "dur_ms"))
+    assert(e.getMessage.contains("live equality deletes"))
+    val m = Deletes.materialize(spark, store)
+    val (rows1, _, _) = store.statsAggregate(m.snapshotId, "dur_ms")
+    assert(rows1 == store.scanCurrent(spark).count(),
+      "after materialize the manifest fold is exact again")
+  }
+
   test("CDC classifies merge-on-read deletes as delete rows") {
     val store = freshStore("cdc")
     seed(store)
