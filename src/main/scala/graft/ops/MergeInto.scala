@@ -235,4 +235,71 @@ object MergeInto {
         deleteRows = delEntries.map(_.rows).sum)
     }
   }
+
+  /**
+   * Cost-based write-mode selection: estimate the copy-on-write REWRITE
+   * AMPLIFICATION from metadata alone — candidate files that may contain a
+   * batch key (partition tuple + zonemap + per-file bloom, the same pruning
+   * stack [[run]]'s discovery uses; NO data read) over the batch's own
+   * size — and pick the cheaper mode:
+   *
+   *  - amplification <= `morThreshold`: copy-on-write (precise discovery
+   *    happens inside [[run]]; the table stays delete-free);
+   *  - above it: merge-on-read (the rewrite would move `morThreshold`x the
+   *    batch's bytes; commit the batch as churn and let maintenance pay the
+   *    debt off-peak).
+   *
+   * Iceberg makes users pick `write.merge.mode` statically per table; a
+   * daily pipeline whose batch size swings 1000x is better served deciding
+   * per batch. Estimation cost: one pass over the manifest + one bloom
+   * probe job; batches too large to enumerate keys driver-side
+   * (> [[SmallKeySetLimit]]) estimate with zonemap/tuple tiers only.
+   */
+  def auto(spark: SparkSession, store: MetaStore, updates: DataFrame,
+           keyCol: String = "clip_id",
+           morThreshold: Double = 16.0,
+           runId: String = s"merge-auto-${System.currentTimeMillis()}",
+           deleteKeys: Option[DataFrame] = None,
+           extraSummary: Map[String, String] = Map.empty): MergeResult = {
+    val snapOpt = store.currentSnapshotId
+    if (snapOpt.isEmpty)
+      return runMor(spark, store, updates, keyCol, runId, deleteKeys,
+        extraSummary = extraSummary) // empty table: pure append shape
+    val entries = store.entries(snapOpt.get)
+
+    val updKeys = deleteKeys.foldLeft(updates.select(col(keyCol)))(
+      (u, dk) => u.unionByName(dk.select(col(keyCol)))).distinct()
+    val head = updKeys.limit(SmallKeySetLimit + 1).collect()
+    val candidates =
+      if (head.isEmpty) Nil
+      else if (head.length > SmallKeySetLimit) entries // assume broad touch
+      else {
+        val vs = head.map(_.get(0)).toSeq
+        val pred = graft.table.Pred.InSet(keyCol, vs)
+        val tupleKeep = store.partitionSpec.map(_.pruner(Seq(pred)))
+          .getOrElse((_: graft.table.DataFile) => true)
+        val zoneKept = graft.table.Pruning.keep(entries.filter(tupleKeep), Seq(pred))
+        if (store.bloomColumn.contains(keyCol) && zoneKept.nonEmpty) {
+          val surviving = graft.table.FileBloom.prunePaths(spark, store,
+            zoneKept.map(_.path), vs.map(_.toString))
+          zoneKept.filter(e => surviving.contains(e.path))
+        } else zoneKept
+      }
+    // batch size estimate from the update keys' row count x the table's
+    // mean row width (the batch frame itself has no size until written)
+    val tableRows = math.max(entries.map(_.rows).sum, 1L)
+    val tableBytes = math.max(entries.map(_.sizeBytes).sum, 1L)
+    val batchBytes = math.max(head.length.toLong, 1L) * (tableBytes / tableRows)
+    val touchBytes = candidates.map(_.sizeBytes).sum
+    val amplification = touchBytes.toDouble / batchBytes
+    val tag = Map("mergeMode" ->
+      (if (amplification > morThreshold) "mor" else "cow"),
+      "rewriteAmplificationEst" -> f"$amplification%.1f")
+    if (amplification > morThreshold)
+      runMor(spark, store, updates, keyCol, runId, deleteKeys,
+        extraSummary = extraSummary ++ tag)
+    else
+      run(spark, store, updates, keyCol, runId = runId,
+        deleteKeys = deleteKeys, extraSummary = extraSummary ++ tag)
+  }
 }

@@ -155,6 +155,30 @@ class MergeMorSpec extends AnyFunSuite {
     store
   }
 
+  test("auto merge picks the write mode by estimated rewrite amplification") {
+    val store = freshStore("auto-mode"); seed(store)
+    def upd(i: Long, tag: String) =
+      ClipSynth.dataset(spark, 60, 1, maxDurMs = 40).toDF()
+        .filter(col("clip_id") === ClipSynth.clipId(i))
+        .withColumn("transcript", lit(tag))
+    // forced-COW regime: any amplification below a huge threshold
+    val cow = MergeInto.auto(spark, store, upd(2, "cow write"),
+      morThreshold = 1e9, runId = "auto-cow")
+    assert(cow.filesTouched > 0 && cow.deleteRows == 0)
+    val cowSnap = store.snapshot(cow.snapshotId)
+    assert(cowSnap.summary("mergeMode") == "cow")
+    assert(cowSnap.summary("rewriteAmplificationEst").toDouble > 1.0,
+      "rewriting a whole file for a one-row update must estimate > 1x")
+    // forced-MOR regime: any amplification above zero
+    val mor = MergeInto.auto(spark, store, upd(3, "mor write"),
+      morThreshold = 0.0, runId = "auto-mor")
+    assert(mor.filesTouched == 0 && mor.deleteRows == 1)
+    assert(store.snapshot(mor.snapshotId).summary("mergeMode") == "mor")
+    val r = rows(store)
+    assert(r.find(_._1 == ClipSynth.clipId(2)).get._2 == "cow write")
+    assert(r.find(_._1 == ClipSynth.clipId(3)).get._2 == "mor write")
+  }
+
   test("streaming MOR upsert with in-loop maintenance keeps delete debt bounded") {
     val srcDir = Files.createTempDirectory("graft-morups-src-").toString
     val ckpt = Files.createTempDirectory("graft-morups-ckpt-").toString
