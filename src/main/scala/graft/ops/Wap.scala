@@ -139,12 +139,28 @@ object Wap {
     require(rec.evolutionCount == evoNow,
       s"staged batch '$name' was written under schema era ${rec.evolutionCount} " +
         s"but the table is now at era $evoNow; discard and re-stage")
-    val id = MetaStore.withCommitRetry() {
-      store.commitDelta("wap-publish", rec.entries,
-        summary = rec.summary ++ Map(
-          "wapName" -> name,
-          "stagedMs" -> rec.createdMs.toString,
-          "auditedMs" -> rec.auditedMs.toString))
+    // idempotent across a crash between commit and record delete: the
+    // snapshot log is the ledger (same trick as StreamAppend's batch ids) —
+    // a retried publish of an already-committed stage just drops the record.
+    // `stagedMs` disambiguates a REUSED name whose earlier batch was
+    // published within the retention window. The probe is bounded: a publish
+    // commit is always stamped AFTER the stage's createdMs, so scan newest →
+    // oldest and stop at the first snapshot older than the stage (1 min clock
+    // slack) — the no-crash case reads only the commits since staging, never
+    // the whole history.
+    val already = store.allSnapshotIds.sorted.reverseIterator
+      .map(store.snapshot)
+      .takeWhile(_.timestampMs >= rec.createdMs - 60000L)
+      .find(s => s.summary.get("wapName").contains(name) &&
+        s.summary.get("stagedMs").contains(rec.createdMs.toString))
+    val id = already.map(_.id).getOrElse {
+      MetaStore.withCommitRetry() {
+        store.commitDelta("wap-publish", rec.entries,
+          summary = rec.summary ++ Map(
+            "wapName" -> name,
+            "stagedMs" -> rec.createdMs.toString,
+            "auditedMs" -> rec.auditedMs.toString))
+      }
     }
     Files.deleteIfExists(recordPath(store, name))
     id

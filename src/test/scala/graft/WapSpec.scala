@@ -82,6 +82,24 @@ class WapSpec extends AnyFunSuite {
     assert(RemoveOrphans.run(store, minAgeMs = 0L).orphansDeleted == 0)
   }
 
+  test("publish retry after simulated crash does not double-commit") {
+    val store = freshStore("idem2"); seed(store)
+    val rec = Wap.stage(spark, store, batch(40, 45), "crashy2")
+    Wap.audit(spark, store, "crashy2")
+    val recAudited = Wap.get(store, "crashy2")
+    val id = Wap.publish(store, "crashy2")
+    // resurrect the record as if the process died before deleting it
+    val p = Paths.get(store.tableDir, "meta", "staged", "crashy2.json")
+    Files.write(p, graft.table.Json.mapper.writeValueAsString(recAudited)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val id2 = Wap.publish(store, "crashy2")
+    assert(id2 == id, "retried publish must return the original snapshot, not re-commit")
+    assert(store.currentSnapshotId.get == id, "no new snapshot was minted")
+    assert(ids(store.scanCurrent(spark))
+      .count(k => (40L until 45L).map(ClipSynth.clipId).contains(k)) == 5)
+    assert(Wap.list(store).isEmpty)
+  }
+
   test("a published batch reaches ChangeFeed consumers like any append") {
     val store = freshStore("feed"); seed(store)
     val cursor = store.currentSnapshotId.get
