@@ -250,10 +250,15 @@ object Cluster {
       LineageRecord(runId, snapId, s"cluster-$curve", e.path, p, e.rows, e.sizeBytes,
         wallMs, System.currentTimeMillis(), "done")
     }.toSeq)
+    // full rewrite planned against snapId (delete-aware read, born-clean
+    // seqs): an interleaved commit — especially an equality delete, whose
+    // keys this rewrite did NOT apply — must fail the commit, not be
+    // silently outrun by the higher-seq output files
     val newSnap = store.commit("cluster", newEntries, Map(
       "runId" -> runId, "curve" -> curve.toString,
       "batches" -> batches.toString,
-      "filesBefore" -> entries.size.toString))
+      "filesBefore" -> entries.size.toString),
+      expectedParent = Some(snapId))
     ClusterResult(newSnap, runId, entries.size, newEntries.size,
       newEntries.map(_.rows).sum, curve.toString)
   }

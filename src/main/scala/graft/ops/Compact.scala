@@ -84,6 +84,10 @@ object Compact {
     val filesAfter = entries.size - toRewrite.map(_.size).sum + newEntries.size
     val newSnap = store.commitDelta("compact", newEntries,
       removedPaths = toRewrite.flatten.map(_.path).toSet,
+      // bins were read delete-aware against snapId; an interleaved commit
+      // (e.g. an equality delete this rewrite didn't apply) fails the
+      // commit — caller re-plans, per the rewrite doctrine
+      expectedParent = Some(snapId),
       summary = Map(
         "runId" -> runId, "mode" -> "single-job",
         "binsRewritten" -> toRewrite.size.toString,
@@ -222,6 +226,9 @@ object Compact {
     val filesAfter = entries.size - toRewrite.map(_.size).sum + newEntries.size
     val newSnap = store.commitDelta("compact", newEntries,
       removedPaths = toRewrite.flatten.map(_.path).toSet,
+      // checkpoint keys on the base snapshot: a resume re-plans against the
+      // new current first, so at commit time the base must still BE current
+      expectedParent = Some(snapId),
       summary = Map(
         "runId" -> runId,
         "binsRewritten" -> toRewrite.size.toString,

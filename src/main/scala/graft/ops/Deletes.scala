@@ -113,26 +113,26 @@ object Deletes {
     val outDir = store.newDataDir("delete")
     keys.distinct().coalesce(1).write.mode("overwrite").parquet(outDir)
     // stats via the standard path (present-column min/max; per-file bloom
-    // rides along and is harmless), then stamp the delete's seq = the id
-    // this commit WILL take (parent + 1 by construction; a racing writer
-    // fails the commit and nothing is published). A lost race re-reads the
-    // parent state and re-stamps — deleting keys is valid against any
-    // newer snapshot (the key parquet itself is reused verbatim).
+    // rides along and is harmless). Seq stamping and the carry-forward of
+    // the parent's delete set happen INSIDE commitDelta (addedDeletes):
+    // doing either out here races an interleaved writer — the stale union
+    // loses their delete, or our seq lands below the actual commit id and
+    // fails to cover their rows. Deleting keys is valid against any newer
+    // snapshot (the key parquet itself is reused verbatim across retries).
     val rawEntries = store.collectStats(spark, outDir)
-    if (rawEntries.map(_.rows).sum == 0)
+    val rows = rawEntries.map(_.rows).sum
+    if (rows == 0)
       return DeleteResult(store.currentSnapshotId.getOrElse(-1L), 0, 0)
     MetaStore.withCommitRetry() {
-      val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
-      val entries = rawEntries.map(_.copy(seq = snapId + 1))
-      val rows = entries.map(_.rows).sum
+      store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
       // metadata-only delta commit: the data file list is untouched, so every
       // parent manifest is reused — O(delete keys), never O(table)
       val newSnap = store.commitDelta("delete", Nil, summary = Map(
         "runId" -> runId,
         "deleteRows" -> rows.toString,
-        "deleteFiles" -> entries.size.toString),
-        deletes = Some(store.deleteEntries(snapId) ++ entries))
-      DeleteResult(newSnap, entries.size, rows)
+        "deleteFiles" -> rawEntries.size.toString),
+        addedDeletes = rawEntries)
+      DeleteResult(newSnap, rawEntries.size, rows)
     }
   }
 
@@ -180,19 +180,19 @@ object Deletes {
       else Some(readFiles(spark, store, snapId, candidates)
         .filter(Pred.and(preds)).select(keyCols.map(col): _*).distinct())
 
-    if (covered.isEmpty)
-      return keyDf.map(run(spark, store, _, runId))
-        .getOrElse(DeleteResult(snapId, 0, 0))
-
     // ONE commit carrying both tiers: manifest minus covered files, plus
-    // (when residue exists) a fresh equality-delete file
-    val expectedId = snapId + 1
+    // (when residue exists) a fresh equality-delete file. Seq stamping +
+    // delete carry-forward happen inside commitDelta (addedDeletes), and
+    // expectedParent pins the snapshot the covered/residue resolution was
+    // proven against — an interleaved commit fails this commit (retryable)
+    // instead of being clobbered, and the retry re-resolves the predicate.
     val delEntries = keyDf.map { k =>
       val outDir = store.newDataDir("delete")
       k.coalesce(1).write.mode("overwrite").parquet(outDir)
-      store.collectStats(spark, outDir).map(_.copy(seq = expectedId))
-        .filter(_.rows > 0)
+      store.collectStats(spark, outDir).filter(_.rows > 0)
     }.getOrElse(Nil)
+    if (covered.isEmpty && delEntries.isEmpty)
+      return DeleteResult(snapId, 0, 0)
     val rowsDropped = covered.map(_.rows).sum
     val newSnap = store.commitDelta("delete", Nil,
       removedPaths = covered.map(_.path).toSet,
@@ -202,7 +202,8 @@ object Deletes {
         "rowsDropped" -> rowsDropped.toString,
         "deleteRows" -> delEntries.map(_.rows).sum.toString,
         "deleteFiles" -> delEntries.size.toString),
-      deletes = Some(store.deleteEntries(snapId) ++ delEntries))
+      addedDeletes = delEntries,
+      expectedParent = Some(snapId))
     DeleteResult(newSnap, delEntries.size, delEntries.map(_.rows).sum,
       filesDropped = covered.size, rowsDropped = rowsDropped)
   }
@@ -215,17 +216,21 @@ object Deletes {
    * references them. Returns (new snapshot id, deletes dropped); no commit
    * when nothing is inert.
    */
-  def expireInert(store: MetaStore): (Long, Int) = {
+  def expireInert(store: MetaStore): (Long, Int) = MetaStore.withCommitRetry() {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
     val dels = store.deleteEntries(snapId)
     if (dels.isEmpty) return (snapId, 0)
     val minDataSeq = store.entries(snapId).map(_.seq).minOption.getOrElse(Long.MaxValue)
     val (inert, live) = dels.partition(_.seq <= minDataSeq)
     if (inert.isEmpty) return (snapId, 0)
+    // replace-mode delete set planned from snapId: expectedParent turns an
+    // interleaved delete commit into a retry (re-partitioned against the
+    // new state) instead of silently dropping it from the live set
     val id = store.commitDelta("expire-deletes", Nil, summary = Map(
       "deletesDropped" -> inert.size.toString,
       "deletesKept" -> live.size.toString),
-      deletes = Some(live))
+      deletes = Some(live),
+      expectedParent = Some(snapId))
     (id, inert.size)
   }
 
@@ -328,7 +333,11 @@ object Deletes {
         "filesRewritten" -> toRewrite.size.toString,
         "filesPromoted" -> promoted.size.toString,
         "deletesRetired" -> dels.size.toString),
-      deletes = Some(Nil))
+      deletes = Some(Nil),
+      // the retire-all is only sound for the delete set OF snapId — an
+      // interleaved delete commit must fail this commit (caller re-plans,
+      // same doctrine as compact/cluster), not lose its keys
+      expectedParent = Some(snapId))
     MaterializeResult(id, toRewrite.size, promoted.size, dels.size)
   }
 }

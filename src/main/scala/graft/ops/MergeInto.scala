@@ -137,6 +137,11 @@ object MergeInto {
     })
     val newSnap = store.commitDelta("merge", newEntries,
       removedPaths = touched.map(_.path).toSet,
+      // rewrite planned against snapId: an interleaved commit (append /
+      // delete / maintenance) invalidates the touched-file plan and the
+      // merged rows themselves — fail (caller re-plans) rather than publish
+      // a merge that silently drops the interleaved change
+      expectedParent = Some(snapId),
       summary = extraSummary ++ Map(
         "runId" -> runId,
         "filesTouched" -> touched.size.toString,
@@ -210,11 +215,11 @@ object MergeInto {
 
     MetaStore.withCommitRetry() {
       val parent = store.currentSnapshotId.getOrElse(-1L)
-      val expectedId = if (parent == -1L) 1L else parent + 1L
-      val delEntries =
-        if (parent == -1L) Nil // empty table: nothing older to mask
-        else delRaw.map(_.copy(seq = expectedId))
-      val parentDeletes = if (parent == -1L) Nil else store.deleteEntries(parent)
+      // seq stamping (delete file AND batch files = the commit's id) and the
+      // parent-delete carry-forward happen inside commitDelta (addedDeletes)
+      // — pre-computing either here races an interleaved writer: a stale
+      // seq fails to mask their rows of the same key (lost update)
+      val delEntries = if (parent == -1L) Nil else delRaw
       val wallMs = (System.nanoTime() - t0) / 1000000
       store.appendLineage(spark, addedRaw.zipWithIndex.map { case (e, p) =>
         LineageRecord(runId, parent, "merge-mor", e.path, p, e.rows, e.sizeBytes,
@@ -226,9 +231,7 @@ object MergeInto {
           "filesTouched" -> "0",
           "deleteRows" -> delEntries.map(_.rows).sum.toString,
           "deleteFiles" -> delEntries.size.toString),
-        deletes =
-          if (delEntries.isEmpty && parentDeletes.isEmpty) None
-          else Some(parentDeletes ++ delEntries))
+        addedDeletes = delEntries)
       MergeResult(newSnap, runId, 0,
         if (parent == -1L) 0 else store.entries(parent).size,
         addedRaw.map(_.rows).sum,

@@ -61,7 +61,9 @@ object Transcode {
     })
     val newSnap = store.commit("transcode", newEntries, Map(
       "runId" -> runId, "targetCodec" -> targetCodec,
-      "targetSrHz" -> targetSrHz.toString))
+      "targetSrHz" -> targetSrHz.toString),
+      // rewrite planned against snapId — interleaved commits fail it loudly
+      expectedParent = Some(snapId))
     TranscodeResult(newSnap, runId, newEntries.map(_.rows).sum, newEntries.size)
   }
 

@@ -342,8 +342,13 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    *   inert ones, restore a rollback target's set). */
   def commit(operation: String, entries: Seq[DataFile],
              summary: Map[String, String] = Map.empty,
-             deletes: Option[Seq[DataFile]] = None): Long = synchronized {
+             deletes: Option[Seq[DataFile]] = None,
+             expectedParent: Option[Long] = None): Long = synchronized {
     val parent = currentSnapshotId.getOrElse(-1L)
+    expectedParent.foreach { p =>
+      if (p != parent) throw new ConcurrentCommitException(
+        s"commit planned against snapshot $p but current is $parent")
+    }
     val id = if (parent == -1L) 1L else parent + 1L
     // stamp data sequence numbers: an entry carried from an older snapshot
     // arrives with its original seq (> 0, from the manifest) and keeps it; a
@@ -385,13 +390,42 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * Shared manifests are immutable and GC'd by name-set difference
    * (ExpireSnapshots), same as shared data files. Many delta commits
    * accumulate small manifests; [[compactManifests]] re-shards.
+   *
+   * @param deletes REPLACE the delete-file set wholesale (rewrites /
+   *   rollback / retirement). The caller planned that set against a specific
+   *   parent — pass `expectedParent` alongside, or an interleaved delete
+   *   commit is silently clobbered.
+   * @param addedDeletes APPEND these delete files to the parent's live set,
+   *   stamped `seq` = this commit's id, with the carry-forward read INSIDE
+   *   the commit section. Callers must NOT pre-read the parent's delete set
+   *   or pre-stamp seq themselves: between that read and the commit another
+   *   writer can land, and the stale union either loses the interleaved
+   *   delete or stamps a seq below the actual id (uncovered rows). On an
+   *   empty table they are dropped — there is nothing older to mask.
+   * @param expectedParent optimistic-concurrency check: throw
+   *   [[ConcurrentCommitException]] (retryable) if the current snapshot is
+   *   no longer this — for commits whose removedPaths / delete set were
+   *   planned from a read of that snapshot.
    */
   def commitDelta(operation: String, added: Seq[DataFile],
                   removedPaths: Set[String] = Set.empty,
                   summary: Map[String, String] = Map.empty,
-                  deletes: Option[Seq[DataFile]] = None): Long = synchronized {
+                  deletes: Option[Seq[DataFile]] = None,
+                  addedDeletes: Seq[DataFile] = Nil,
+                  expectedParent: Option[Long] = None): Long = synchronized {
+    require(deletes.isEmpty || addedDeletes.isEmpty,
+      "commitDelta: pass deletes (replace) or addedDeletes (append), not both")
     val parent = currentSnapshotId.getOrElse(-1L)
+    expectedParent.foreach { p =>
+      if (p != parent) throw new ConcurrentCommitException(
+        s"commit planned against snapshot $p but current is $parent")
+    }
     val id = if (parent == -1L) 1L else parent + 1L
+    val effDeletes: Option[Seq[DataFile]] =
+      if (addedDeletes.nonEmpty && parent != -1L)
+        Some(deleteEntries(parent) ++
+          addedDeletes.map(d => if (d.seq > 0L) d else d.copy(seq = id)))
+      else deletes
     val stampedAdded = added.map(e => if (e.seq > 0L) e else e.copy(seq = id))
     val parentManifests = if (parent == -1L) Nil else snapshot(parent).manifests
     var removedRows = 0L; var removedBytes = 0L; var removedFiles = 0L
@@ -434,8 +468,8 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
         }
       }
     publish(operation, parent, id, manifestNames, ownNames,
-      deleteManifestNames(parent, id, deletes),
-      deletes.isDefined,
+      deleteManifestNames(parent, id, effDeletes),
+      effDeletes.isDefined,
       summary ++ Map(
         "files" -> (parentCount("files") - removedFiles + stampedAdded.size).toString,
         "rows" -> (parentCount("rows") - removedRows + stampedAdded.map(_.rows).sum).toString,
@@ -530,14 +564,25 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
   def appendLineage(spark: SparkSession, recs: Seq[LineageRecord]): Unit = {
     if (recs.isEmpty) return
     import spark.implicits._
-    recs.toDS().write.mode("append").parquet(metaDir.resolve("lineage").toString)
+    // unique subdir per batch (same discipline as the blooms side-table):
+    // concurrent writers — racing merges/appends are a supported shape —
+    // must not share one FileOutputCommitter _temporary dir, where the
+    // first job to commit deletes it and aborts the others mid-task
+    val out = metaDir.resolve("lineage")
+      .resolve(UUID.randomUUID().toString.take(12))
+    recs.toDS().write.mode("overwrite").parquet(out.toString)
   }
 
   def lineage(spark: SparkSession): DataFrame = {
     val dir = metaDir.resolve("lineage")
-    val stream = Files.list(dir)
-    val hasData = try stream.iterator().hasNext finally stream.close()
-    if (hasData) spark.read.parquet(dir.toString)
+    val hasData = {
+      val s = Files.walk(dir)
+      try s.anyMatch(_.toString.endsWith(".parquet")) finally s.close()
+    }
+    // recursive lookup reads both layouts: flat legacy files and the
+    // per-batch subdirs appendLineage writes now
+    if (hasData) spark.read.option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
     else spark.emptyDataFrame
   }
 
