@@ -39,6 +39,7 @@ import org.apache.spark.sql.SparkSession
  *     wap-publish <name> [force]    atomic O(batch) publish (audit-gated)
  *     wap-discard <name>            drop record + staged files
  *     wap-list                      pending staged batches
+ *     compact-blooms                fold the bloom side-table to live files
  */
 object Maintain {
 
@@ -205,6 +206,10 @@ object Maintain {
       case "compact-manifests" =>
         val (id, before, after) = store.compactManifests()
         println(s"snapshot $id: $before -> $after manifest shards")
+      case "compact-blooms" =>
+        val r = graft.table.FileBloom.compact(spark, store)
+        println(s"bloom shards ${r.shardsBefore} -> ${r.shardsAfter}: " +
+          s"kept ${r.rowsKept} live rows, dropped ${r.rowsDropped} dead")
       case "layout" =>
         // zonemap quality per stats column: expected files opened per probe
         val es = store.entries(store.currentSnapshotId.get)

@@ -54,12 +54,21 @@ final case class MaintenancePolicy(
      * delete ERAS (distinct delete seqs — each is one extra anti-join on
      * every scan) and live delete rows as a fraction of table rows. */
     maxDeleteEras: Int = 6,
-    maxDeleteRowFrac: Double = 0.02)
+    maxDeleteRowFrac: Double = 0.02,
+    /** Bloom side-table shard bound ([[graft.table.FileBloom.compact]]
+     * trigger): every write adds one shard, dead files keep their rows —
+     * fold to one live-only shard past this. */
+    maxBloomShards: Int = 32)
 
 object AutoMaintain {
 
   final case class Decision(op: String, reason: String)
-  final case class Applied(decision: Decision, snapshotId: Long)
+  /** `committed = false`: the pass lost a commit race to a concurrent
+   * writer (retryable [[graft.table.ConcurrentCommitException]]) and was
+   * SKIPPED this round — the next [[run]] re-plans against the new state.
+   * A maintenance loop must outlive writer interleaving, not crash on it. */
+  final case class Applied(decision: Decision, snapshotId: Long,
+                           committed: Boolean = true)
 
   /** Metadata-only diagnosis: which passes does the table need right now? */
   def plan(store: MetaStore, policy: MaintenancePolicy): Seq[Decision] = {
@@ -127,6 +136,11 @@ object AutoMaintain {
       out += Decision("compact-manifests",
         s"${store.snapshot(snapId).manifests.size} manifest shards exceed ${policy.maxManifestShards}")
 
+    val bloomShards = graft.table.FileBloom.shardCount(store)
+    if (store.bloomColumn.nonEmpty && bloomShards > policy.maxBloomShards)
+      out += Decision("compact-blooms",
+        s"$bloomShards bloom side-table shards exceed ${policy.maxBloomShards}")
+
     if (store.allSnapshotIds.size > policy.expireKeepLast)
       out += Decision("expire",
         s"${store.allSnapshotIds.size} snapshots exceed keepLast=${policy.expireKeepLast}")
@@ -142,7 +156,22 @@ object AutoMaintain {
           policy: MaintenancePolicy = MaintenancePolicy(),
           runId: String = s"auto-${System.currentTimeMillis()}"): Seq[Applied] =
     plan(store, policy).map { d =>
-      val snap = d.op match {
+      try Applied(d, applyOne(spark, store, policy, runId, d))
+      catch {
+        case e: graft.table.ConcurrentCommitException =>
+          // a concurrent writer invalidated this pass's plan (expectedParent
+          // CAS) — skip it; the trigger re-fires on the next loop iteration
+          // against the new snapshot. Propagating would kill the ingest
+          // stream that hosts the in-loop maintenance.
+          System.err.println(s"[auto-maintain] ${d.op} skipped: ${e.getMessage}")
+          Applied(d, store.currentSnapshotId.getOrElse(-1L), committed = false)
+      }
+    }
+
+  private def applyOne(spark: SparkSession, store: MetaStore,
+                       policy: MaintenancePolicy, runId: String,
+                       d: Decision): Long =
+    d.op match {
         case "compact" =>
           Compact.run(spark, store, policy.targetBytes, policy.smallFileFrac,
             runId = s"$runId-compact").snapshotId
@@ -157,11 +186,12 @@ object AutoMaintain {
             rangeCols = policy.clusterRangeCols).snapshotId
         case "compact-manifests" =>
           store.compactManifests()._1
+        case "compact-blooms" =>
+          graft.table.FileBloom.compact(spark, store)
+          store.currentSnapshotId.getOrElse(-1L) // side-table only, no commit
         case "expire" =>
           ExpireSnapshots.run(store, policy.expireKeepLast, policy.expireMinAgeMs)
           RemoveOrphans.run(store, policy.orphanMinAgeMs)
           store.currentSnapshotId.get
-      }
-      Applied(d, snap)
     }
 }

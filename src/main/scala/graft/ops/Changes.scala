@@ -65,7 +65,10 @@ object Changes {
   def appendedRows(spark: SparkSession, store: MetaStore,
                    fromId: Long, toId: Long): DataFrame = {
     val ops = operationsBetween(store, fromId, toId)
-    require(ops.forall(_ == "append"),
+    // same pure-row-addition set ChangeFeed.poll uses: a WAP publish is an
+    // append that took the audit detour (adds files, removes none)
+    val appendOps = Set("append", "wap-publish")
+    require(ops.forall(appendOps.contains),
       s"appendedRows needs an append-only range, saw: ${ops.mkString(",")}; " +
         "use rowChanges for ranges crossing rewrites")
     val d = fileDiff(store, fromId, toId)

@@ -190,18 +190,27 @@ object Cluster {
         System.err.println(f"[cluster] stats pass ${(System.nanoTime()-ts0)/1e9}%.1f s")
         st
       } else {
-        // persist batch bounds once; resumes reuse the SAME plan
-        val bounds: Array[Double] = store.itemResult(runId, "bounds") match {
+        // checkpoint identity = base snapshot + input file set, same doctrine
+        // as Compact's bin contentHash: a resume whose base moved (an
+        // interleaved delete/append committed between interruption and
+        // re-run) must re-plan and re-run every batch — reusing outputs
+        // written from the OLD base would resurrect deleted rows / drop
+        // interleaved appends under the batch's fresh (higher) seq
+        val planHash = java.lang.Long.toHexString(
+          (snapId + "|" + entries.map(_.path).sorted.mkString("|"))
+            .hashCode.toLong & 0xFFFFFFFFL)
+        // persist batch bounds once; resumes of the SAME plan reuse them
+        val bounds: Array[Double] = store.itemResult(runId, s"bounds-$planHash") match {
           case Some(saved) => saved.split(",").map(_.toDouble)
           case None =>
             val probs = (1 until batches).map(_.toDouble / batches).toArray
             val b = keyed.stat.approxQuantile("_ckey", probs, 0.001)
-            store.saveItemResult(runId, "bounds", b.mkString(","))
+            store.saveItemResult(runId, s"bounds-$planHash", b.mkString(","))
             b
         }
         val filesPerBatch = math.max(1, nFiles / batches)
         (0 until batches).flatMap { b =>
-          val item = s"batch-$b"
+          val item = s"batch-$b-$planHash"
           // trust a completed batch's saved manifest ONLY if its files are
           // still on disk: batch outputs are unreachable from any snapshot
           // until the final commit, so a RemoveOrphans run between

@@ -144,11 +144,14 @@ object Components {
   def starContractWithRounds(edges: DataFrame, a: String = "id_a",
                              b: String = "id_b",
                              maxIter: Int = 50): (DataFrame, Int) = {
-    val nodes = edges.select(col(a).cast("long").as("id"))
-      .unionAll(edges.select(col(b).cast("long").as("id")))
+    // ids keep their OWN type: greatest/least/min/compare all work on any
+    // orderable column, and a cast("long") would turn string ids (clip_id)
+    // into NULLs — every edge silently dropped, every node self-labeled
+    val nodes = edges.select(col(a).as("id"))
+      .unionAll(edges.select(col(b).as("id")))
       .distinct().localCheckpoint()
     // canonical direction u > v; self-loops carry no connectivity
-    var e = edges.select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
+    var e = edges.select(col(a).as("x"), col(b).as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .distinct().localCheckpoint()

@@ -58,6 +58,14 @@ object Deletes {
   private def keyFrame(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*).distinct()
 
+  /** Key-column sets of delete files, by path. Delete files are immutable,
+   * so the probe result never changes — without this cache every scan of a
+   * snapshot with E delete eras re-opens up to E(E+1)/2 parquet footers on
+   * the driver (readFiles calls applyTo once per seq group), on EVERY query,
+   * before any data is read. */
+  private val delColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   /** Anti-join `df` against every delete entry in `dels`. Delete files are
    * grouped by their column set (equality deletes may key on different
    * column subsets); each group is one anti-join on exactly its columns. */
@@ -65,7 +73,8 @@ object Deletes {
     if (dels.isEmpty) return df
     val totalRows = dels.map(_.rows).sum
     val bySchema = dels.map(_.path)
-      .groupBy(p => spark.read.parquet(p).columns.toSeq.sorted)
+      .groupBy(p => delColsCache.computeIfAbsent(p,
+        pp => spark.read.parquet(pp).columns.toSeq.sorted))
     bySchema.foldLeft(df) { case (acc, (cols, paths)) =>
       val keys = keyFrame(spark, paths)
       val right = if (totalRows <= broadcastRowLimit) broadcast(keys) else keys

@@ -213,18 +213,13 @@ object MergeInto {
     allKeys.coalesce(1).write.mode("overwrite").parquet(delDir)
     val delRaw = store.collectStats(spark, delDir).filter(_.rows > 0)
 
-    MetaStore.withCommitRetry() {
+    val result = MetaStore.withCommitRetry() {
       val parent = store.currentSnapshotId.getOrElse(-1L)
       // seq stamping (delete file AND batch files = the commit's id) and the
       // parent-delete carry-forward happen inside commitDelta (addedDeletes)
       // — pre-computing either here races an interleaved writer: a stale
       // seq fails to mask their rows of the same key (lost update)
       val delEntries = if (parent == -1L) Nil else delRaw
-      val wallMs = (System.nanoTime() - t0) / 1000000
-      store.appendLineage(spark, addedRaw.zipWithIndex.map { case (e, p) =>
-        LineageRecord(runId, parent, "merge-mor", e.path, p, e.rows, e.sizeBytes,
-          wallMs, System.currentTimeMillis(), "done")
-      })
       val newSnap = store.commitDelta("merge-mor", addedRaw,
         summary = extraSummary ++ Map(
           "runId" -> runId,
@@ -237,6 +232,14 @@ object MergeInto {
         addedRaw.map(_.rows).sum,
         deleteRows = delEntries.map(_.rows).sum)
     }
+    // lineage AFTER the commit succeeds: inside the retry block every lost
+    // race would append the same records again (duplicate metrics rows)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    store.appendLineage(spark, addedRaw.zipWithIndex.map { case (e, p) =>
+      LineageRecord(runId, result.snapshotId - 1, "merge-mor", e.path, p,
+        e.rows, e.sizeBytes, wallMs, System.currentTimeMillis(), "done")
+    })
+    result
   }
 
   /**

@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import graft.functions.VecExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -9,24 +9,27 @@ import org.apache.spark.sql.functions._
 
 /**
  * Write-time ANN side-tables: the LSH bucket assignment and the per-label
- * IVF centroids are computed ONCE when the index is built and persisted as
- * parquet next to (not inside) the source table; probes read the index, not
- * the corpus. At 100 TB this is the difference between an O(corpus) rebuild
- * per query and an O(candidates) pruned join — the same role the reference's
- * persisted cluster indexes play (vec/util/BloomFilter.kt:18-121 keys its
- * bloom filters by cluster at build time, not per probe).
+ * IVF centroid partials are computed ONCE when the index is built and
+ * persisted as parquet next to (not inside) the source table; probes read
+ * the index, not the corpus. At 100 TB this is the difference between an
+ * O(corpus) rebuild per query and an O(candidates) pruned join — the same
+ * role the reference's persisted cluster indexes play
+ * (vec/util/BloomFilter.kt:18-121 keys its bloom filters by cluster at
+ * build time, not per probe).
  *
- * Index layout under [[dirFor]]:
+ * Index layout under [[dirFor]] / [[dirForStore]]:
  * {{{
- *   buckets/    vec_id, label, bkt        (one row per vector)
- *   centroids/  label, pos, mean_x        (IVF coarse cells)
- *   _COMPLETE   fingerprint of the source at build time
+ *   eras/<tag>/buckets/   vec_id, label, bkt        (rows new in that era)
+ *   eras/<tag>/cstats/    label, pos, sx, cnt       (centroid partials)
+ *   _COMPLETE             fingerprint of the source at build time
  * }}}
  *
- * The fingerprint (file names + sizes of the source parquet) makes `ensure`
- * rebuild automatically when the source table changes, so a maintenance
- * rewrite of the SOURCE invalidates cleanly while an unchanged source keeps
- * serving the persisted index.
+ * Eras make maintenance INCREMENTAL for the streaming shape: an append-only
+ * commit range indexes just the appended rows as one new era (the parent
+ * snapshot's era files are hard-linked, O(new data) work), while any rewrite
+ * (compact / merge / delete) rebuilds from scratch — rows may have changed.
+ * Readers union the eras: buckets are row-disjoint by construction, and the
+ * IVF centroids aggregate the per-era (sum, count) partials exactly.
  */
 object VecIndex {
 
@@ -76,21 +79,70 @@ object VecIndex {
     files.mkString("|")
   }
 
-  /** Build both side-tables from an embeddings dataframe. */
-  def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
-            sourceFingerprint: String): Unit = {
-    val dir = Paths.get(indexDir)
-    Files.createDirectories(dir)
+  /** Write ONE era's side-tables for `embeddings` (only those rows). */
+  private def writeEra(embeddings: DataFrame, indexDir: String,
+                       eraTag: String): Unit = {
+    val era = s"$indexDir/eras/$eraTag"
     embeddings
       .select(col("vec_id"), col("label"), expr(VecExprs.bucketSpark).as("bkt"))
-      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+      .write.mode("overwrite").parquet(s"$era/buckets")
+    // (sum, count) partials instead of means: per-era partials aggregate to
+    // the EXACT global mean at read time; persisted means could not be
+    // combined without knowing each era's weight
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
-      .agg(avg(col("x").cast("double")).as("mean_x"))
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      .agg(sum(col("x").cast("double")).as("sx"), count(col("x")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$era/cstats")
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val walk = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    } finally walk.close()
+  }
+
+  /** Hard-link (fall back to copy) every file under `from/eras` into
+   * `to/eras` — O(file count) metadata ops, zero data movement; the parquet
+   * era files are immutable so sharing inodes across snapshot dirs is safe
+   * and pruning the old dir only unlinks. */
+  private def linkEras(from: String, to: String): Unit = {
+    val src = Paths.get(from, "eras")
+    if (!Files.isDirectory(src)) return
+    val walk = Files.walk(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.foreach { p =>
+        val rel = src.relativize(p)
+        val dst = Paths.get(to, "eras").resolve(rel)
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else try Files.createLink(dst, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, dst)
+        }
+      }
+    } finally walk.close()
+  }
+
+  /** Build both side-tables from scratch (single "full" era). */
+  def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
+            sourceFingerprint: String): Unit = {
+    val dir = Paths.get(indexDir)
+    deleteRecursively(dir.resolve("eras"))
+    Files.createDirectories(dir)
+    writeEra(embeddings, indexDir, "full")
     Files.write(dir.resolve("_COMPLETE"),
       sourceFingerprint.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def isComplete(indexDir: String, fp: String): Boolean = {
+    val marker = Paths.get(indexDir, "_COMPLETE")
+    Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == fp &&
+      Files.isDirectory(Paths.get(indexDir, "eras")) // pre-era layouts rebuild
   }
 
   /**
@@ -100,59 +152,79 @@ object VecIndex {
    */
   def ensure(spark: SparkSession, sourcePath: String): String = synchronized {
     val indexDir = dirFor(sourcePath)
-    val marker = Paths.get(indexDir, "_COMPLETE")
     val fp = fingerprint(sourcePath)
-    val fresh = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == fp
-    if (!fresh)
+    if (!isComplete(indexDir, fp))
       build(spark, spark.read.parquet(sourcePath), indexDir, fp)
     indexDir
   }
 
   /**
    * Ensure an index for the CURRENT snapshot of a MetaStore table, persisted
-   * under `<tableDir>/meta/vecindex/snap-<id>/`. Rebuilds exactly when the
-   * snapshot id changes (any commit — append, compact, merge — invalidates);
-   * indexes of superseded snapshots are pruned once a newer one completes,
-   * keeping the metadata tree bounded. Returns the index directory.
+   * under `<tableDir>/meta/vecindex/snap-<id>/`. Invalidation is exact (any
+   * commit changes the id) but the REBUILD is incremental when the commit
+   * range since the newest indexed snapshot is append-only ({append,
+   * wap-publish}): the parent dir's era files are hard-linked across and
+   * only the appended rows are indexed as a new era — O(new data), the
+   * streaming-ingest shape. Rewrites (compact / cluster / merge / delete)
+   * rebuild in full: their commits may change or remove indexed rows.
+   * Superseded snapshot indexes are pruned once the new one completes.
    */
   def ensureForStore(spark: SparkSession, store: graft.table.MetaStore): String =
     synchronized {
       val snapId = store.currentSnapshotId.getOrElse(
         sys.error(s"vecindex: ${store.tableDir} has no current snapshot"))
       val indexDir = dirForStore(store, snapId)
-      val marker = Paths.get(indexDir, "_COMPLETE")
       val fp = s"snapshot-$snapId"
-      val fresh = Files.exists(marker) &&
-        new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == fp
-      if (!fresh) {
-        build(spark, store.scan(spark, snapId), indexDir, fp)
-        // prune superseded snapshot indexes (GC after successful build)
-        val root = Paths.get(store.tableDir, "meta", "vecindex")
+      if (isComplete(indexDir, fp)) return indexDir
+
+      val root = Paths.get(store.tableDir, "meta", "vecindex")
+      Files.createDirectories(root)
+      // newest complete ancestor index = incremental base candidate
+      val existing: Seq[(Long, Path)] = {
         val stream = Files.list(root)
-        val old = try {
-          val it = stream.iterator()
-          val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-          while (it.hasNext) {
-            val p = it.next()
-            if (p.getFileName.toString != s"snap-$snapId") buf += p
-          }
-          buf.toSeq
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.flatMap { p =>
+            val n = p.getFileName.toString
+            if (n.startsWith("snap-"))
+              n.stripPrefix("snap-").toLongOption
+                .filter(a => isComplete(p.toString, s"snapshot-$a"))
+                .map(_ -> p)
+            else None
+          }.toSeq
         } finally stream.close()
-        old.foreach { p =>
-          val walk = Files.walk(p)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          } finally walk.close()
-        }
       }
+      val base = existing.filter(_._1 < snapId).sortBy(-_._1).headOption
+      val incremental = base.exists { case (a, _) =>
+        val live = store.allSnapshotIds.toSet
+        (a to snapId).forall(live.contains) &&
+          Changes.operationsBetween(store, a, snapId)
+            .forall(Set("append", "wap-publish").contains)
+      }
+      if (incremental) {
+        val (a, parentDir) = base.get
+        linkEras(parentDir.toString, indexDir)
+        writeEra(Changes.appendedRows(spark, store, a, snapId),
+          indexDir, s"inc-$snapId")
+        Files.write(Paths.get(indexDir, "_COMPLETE"),
+          fp.getBytes(StandardCharsets.UTF_8))
+      } else {
+        build(spark, store.scan(spark, snapId), indexDir, fp)
+      }
+      // prune superseded snapshot indexes (GC after successful build; era
+      // files shared via hard links survive for the new dir)
+      existing.map(_._2).filter(_.getFileName.toString != s"snap-$snapId")
+        .foreach(deleteRecursively)
       indexDir
     }
 
   def buckets(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/buckets")
+    spark.read.parquet(s"$indexDir/eras/*/buckets")
 
+  /** IVF centroids: exact global means from the per-era (sum, count)
+   * partials — a tiny aggregate (labels × dims rows) at read time. */
   def centroids(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/centroids")
+    spark.read.parquet(s"$indexDir/eras/*/cstats")
+      .groupBy("label", "pos")
+      .agg((sum("sx") / sum("cnt")).as("mean_x"))
 }

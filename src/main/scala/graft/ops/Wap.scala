@@ -15,7 +15,11 @@ final case class StagedWrite(
     auditedMs: Long,
     evolutionCount: Int,
     summary: Map[String, String],
-    entries: Seq[DataFile])
+    entries: Seq[DataFile],
+    /** Snapshot current when the batch was staged: any publish of it commits
+     * a HIGHER id, so `(stagedAtSnapshot, current]` exactly bounds the
+     * idempotent-publish probe — no wall clocks involved. */
+    stagedAtSnapshot: Long = -1L)
 
 /**
  * Write-Audit-Publish: stage a batch OUTSIDE the snapshot log, audit it in
@@ -95,7 +99,8 @@ object Wap {
     store.writeData(batch, outDir)
     val rec = StagedWrite(name, System.currentTimeMillis(), 0L,
       Evolve.evolutions(store).size, summary,
-      store.collectStats(spark, outDir))
+      store.collectStats(spark, outDir),
+      stagedAtSnapshot = store.currentSnapshotId.getOrElse(-1L))
     writeRecord(store, rec)
     rec
   }
@@ -131,45 +136,59 @@ object Wap {
    * publish across a schema evolution: files staged under an older era
    * lack the evolved column and would read wrongly; re-stage instead.
    */
+  /** Idempotency probe: the snapshot (if any) that already published this
+   * exact staged record. The snapshot log is the ledger (same trick as
+   * StreamAppend's batch ids); `stagedMs` disambiguates a REUSED name whose
+   * earlier batch was published within the retention window. Bounded by ID,
+   * not clocks: a publish always commits a snapshot ABOVE the one current at
+   * stage time, so only `(stagedAtSnapshot, current]` is scanned. */
+  private def publishedAs(store: MetaStore, rec: StagedWrite) =
+    store.allSnapshotIds.filter(_ > rec.stagedAtSnapshot).sorted
+      .map(store.snapshot)
+      .find(s => s.summary.get("wapName").contains(rec.name) &&
+        s.summary.get("stagedMs").contains(rec.createdMs.toString))
+
   def publish(store: MetaStore, name: String, force: Boolean = false): Long = {
     val rec = get(store, name)
+    // idempotent across a crash between commit and record delete: a retried
+    // publish of an already-committed stage just drops the record. This
+    // probe runs FIRST — before the audit/era gates — because an already-
+    // published batch needs no blessing and must be acknowledgeable even
+    // after a later schema evolution ('discard and re-stage' would be
+    // catastrophic advice for files a snapshot already references).
+    publishedAs(store, rec) match {
+      case Some(s) =>
+        Files.deleteIfExists(recordPath(store, name))
+        return s.id
+      case None =>
+    }
     require(force || rec.auditedMs > 0L,
       s"staged batch '$name' has not passed an audit (use audit(), or force)")
     val evoNow = Evolve.evolutions(store).size
     require(rec.evolutionCount == evoNow,
       s"staged batch '$name' was written under schema era ${rec.evolutionCount} " +
         s"but the table is now at era $evoNow; discard and re-stage")
-    // idempotent across a crash between commit and record delete: the
-    // snapshot log is the ledger (same trick as StreamAppend's batch ids) —
-    // a retried publish of an already-committed stage just drops the record.
-    // `stagedMs` disambiguates a REUSED name whose earlier batch was
-    // published within the retention window. The probe is bounded: a publish
-    // commit is always stamped AFTER the stage's createdMs, so scan newest →
-    // oldest and stop at the first snapshot older than the stage (1 min clock
-    // slack) — the no-crash case reads only the commits since staging, never
-    // the whole history.
-    val already = store.allSnapshotIds.sorted.reverseIterator
-      .map(store.snapshot)
-      .takeWhile(_.timestampMs >= rec.createdMs - 60000L)
-      .find(s => s.summary.get("wapName").contains(name) &&
-        s.summary.get("stagedMs").contains(rec.createdMs.toString))
-    val id = already.map(_.id).getOrElse {
-      MetaStore.withCommitRetry() {
-        store.commitDelta("wap-publish", rec.entries,
-          summary = rec.summary ++ Map(
-            "wapName" -> name,
-            "stagedMs" -> rec.createdMs.toString,
-            "auditedMs" -> rec.auditedMs.toString))
-      }
+    val id = MetaStore.withCommitRetry() {
+      store.commitDelta("wap-publish", rec.entries,
+        summary = rec.summary ++ Map(
+          "wapName" -> name,
+          "stagedMs" -> rec.createdMs.toString,
+          "auditedMs" -> rec.auditedMs.toString))
     }
     Files.deleteIfExists(recordPath(store, name))
     id
   }
 
   /** Drop the staged batch: record first (readers lose the pointer), then
-   * its data files eagerly (they were never reachable from any snapshot). */
+   * its data files eagerly (they were never reachable from any snapshot).
+   * EXCEPT when a crash-interrupted [[publish]] already committed the batch
+   * — then the files ARE live table data and only the stale record goes. */
   def discard(store: MetaStore, name: String): Int = {
     val rec = get(store, name)
+    if (publishedAs(store, rec).isDefined) {
+      Files.deleteIfExists(recordPath(store, name))
+      return 0
+    }
     Files.deleteIfExists(recordPath(store, name))
     var n = 0
     rec.entries.foreach { e =>

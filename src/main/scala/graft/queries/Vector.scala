@@ -93,7 +93,7 @@ object Vector {
       val indexDir = VecIndex.ensure(s, s"$d/embeddings.parquet")
       OracleFixtures.register("q57_ann_index_persisted",
         s"""WITH idx AS (SELECT vec_id, bkt
-           |  FROM read_parquet('$indexDir/buckets/*.parquet')),
+           |  FROM read_parquet('$indexDir/eras/*/buckets/*.parquet')),
            |fresh AS (SELECT vec_id, ${VecExprs.bucketDuck} AS bkt_fresh
            |  FROM embeddings)
            |SELECT idx.bkt, count(*) AS n_vecs,
@@ -105,6 +105,44 @@ object Vector {
         .select(col("vec_id"), expr(VecExprs.bucketSpark).as("bkt_fresh"))
       idx.join(fresh, "vec_id")
         .groupBy("bkt")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("bkt") === col("bkt_fresh"), 0L).otherwise(1L))
+            .as("n_stale"))
+    }),
+
+    // -- INCREMENTAL index maintenance audit: a MetaStore-backed embeddings
+    //    table is appended twice; the first ensureForStore builds the full
+    //    era, the second extends it with ONLY the appended rows (parent era
+    //    hard-linked — the streaming-ingest shape where a per-commit O(table)
+    //    rebuild would dominate). Output: per-era vector count + staleness
+    //    vs a fresh recompute. Oracle: DuckDB reads the persisted era
+    //    parquet itself (filename=true exposes the era) and recomputes every
+    //    bucket from the embeddings table with its own hyperplane SQL. --
+    "q107_ann_incremental" -> ((s, d) => {
+      val dir = OracleFixtures.freshDir("q107_store", d)
+      val store = new graft.table.MetaStore(dir, Seq("vec_id", "label"))
+      val all = emb(s, d)
+      graft.ops.Append.run(s, store, all.filter(col("vec_id") % 2 === 0))
+      VecIndex.ensureForStore(s, store) // snapshot 1: full era
+      graft.ops.Append.run(s, store, all.filter(col("vec_id") % 2 === 1))
+      val idx = VecIndex.ensureForStore(s, store) // snapshot 2: +inc era
+      OracleFixtures.register("q107_ann_incremental",
+        s"""WITH idx AS (SELECT vec_id, bkt,
+           |    regexp_extract(filename, 'eras/([^/]+)/', 1) AS era
+           |  FROM read_parquet('$idx/eras/*/buckets/*.parquet', filename=true)),
+           |fresh AS (SELECT vec_id, ${VecExprs.bucketDuck} AS bkt_fresh
+           |  FROM embeddings)
+           |SELECT era, count(*) AS n_vecs,
+           |  CAST(sum(CASE WHEN bkt = bkt_fresh THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS n_stale
+           |FROM idx JOIN fresh USING (vec_id)
+           |GROUP BY era""".stripMargin)
+      VecIndex.buckets(s, idx)
+        .withColumn("era",
+          regexp_extract(input_file_name(), "eras/([^/]+)/", 1))
+        .join(all.select(col("vec_id"),
+          expr(VecExprs.bucketSpark).as("bkt_fresh")), "vec_id")
+        .groupBy("era")
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("bkt") === col("bkt_fresh"), 0L).otherwise(1L))
             .as("n_stale"))

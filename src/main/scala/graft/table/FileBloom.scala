@@ -120,6 +120,64 @@ object FileBloom {
     try s.iterator().hasNext finally s.close()
   }
 
+  /** Current shard (per-write subdir) count — the [[compact]] trigger. */
+  def shardCount(store: MetaStore): Int = {
+    val root = bloomRoot(store)
+    if (!java.nio.file.Files.isDirectory(root)) return 0
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.count(java.nio.file.Files.isDirectory(_))
+    } finally s.close()
+  }
+
+  final case class BloomCompaction(shardsBefore: Int, shardsAfter: Int,
+                                   rowsKept: Long, rowsDropped: Long)
+
+  /**
+   * Fold the side-table to ONE shard holding only LIVE files' blooms. Every
+   * write (append / merge batch / compaction bin / delete-key file) adds a
+   * shard, and rewritten/expired data files leave their 16 KiB rows behind
+   * — unbounded, the probe scan cost grows with ALL historical writes
+   * instead of live files. This pass inner-joins the side-table against the
+   * current snapshot's paths, rewrites one shard, and drops the old ones
+   * (captured BEFORE the read, so a concurrent writer's new shard is never
+   * folded in or deleted). Readers racing the swap stay correct: a missing
+   * bloom row is a conservative keep ([[prunePaths]]).
+   */
+  def compact(spark: SparkSession, store: MetaStore): BloomCompaction = {
+    import scala.jdk.CollectionConverters._
+    val root = bloomRoot(store)
+    if (!java.nio.file.Files.isDirectory(root))
+      return BloomCompaction(0, 0, 0L, 0L)
+    val shards = {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.filter(java.nio.file.Files.isDirectory(_)).toSeq
+      finally s.close()
+    }
+    if (shards.size <= 1)
+      return BloomCompaction(shards.size, shards.size, 0L, 0L)
+    import spark.implicits._
+    val livePaths = store.currentSnapshotId
+      .map(id => store.entries(id).map(_.path) ++
+        store.deleteEntries(id).map(_.path))
+      .getOrElse(Nil)
+    val all = spark.read.parquet(shards.map(_.toString): _*)
+    val total = all.count()
+    val out = root.resolve(java.util.UUID.randomUUID().toString.take(12))
+    all.join(livePaths.toDF("path"), Seq("path"), "inner")
+      .dropDuplicates("path")
+      .write.mode("overwrite").parquet(out.toString)
+    val kept = spark.read.parquet(out.toString).count()
+    shards.foreach { d =>
+      val w = java.nio.file.Files.walk(d)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
+    BloomCompaction(shards.size, 1, kept, total - kept)
+  }
+
   def table(spark: SparkSession, store: MetaStore): DataFrame =
     spark.read.parquet(s"${bloomRoot(store)}/*")
 

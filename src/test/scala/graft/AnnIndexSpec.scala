@@ -118,6 +118,51 @@ class AnnIndexSpec extends AnyFunSuite {
       "superseded snapshot index must be pruned")
   }
 
+  test("append-only commits maintain the index incrementally; rewrites rebuild") {
+    val tableDir = Files.createTempDirectory("graft-ann-inc-").toString
+    val store = new MetaStore(tableDir, Seq("vec_id", "label"))
+    Append.run(spark, store, synthEmbeddings.repartition(4))
+    val d1 = VecIndex.ensureForStore(spark, store)
+
+    def eras(d: String): Set[String] = {
+      val s = Files.list(java.nio.file.Paths.get(d, "eras"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally s.close()
+    }
+    assert(eras(d1) == Set("full"))
+
+    // append -> the new snapshot's index reuses the parent era (hard links,
+    // zero data movement) and indexes ONLY the appended rows as a new era
+    Append.run(spark, store, (200 until 260).map { i =>
+      (i.toLong, s"label_${i % 4}",
+        (0 until 8).map(j => (i + j).toFloat / 100f).toArray)
+    }.toDF("vec_id", "label", "embedding"))
+    val snap2 = store.currentSnapshotId.get
+    val d2 = VecIndex.ensureForStore(spark, store)
+    assert(eras(d2) == Set("full", s"inc-$snap2"),
+      "append must add an era, not rebuild")
+    assert(VecIndex.buckets(spark, d2).count() === 260)
+    assert(!Files.exists(java.nio.file.Paths.get(d1)), "old snapshot dir pruned")
+
+    // IVF centroids from the era partials are EXACT vs a fresh recompute
+    val fresh = store.scanCurrent(spark)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(avg(col("x").cast("double")).as("mean_fresh"))
+    val drift = VecIndex.centroids(spark, d2).join(fresh, Seq("label", "pos"))
+      .filter(abs(col("mean_x") - col("mean_fresh")) > 1e-9).count()
+    assert(drift === 0L, "incremental centroid partials must aggregate exactly")
+
+    // a rewrite (rows may change) must rebuild from scratch
+    Compact.run(spark, store, targetBytes = 64L * 1024 * 1024,
+      runId = "ann-inc-compact")
+    val d3 = VecIndex.ensureForStore(spark, store)
+    assert(eras(d3) == Set("full"), "rewrite commits rebuild, never link eras")
+    assert(VecIndex.buckets(spark, d3).count() === 260)
+  }
+
   test("ensure() rebuilds when the source parquet changes") {
     val src = Files.createTempDirectory("graft-ann-src-").toString
     synthEmbeddings.repartition(2).write.mode("overwrite").parquet(src)

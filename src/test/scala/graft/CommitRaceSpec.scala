@@ -108,6 +108,24 @@ class CommitRaceSpec extends AnyFunSuite {
     assert(store.deleteEntries(store.currentSnapshotId.get).nonEmpty)
   }
 
+  test("batched cluster rerun after an interleaved delete must not resurrect rows") {
+    val store = freshStore("clre")
+    seed(store)
+    // complete a batched cluster run, leaving its checkpoint markers behind
+    Cluster.run(spark, store, ZOrderCurve, targetBytes = 32L * 1024,
+      runId = "sticky", batches = 2)
+    // an equality delete lands; rerunning the SAME runId (an operator retry,
+    // a cron with a fixed id) must re-plan against the new base — reusing the
+    // saved batch outputs would resurrect the deleted rows under a fresh seq
+    val victim = ClipSynth.clipId(5)
+    Deletes.run(spark, store, Seq(victim).toDF("clip_id"))
+    Cluster.run(spark, store, ZOrderCurve, targetBytes = 32L * 1024,
+      runId = "sticky", batches = 2)
+    val visible = store.scanCurrent(spark).select("clip_id").as[String].collect()
+    assert(!visible.contains(victim), "deleted row resurrected by stale checkpoint")
+    assert(visible.length == 59)
+  }
+
   test("concurrent deleteWhere + expireInert converge without losing keys") {
     val store = freshStore("mixed")
     seed(store)

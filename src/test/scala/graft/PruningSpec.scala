@@ -116,6 +116,47 @@ class PruningSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom side-table compaction folds shards to live-only and stays correct") {
+    val dir = Files.createTempDirectory("graft-bloomgc-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 200, 4, maxDurMs = 120).toDF())
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 400, 4, maxDurMs = 120).toDF()
+        .filter(col("clip_id") > graft.synth.ClipSynth.clipId(199)))
+    // the rewrite strands the two append shards' rows (their files die)
+    graft.ops.Cluster.run(spark, store, graft.ops.ZOrderCurve,
+      targetBytes = 128L * 1024, runId = "bloomgc-cluster")
+    assert(graft.table.FileBloom.shardCount(store) >= 3)
+
+    val res = graft.table.FileBloom.compact(spark, store)
+    assert(res.shardsAfter == 1 && res.shardsBefore >= 3)
+    assert(res.rowsDropped > 0, "dead files' bloom rows must be dropped")
+    val live = store.entries(store.currentSnapshotId.get).map(_.path).toSet
+    assert(res.rowsKept == live.size.toLong, "exactly one row per live file")
+
+    // probes after the fold: still pruning, still zero false negatives
+    val key = graft.synth.ClipSynth.clipId(123L)
+    val ps = store.scanCurrentPruned(spark, Seq(Pred.EqualTo("clip_id", key)))
+    assert(ps.filesKept < ps.filesTotal, "bloom pruning survives the fold")
+    assert(ps.df.count() == 1L)
+
+    // the AutoMaintain trigger plans and clears it
+    val policy = graft.ops.MaintenancePolicy(maxBloomShards = 1,
+      maxSmallFiles = Int.MaxValue, maxOverlapDepth = Double.MaxValue,
+      expireKeepLast = Int.MaxValue)
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 410, 1, maxDurMs = 120).toDF()
+        .filter(col("clip_id") > graft.synth.ClipSynth.clipId(399)))
+    assert(graft.table.FileBloom.shardCount(store) == 2)
+    val plan = graft.ops.AutoMaintain.plan(store, policy)
+    assert(plan.exists(_.op == "compact-blooms"))
+    graft.ops.AutoMaintain.run(spark, store, policy)
+    assert(graft.table.FileBloom.shardCount(store) == 1)
+    assert(graft.ops.AutoMaintain.plan(store, policy)
+      .forall(_.op != "compact-blooms"), "trigger clears at the fixed point")
+  }
+
   test("prune-all preserves schema; match-all keeps every file") {
     val dir = Files.createTempDirectory("graft-prune2-").toString
     val store = MetaStore.forClips(dir)

@@ -139,6 +139,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(viaStar === viaMin)
   }
 
+  test("Components.starContract preserves string ids (no silent long cast)") {
+    import spark.implicits._
+    // clip_id-shaped keys: a cast('long') would NULL every id, drop every
+    // edge, and self-label every node — silent corruption for the minLabel
+    // fallback path on string-keyed graphs
+    def k(i: Int) = f"clip_$i%012d"
+    val chain = (1 to 200).map(i => (k(i), k(i - 1))).toDF("id_a", "id_b")
+    val edges = chain.unionAll(Seq((k(900), k(901))).toDF("id_a", "id_b"))
+    val got = graft.ops.Components.starContract(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size == 203)
+    (0 to 200).foreach(i => assert(got(k(i)) == k(0), s"chain node $i"))
+    assert(got(k(900)) == k(900) && got(k(901)) == k(900))
+  }
+
   test("flagship entry returns all-pass verification rows") {
     val rows = SparkEntry.entry(spark)
     assert(rows.count() > 0)

@@ -68,8 +68,18 @@ class StreamingSpec extends AnyFunSuite {
     val rep = graft.verify.ScanEquality.report(
       graft.verify.ScanEquality.compareSnapshots(spark, store, s0, res.snapshotId))
     assert(rep.allPass, s"$rep")
-    // resume: re-running the same runId must skip every batch (markers done)
-    (0 until 3).foreach(b => assert(store.isDone("batch-clust", s"batch-$b")))
+    // resume: re-running the same runId against the SAME base plan skips
+    // every batch — markers are keyed batch-<i>-<planHash> so a resume whose
+    // base snapshot moved re-runs instead of resurrecting stale outputs
+    val doneMarkers = {
+      val s = Files.list(store.checkpointDir("batch-clust"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("done-batch-")).toSeq
+      } finally s.close()
+    }
+    assert(doneMarkers.size == 3, s"3 plan-keyed batch markers, got $doneMarkers")
   }
 
   test("watermarked streaming dedup drops duplicates, keeps state bounded semantics") {

@@ -100,6 +100,51 @@ class WapSpec extends AnyFunSuite {
     assert(Wap.list(store).isEmpty)
   }
 
+  test("crash-interrupted publish is acknowledgeable after a schema evolution") {
+    val store = freshStore("evo2"); seed(store)
+    val rec0 = Wap.stage(spark, store, batch(50, 55), "preEvo")
+    Wap.audit(spark, store, "preEvo")
+    val recAudited = Wap.get(store, "preEvo")
+    val id = Wap.publish(store, "preEvo")
+    // crash window: record resurrected, then the table evolves
+    val p = Paths.get(store.tableDir, "meta", "staged", "preEvo.json")
+    Files.write(p, graft.table.Json.mapper.writeValueAsString(recAudited)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Evolve.addColumn(spark, store, "lang", "string", "'und'")
+    // the retried publish must acknowledge the EXISTING snapshot — the era
+    // guard ('discard and re-stage') only applies to batches not yet committed
+    assert(Wap.publish(store, "preEvo") == id)
+    assert(Wap.list(store).isEmpty)
+    assert(rec0.stagedAtSnapshot == 1L, "probe bound recorded at stage time")
+  }
+
+  test("discard after a crash-interrupted publish keeps the committed files") {
+    val store = freshStore("disc2"); seed(store)
+    Wap.stage(spark, store, batch(60, 64), "keepers")
+    Wap.audit(spark, store, "keepers")
+    val recAudited = Wap.get(store, "keepers")
+    Wap.publish(store, "keepers")
+    val before = ids(store.scanCurrent(spark))
+    val p = Paths.get(store.tableDir, "meta", "staged", "keepers.json")
+    Files.write(p, graft.table.Json.mapper.writeValueAsString(recAudited)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // an operator 'cleaning up' the stale record must NOT delete live data
+    assert(Wap.discard(store, "keepers") == 0, "no data file may be deleted")
+    assert(Wap.list(store).isEmpty, "stale record dropped")
+    assert(ids(store.scanCurrent(spark)) == before, "table intact after discard")
+  }
+
+  test("Changes.appendedRows accepts a range crossing a WAP publish") {
+    val store = freshStore("rows"); seed(store)
+    val from = store.currentSnapshotId.get
+    Wap.stage(spark, store, batch(70, 75), "feedable")
+    Wap.audit(spark, store, "feedable")
+    Wap.publish(store, "feedable")
+    Append.run(spark, store, batch(75, 78))
+    val got = ids(Changes.appendedRows(spark, store, from, store.currentSnapshotId.get))
+    assert(got == (70L until 78L).map(ClipSynth.clipId).toSet)
+  }
+
   test("a published batch reaches ChangeFeed consumers like any append") {
     val store = freshStore("feed"); seed(store)
     val cursor = store.currentSnapshotId.get
