@@ -580,7 +580,10 @@ object Audio {
     //    DISTINCT PAYLOADS than exact dedup would merge. --
     "q84_audio_fingerprint" -> ((s, d) => {
       import s.implicits._
-      val base = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200)
+      // persist: base feeds THREE lineages (itself + two transcoded
+      // variants) and tone synthesis dominates this query's cost — without
+      // it the full synth pass runs 3x (the q100 lesson)
+      val base = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).persist()
       def variant(suffix: String, codec: String, rate: Int) = base.map { c =>
         val pcm = Pcm.decode(c.codec, c.bytes)
         val rs = graft.audio.Dsp.resampleLinear(pcm, c.sr_hz, rate)
@@ -749,10 +752,10 @@ object Audio {
            |    WHERE b.mn <= a.mn AND b.mx >= a.mn) AS d FROM fpre a)),
            |dpost AS (SELECT avg(d) AS v FROM (SELECT (SELECT count(*) FROM fpost b
            |    WHERE b.mn <= a.mn AND b.mx >= a.mn) AS d FROM fpost a)),
-           |dec AS (SELECT
-           |    (CASE WHEN (SELECT count(*) FROM fpre) > 4 THEN 'compact,' ELSE '' END)
-           |    || (CASE WHEN (SELECT v FROM dpre) > 3.0 THEN 'cluster' ELSE '' END)
-           |    AS ops)
+           |dec AS (SELECT array_to_string(list_filter([
+           |    CASE WHEN (SELECT count(*) FROM fpre) > 4 THEN 'compact' ELSE '' END,
+           |    CASE WHEN (SELECT v FROM dpre) > 3.0 THEN 'cluster' ELSE '' END],
+           |    x -> x <> ''), ',') AS ops)
            |SELECT pre.clip_id, pre.sr_hz, pre.dur_ms, dec.ops AS decisions,
            |       round(dpre.v, 3) AS depth_before, round(dpost.v, 3) AS depth_after
            |FROM pre, dec, dpre, dpost""".stripMargin)
@@ -844,7 +847,11 @@ object Audio {
           .filter(_.getName.endsWith(".parquet")).head
         val dst = new java.io.File(srcDir, s"b$k.parquet")
         java.nio.file.Files.copy(part.toPath, dst.toPath)
-        dst.setLastModified(1000000L * (k + 1)) // pin batch order
+        // pin batch order: the oracle replays batches BY INDEX, so a
+        // filesystem refusing the mtime change must fail loudly here, not
+        // as an inexplicable oracle mismatch downstream
+        require(dst.setLastModified(1000000L * (k + 1)),
+          s"setLastModified failed for $dst — batch order cannot be pinned")
       }
       val q = graft.streaming.StreamAppend.startUpsert(store,
         s.readStream.schema(seed.schema)

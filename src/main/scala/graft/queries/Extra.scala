@@ -19,7 +19,7 @@ object Extra {
     // -- CSV write -> CSV read round-trip (reference CsvArraysCursor /
     //    writeCSV); integer+string columns keep the trip exact --
     "q32_csv_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-csv-").toString
+      val dir = graft.queries.Audio.e2eDir("graft-csv-")
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
         .write.mode("overwrite").option("header", "true").csv(dir)
@@ -94,7 +94,7 @@ object Extra {
     //    Ordering.kt:73-81 / Medium.kt:68-113): write lineitem columns at
     //    declared widths, read back via substring projections, aggregate --
     "q67_fwf_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-fwf-").toString
+      val dir = graft.queries.Audio.e2eDir("graft-fwf-")
       val fields = Seq(
         Fwf.Field("l_orderkey", 1, 10, LongType),
         Fwf.Field("l_linenumber", 11, 2, IntegerType),
@@ -156,8 +156,11 @@ object Extra {
               round(col("value") * 100, 0).cast("long").as("click_cents")))
             .as("_clk"),
           when(col("event_type") === "click", 0).otherwise(1).as("_kind"))
+      // event_id breaks (ts, kind) ties deterministically: two clicks at the
+      // SAME microsecond would otherwise be picked arbitrarily — and
+      // independently of the oracle's own arbitrary pick
       val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("_kind").asc)
+        .orderBy(col("ts").asc, col("_kind").asc, col("event_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       base.withColumn("_last", last(col("_clk"), ignoreNulls = true).over(w))
         .filter(col("_kind") === 1 && col("_last").isNotNull)
@@ -244,7 +247,7 @@ object Extra {
     //    per-partition offsets, no one-task Window); the rejoin is then a
     //    plain equi-join on row_id and must reproduce every cell. --
     "q69_shard_rejoin" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-shard-").toString
+      val dir = graft.queries.Audio.e2eDir("graft-shard-")
       val base = graft.ops.RowId.withRowId(
         t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"),
@@ -504,12 +507,12 @@ object Extra {
     "q55_asof_join" ->
       """WITH e AS (SELECT event_id, ts, user_id FROM events
         |           WHERE event_type = 'error'),
-        |c AS (SELECT user_id AS c_user, ts AS cts,
+        |c AS (SELECT user_id AS c_user, ts AS cts, event_id AS c_eid,
         |        CAST(round(value*100, 0) AS BIGINT) AS click_cents
         |      FROM events WHERE event_type = 'click'),
         |j AS (SELECT e.event_id, e.user_id, c.cts, c.click_cents,
         |        row_number() OVER (PARTITION BY e.event_id
-        |                           ORDER BY c.cts DESC) AS rn
+        |                           ORDER BY c.cts DESC, c.c_eid DESC) AS rn
         |      FROM e JOIN c ON e.user_id = c.c_user AND c.cts <= e.ts)
         |SELECT event_id, user_id, cts AS asof_ts, click_cents
         |FROM j WHERE rn = 1""".stripMargin,

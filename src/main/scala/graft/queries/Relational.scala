@@ -287,15 +287,19 @@ object Relational {
         .groupBy(
           (floor(unix_timestamp(col("ts")) / 3600) * 3600).as("hour_epoch"),
           col("event_type"))
+        // integerize per row BEFORE the sum (file convention): summing raw
+        // doubles is accumulation-order-dependent, so a group landing near
+        // an x.xx5 boundary could round differently in the two engines —
+        // and across Spark runs
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 2).as("sum_value"))),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))),
 
     // -- events: per-user profile --
     "q31_events_user" -> ((s, d) =>
       t(s, d, "events")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
           min(unix_timestamp(col("ts"))).as("first_epoch"),
           max(unix_timestamp(col("ts"))).as("last_epoch"),
           countDistinct(col("event_type")).as("n_types"))),
@@ -494,11 +498,12 @@ object Relational {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q30_events_hourly" ->
       """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_epoch,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q31_events_user" ->
       """SELECT user_id, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value,
+        |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  CAST(floor(min(epoch(ts))) AS BIGINT) AS first_epoch,
         |  CAST(floor(max(epoch(ts))) AS BIGINT) AS last_epoch,
         |  count(DISTINCT event_type) AS n_types
