@@ -40,6 +40,7 @@ import org.apache.spark.sql.SparkSession
  *     wap-discard <name>            drop record + staged files
  *     wap-list                      pending staged batches
  *     compact-blooms                fold the bloom side-table to live files
+ *     compact-lineage               fold the per-batch lineage shards
  */
 object Maintain {
 
@@ -210,6 +211,9 @@ object Maintain {
         val r = graft.table.FileBloom.compact(spark, store)
         println(s"bloom shards ${r.shardsBefore} -> ${r.shardsAfter}: " +
           s"kept ${r.rowsKept} live rows, dropped ${r.rowsDropped} dead")
+      case "compact-lineage" =>
+        val (before, after) = store.compactLineage(spark)
+        println(s"lineage shards $before -> $after")
       case "layout" =>
         // zonemap quality per stats column: expected files opened per probe
         val es = store.entries(store.currentSnapshotId.get)

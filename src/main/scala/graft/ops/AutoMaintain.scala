@@ -58,7 +58,10 @@ final case class MaintenancePolicy(
     /** Bloom side-table shard bound ([[graft.table.FileBloom.compact]]
      * trigger): every write adds one shard, dead files keep their rows —
      * fold to one live-only shard past this. */
-    maxBloomShards: Int = 32)
+    maxBloomShards: Int = 32,
+    /** Lineage side-table shard bound ([[graft.table.MetaStore.compactLineage]]
+     * trigger): one subdir per batch; fold past this. */
+    maxLineageShards: Int = 64)
 
 object AutoMaintain {
 
@@ -141,6 +144,11 @@ object AutoMaintain {
       out += Decision("compact-blooms",
         s"$bloomShards bloom side-table shards exceed ${policy.maxBloomShards}")
 
+    val lineageShards = store.lineageShardCount
+    if (lineageShards > policy.maxLineageShards)
+      out += Decision("compact-lineage",
+        s"$lineageShards lineage shards exceed ${policy.maxLineageShards}")
+
     if (store.allSnapshotIds.size > policy.expireKeepLast)
       out += Decision("expire",
         s"${store.allSnapshotIds.size} snapshots exceed keepLast=${policy.expireKeepLast}")
@@ -188,6 +196,9 @@ object AutoMaintain {
           store.compactManifests()._1
         case "compact-blooms" =>
           graft.table.FileBloom.compact(spark, store)
+          store.currentSnapshotId.getOrElse(-1L) // side-table only, no commit
+        case "compact-lineage" =>
+          store.compactLineage(spark)
           store.currentSnapshotId.getOrElse(-1L) // side-table only, no commit
         case "expire" =>
           ExpireSnapshots.run(store, policy.expireKeepLast, policy.expireMinAgeMs)

@@ -72,7 +72,8 @@ object Evolve {
    * snapshot with the SAME data files.
    */
   def addColumn(spark: SparkSession, store: MetaStore, column: String,
-                typeDdl: String, defaultSql: String): Long = {
+                typeDdl: String, defaultSql: String): Long =
+    graft.table.MetaStore.withCommitRetry() {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("evolve: empty table"))
     val entries = store.entries(snapId)
     val cur = store.scan(spark, snapId)
@@ -93,9 +94,13 @@ object Evolve {
     // commit FIRST, then publish the log atomically (temp + rename, like
     // CURRENT): a crash between the two leaves a harmless no-op "evolve"
     // snapshot, never a log that retro-actively rewrites pinned reads, and
-    // never a torn evolutions.json that would fail every subsequent scan
+    // never a torn evolutions.json that would fail every subsequent scan.
+    // expectedParent: a file appended between the prePaths capture and this
+    // commit would be misclassified as post-evolution (NULL instead of the
+    // default) — the CAS fails instead and the retry recaptures.
     val id = store.commitDelta("evolve", Nil, summary = Map(
-      "column" -> column, "type" -> typeDdl, "default" -> defaultSql))
+      "column" -> column, "type" -> typeDdl, "default" -> defaultSql),
+      expectedParent = Some(snapId))
     val tmp = logPath(store).resolveSibling(
       s"evolutions.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp,

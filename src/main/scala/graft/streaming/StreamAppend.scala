@@ -21,15 +21,37 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object StreamAppend {
 
-  /** Batch ids already committed to `store` by any streaming query. */
+  /** Batch ids already committed to `store` by any streaming query.
+   * O(history) metadata reads — kept for diagnostics; the hot-path replay
+   * test is [[isReplay]]. */
   def committedBatchIds(store: MetaStore): Set[Long] =
     store.allSnapshotIds.map(store.snapshot)
       .flatMap(_.summary.get("streamBatchId"))
       .map(_.toLong).toSet
 
+  /** The newest committed micro-batch id, or -1. foreachBatch delivers
+   * batch ids in strictly increasing order and each commits before the
+   * next starts, so the NEWEST stream-stamped snapshot carries the maximum
+   * — walk ids descending and stop at the first hit. O(commits since the
+   * last stream batch), not O(history): the per-trigger ledger probe must
+   * not reread the whole snapshot log on a long-running ingest. */
+  def maxCommittedBatchId(store: MetaStore): Long =
+    store.allSnapshotIds.sorted.reverseIterator
+      .map(id => store.snapshot(id).summary.get("streamBatchId"))
+      .collectFirst { case Some(b) => b.toLong }
+      .getOrElse(-1L)
+
+  /** Replay test for one table fed by ONE streaming query (batch ids are
+   * per-query counters — two queries feeding one table would need a
+   * per-query ledger key). A replayed id is <= the newest committed one
+   * because ids commit in order; a batch that failed mid-commit never
+   * stamped a snapshot, so its retry is NOT classified as a replay. */
+  def isReplay(store: MetaStore, batchId: Long): Boolean =
+    batchId <= maxCommittedBatchId(store)
+
   /** Commit one micro-batch; no-op if `batchId` was already committed. */
   def commitBatch(store: MetaStore, batch: DataFrame, batchId: Long): Unit = {
-    if (committedBatchIds(store).contains(batchId)) return // restart replay
+    if (isReplay(store, batchId)) return // restart replay
     Append.run(batch.sparkSession, store, batch,
       Map("streamBatchId" -> batchId.toString))
   }
@@ -44,7 +66,7 @@ object StreamAppend {
                        keyCol: String = "clip_id",
                        orderCol: Option[String] = None,
                        mor: Boolean = false): Unit = {
-    if (committedBatchIds(store).contains(batchId)) return // restart replay
+    if (isReplay(store, batchId)) return // restart replay
     val deduped = orderCol match {
       case Some(oc) =>
         val w = Window.partitionBy(keyCol).orderBy(desc(oc))
@@ -91,7 +113,7 @@ object StreamAppend {
       .option("checkpointLocation", checkpointDir)
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val replay = committedBatchIds(store).contains(batchId)
+        val replay = isReplay(store, batchId)
         commitMergeBatch(store, batch.toDF(), batchId, keyCol, orderCol, mor)
         if (!replay && maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
           val applied = AutoMaintain.run(batch.sparkSession, store, policy,
@@ -121,7 +143,7 @@ object StreamAppend {
       .option("checkpointLocation", checkpointDir)
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val replay = committedBatchIds(store).contains(batchId)
+        val replay = isReplay(store, batchId)
         commitBatch(store, batch.toDF(), batchId)
         if (!replay && maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
           val applied = AutoMaintain.run(batch.sparkSession, store, policy,

@@ -586,6 +586,56 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     else spark.emptyDataFrame
   }
 
+  /** Lineage shard count (per-batch subdirs + legacy flat files) — the
+   * [[compactLineage]] trigger. */
+  def lineageShardCount: Int = {
+    val dir = metaDir.resolve("lineage")
+    if (!Files.isDirectory(dir)) return 0
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.count(p =>
+        Files.isDirectory(p) || p.toString.endsWith(".parquet"))
+    } finally s.close()
+  }
+
+  /** Fold the per-batch lineage subdirs into ONE (rows preserved): each
+   * append/merge/maintenance batch writes its own subdir so concurrent
+   * writers never share a committer dir, which leaves one dir per batch —
+   * a long-running stream accumulates unbounded metadata file count.
+   * Captured-first like FileBloom.compact: a shard added mid-fold is
+   * neither folded nor deleted. Lineage is diagnostics; a reader racing
+   * the swap may briefly see duplicate or partial rows. Returns
+   * (shards before, after). */
+  def compactLineage(spark: SparkSession): (Int, Int) = {
+    val dir = metaDir.resolve("lineage")
+    if (!Files.isDirectory(dir)) return (0, 0)
+    val shards = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+          Files.isDirectory(p) || p.toString.endsWith(".parquet")).toSeq
+      } finally s.close()
+    }
+    if (shards.size <= 1) return (shards.size, shards.size)
+    val out = dir.resolve(UUID.randomUUID().toString.take(12))
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(shards.map(_.toString): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(out.toString)
+    shards.foreach { p =>
+      if (Files.isDirectory(p)) {
+        val w = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } finally w.close()
+      } else Files.deleteIfExists(p)
+    }
+    (shards.size, 1)
+  }
+
   // ---- checkpoints (resumable maintenance) ----
   def checkpointDir(runId: String): JPath = {
     val d = metaDir.resolve("checkpoints").resolve(runId)

@@ -179,6 +179,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(ln.filter(col("rows") <= 0).count() === 0)
   }
 
+  test("compactLineage folds per-batch shards, preserving every row") {
+    val store = MetaStore.forClips(tableDir)
+    val before = store.lineage(spark).count()
+    assert(before > 0)
+    assert(store.lineageShardCount > 1,
+      "maintenance passes should have left multiple lineage shards")
+    val (b, a) = store.compactLineage(spark)
+    assert(b > 1 && a == 1)
+    assert(store.lineageShardCount == 1)
+    assert(store.lineage(spark).count() == before, "fold must preserve rows")
+    // trigger plans and clears
+    val policy = graft.ops.MaintenancePolicy(maxLineageShards = 1,
+      maxSmallFiles = Int.MaxValue, maxOverlapDepth = Double.MaxValue,
+      expireKeepLast = Int.MaxValue, maxBloomShards = Int.MaxValue)
+    assert(!graft.ops.AutoMaintain.plan(store, policy)
+      .exists(_.op == "compact-lineage"), "1 folded shard clears the trigger")
+  }
+
   test("manifests shard at commit; entries() and expire see all shards") {
     val dir = Files.createTempDirectory("graft-shard-manifest-").toString
     val store = MetaStore.forClips(dir)
