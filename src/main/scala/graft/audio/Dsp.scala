@@ -170,9 +170,13 @@ object Dsp {
     val fftN = math.max(256, nextPow2(len))
     val re = new Array[Double](fftN)
     val im = new Array[Double](fftN)
+    // len == 1 would make the Hann denominator 0/0 = NaN and poison every
+    // bin; a single sample carries no spectral content — weight it 1
     var k = 0
     while (k < len) {
-      val w = 0.5 - 0.5 * StrictMath.cos(2.0 * StrictMath.PI * k / (len - 1))
+      val w =
+        if (len < 2) 1.0
+        else 0.5 - 0.5 * StrictMath.cos(2.0 * StrictMath.PI * k / (len - 1))
       re(k) = in(from + k).toDouble * w
       k += 1
     }
@@ -283,13 +287,17 @@ object Dsp {
    * Triangular mel filterbank energies over a power spectrum — the
    * featurization step before log/DCT in an MFCC front end, and the
    * fixed-width embedding a training pipeline stores per audio chunk.
-   * `power` is the [[powerSpectrum]] layout (bins 0..n/2 inclusive, bin k at
-   * k*srHz/nFft where nFft = 2*(power.length-1)). Returns `nMels` energies;
-   * filter m spans mel-equally-spaced [c(m-1), c(m+1)] with peak at c(m).
+   * `power` is the [[powerSpectrum]] layout (fftN/2 Nyquist-EXCLUSIVE bins,
+   * bin k at k*srHz/nFft where nFft = 2*power.length — the same mapping
+   * [[spectralCentroidHz]] uses; the previous 2*(power.length-1) assumed a
+   * Nyquist-inclusive layout and overstated every bin frequency by
+   * fftN/(fftN-2), pushing band-edge tones into the wrong triangle).
+   * Returns `nMels` energies; filter m spans mel-equally-spaced
+   * [c(m-1), c(m+1)] with peak at c(m).
    */
   def melFilterbank(power: Array[Double], srHz: Int, nMels: Int,
                     fMinHz: Double = 0.0): Array[Double] = {
-    val nFft = 2 * (power.length - 1)
+    val nFft = 2 * power.length
     val fMax = srHz / 2.0
     val mLo = hzToMel(fMinHz)
     val mHi = hzToMel(fMax)

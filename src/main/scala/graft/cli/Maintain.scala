@@ -82,9 +82,15 @@ object Maintain {
           s" (${r.binsRewritten} bins, ${r.binsSkippedByCheckpoint} resumed" +
           (if (scope.nonEmpty) s", scoped ${scopeArgs.mkString(" ")}" else "") + ")")
       case "cluster" =>
-        val curve = if (rest.headOption.contains("hilbert")) HilbertCurve else ZOrderCurve
-        val mb = rest.lift(1).map(_.toLong).getOrElse(128L)
-        val batches = rest.lift(2).map(_.toInt).getOrElse(1)
+        // the curve name is optional per the usage header — 'cluster 256'
+        // must honor the 256, not silently drop it to the positional default
+        val (curve, numArgs) = rest.headOption match {
+          case Some("hilbert") => (HilbertCurve, rest.drop(1))
+          case Some("zorder")  => (ZOrderCurve, rest.drop(1))
+          case _               => (ZOrderCurve, rest)
+        }
+        val mb = numArgs.lift(0).map(_.toLong).getOrElse(128L)
+        val batches = numArgs.lift(1).map(_.toInt).getOrElse(1)
         val r = Cluster.run(spark, store, curve, targetBytes = mb * 1024 * 1024,
           batches = batches)
         println(s"snapshot ${r.snapshotId}: clustered ${r.rows} rows into ${r.filesAfter} files ($curve)")

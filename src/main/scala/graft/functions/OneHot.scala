@@ -54,9 +54,17 @@ object OneHot {
   def encode(df: DataFrame, column: String, drop: Drop = DropNone,
              maxCategories: Int = 1000): DataFrame = {
     val cats = categories(df, column, drop, maxCategories)
-    val indicators = cats.map(v =>
-      when(col(column).cast("string") === v, 1).otherwise(0)
-        .as(s"${column}_${sanitize(v)}"))
+    // sanitize can collide ("a-b" and "a_b" both -> "a_b"): colliding names
+    // get a stable ordinal suffix so the frame never carries two columns of
+    // one name (an ambiguous-reference trap for every later select)
+    val names = {
+      val raw = cats.map(v => s"${column}_${sanitize(v)}")
+      val dup = raw.groupBy(identity).filter(_._2.size > 1).keySet
+      raw.zipWithIndex.map { case (n, i) => if (dup(n)) s"${n}_$i" else n }
+    }
+    val indicators = cats.zip(names).map { case (v, n) =>
+      when(col(column).cast("string") === v, 1).otherwise(0).as(n)
+    }
     df.select(col("*") +: indicators: _*)
   }
 }

@@ -24,13 +24,21 @@ object TypedAggs {
   }
 
   /** (count, sum, sumSq) in one pass -> population variance; the
-   * one-pass-fold shape of the reference's featureRange. */
+   * one-pass-fold shape of the reference's featureRange. Exact arithmetic
+   * with LOUD overflow: `a*a` and the running sums go through
+   * multiplyExact/addExact, so a domain too wide for the Long accumulator
+   * (|value| above ~3e9, or enough rows to push sumSq past 2^63) throws
+   * ArithmeticException instead of wrapping into silent garbage variance —
+   * callers with such domains should pre-scale (q39 aggregates whole
+   * dollars for exactly this reason). */
   object VarianceOfCents extends Aggregator[java.lang.Long, (Long, Long, Long), Double] {
     override def zero: (Long, Long, Long) = (0L, 0L, 0L)
     override def reduce(b: (Long, Long, Long), a: java.lang.Long): (Long, Long, Long) =
-      if (a == null) b else (b._1 + 1, b._2 + a, b._3 + a * a)
+      if (a == null) b
+      else (b._1 + 1, Math.addExact(b._2, a.longValue()),
+        Math.addExact(b._3, Math.multiplyExact(a.longValue(), a.longValue())))
     override def merge(x: (Long, Long, Long), y: (Long, Long, Long)): (Long, Long, Long) =
-      (x._1 + y._1, x._2 + y._2, x._3 + y._3)
+      (x._1 + y._1, Math.addExact(x._2, y._2), Math.addExact(x._3, y._3))
     override def finish(r: (Long, Long, Long)): Double =
       if (r._1 == 0) 0.0
       else {

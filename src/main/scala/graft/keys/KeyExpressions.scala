@@ -96,19 +96,15 @@ case class HilbertKey(children: Seq[Expression], bitsPerDim: Int) extends CurveK
 }
 
 object Keys {
-  /** Normalize an arbitrary column into unsigned curve space: strings (and
-   * other non-numerics) are hashed with xxhash64 and masked to `bits`;
-   * numerics are cast to long (clamping happens inside the expression). */
-  def curveDim(c: Column, bits: Int): Column = {
-    val masked = shiftrightunsigned(xxhash64(c), 64 - bits)
-    // numeric columns keep their natural order (range locality); everything
-    // else gets hash-bucketed (uniform spread — the MD4-bucket idea of the
-    // reference, cursor/src/main/java/cursors/Clusters.kt:132-140).
-    masked
-  }
+  /** Hash-normalize a column into unsigned `bits`-wide curve space: the
+   * top `bits` of xxhash64 (uniform spread — the MD4-bucket idea of the
+   * reference, cursor/src/main/java/cursors/Clusters.kt:132-140). Range
+   * columns skip this and keep their natural order (range locality). */
+  def curveDim(c: Column, bits: Int): Column =
+    shiftrightunsigned(xxhash64(c), 64 - bits)
 
   private def toLongDims(bitsPerDim: Int, hashCols: Seq[Column], rangeCols: Seq[Column]): Seq[Expression] = {
-    val hashed = hashCols.map(c => shiftrightunsigned(xxhash64(c), 64 - bitsPerDim))
+    val hashed = hashCols.map(curveDim(_, bitsPerDim))
     val ranged = rangeCols.map(_.cast(LongType))
     (hashed ++ ranged).map(ExpressionUtils.expression)
   }
@@ -133,12 +129,20 @@ object Keys {
   /** Salt column for skew handling: deterministic bucket in [0, buckets). */
   def salt(c: Column, buckets: Int): Column = pmod(xxhash64(c), lit(buckets.toLong))
 
-  /** Register `zorder_key` / `hilbert_key` for SQL use; last arg = bitsPerDim
-   * literal is NOT supported in SQL form — SQL form fixes 16 bits/dim. */
+  /** Register `zorder_key` / `hilbert_key` for SQL use. A bitsPerDim arg is
+   * not supported in SQL form: each call uses floor(63 / #args) bits per
+   * dimension (31 for 2 args, 21 for 3 — the same totals the Scala-side
+   * clip keys use). More than 31 dimensions is refused: bitsPerDim would
+   * hit 1-0 bits and the key would silently stop discriminating. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def bits(n: Int): Int = {
+      require(n >= 1 && n <= 31,
+        s"curve key: $n dims unsupported (63-bit budget -> 2+ bits/dim needs <= 31)")
+      63 / n
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder_key", exprs => ZOrderKey(exprs, 63 / math.max(1, exprs.size)), "built-in")
+      "zorder_key", exprs => ZOrderKey(exprs, bits(exprs.size)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hilbert_key", exprs => HilbertKey(exprs, 63 / math.max(1, exprs.size)), "built-in")
+      "hilbert_key", exprs => HilbertKey(exprs, bits(exprs.size)), "built-in")
   }
 }

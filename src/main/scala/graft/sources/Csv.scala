@@ -11,12 +11,19 @@ import org.apache.spark.sql.types.{NumericType, StructType}
  */
 object Csv {
 
-  /** Write CSV with numeric zeros elided to empty fields (header kept). */
+  /** Write CSV with numeric zeros elided to empty fields (header kept).
+   * Numeric NULLs are REJECTED: an elided zero and a null would both land
+   * as the empty field, so [[readZeroElided]]'s fill would resurrect the
+   * null AS a zero — silent data change on round-trip. (The reference's
+   * WriteCSV elides zero cells only; its cursors have no null numerics.) */
   def writeZeroElided(df: DataFrame, path: String): Unit = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case _: NumericType =>
-          when(col(f.name) === 0, lit(""))
+          when(col(f.name).isNull,
+            raise_error(lit(s"csv zero-elision: null in numeric column " +
+              s"'${f.name}' would round-trip as 0 — fill or drop first")))
+            .when(col(f.name) === 0, lit(""))
             .otherwise(col(f.name).cast("string")).as(f.name)
         case _ => col(f.name).cast("string").as(f.name)
       }

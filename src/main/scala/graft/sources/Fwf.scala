@@ -30,11 +30,18 @@ object Fwf {
     spark.read.text(path).select(cols: _*)
   }
 
-  /** Write `df` as fixed-width text (columns in `fields` order). */
+  /** Write `df` as fixed-width text (columns in `fields` order). A value
+   * WIDER than its declared field fails the job: Spark's lpad/rpad TRUNCATE
+   * over-width strings, which would silently corrupt the data (keep a
+   * most-significant-digit prefix of a number) instead of round-tripping. */
   def write(df: DataFrame, path: String, fields: Seq[Field]): Unit = {
     val line = concat(fields.map { f =>
       val s = col(f.name).cast("string")
-      if (f.leftAlign) rpad(s, f.width, " ") else lpad(s, f.width, " ")
+      val guarded = when(length(s) > f.width,
+        raise_error(concat(
+          lit(s"fwf: value wider than field '${f.name}' (${f.width}): "), s)))
+        .otherwise(s)
+      if (f.leftAlign) rpad(guarded, f.width, " ") else lpad(guarded, f.width, " ")
     }: _*)
     df.select(line.as("value")).write.mode("overwrite").text(path)
   }

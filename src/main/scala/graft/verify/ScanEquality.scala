@@ -131,18 +131,27 @@ object ScanEquality {
         val tOk = j.pre_transcript == j.post_transcript
         val mOk = j.pre_sr == j.post_sr && j.pre_dur == j.post_dur &&
           j.pre_codec == j.post_codec
-        val preDec = Pcm.decode(j.pre_codec, j.pre_bytes)
-        val postDec = Pcm.decode(j.post_codec, j.post_bytes)
-        val snr = Pcm.snrDb(preDec, postDec)
-        val snrSynth = if (checkSynth) {
-          // pristine reference signal re-derived from the row index
-          val i = j.clip_id.stripPrefix("clip_").toLong
-          val ref = Pcm.tone(ClipSynth.toneFreqHz(i), j.post_sr.get, j.post_dur.get)
-          Pcm.snrDb(ref, postDec)
-        } else Pcm.PerfectSnrDb
-        val pass = tOk && mOk && snr >= SnrGateDb &&
-          (!checkSynth || snrSynth >= SnrGateDb)
-        VerifyRow(j.clip_id, inPre, inPost, tOk, mOk, snr, snrSynth, pass)
+        // a null payload/codec on either side is a FAILED row, not a task
+        // crash: the gate must report corruption, not abort on it (the fast
+        // path routes null-vs-non-null digests here)
+        if (j.pre_bytes == null || j.pre_codec == null ||
+            j.post_bytes == null || j.post_codec == null)
+          VerifyRow(j.clip_id, inPre, inPost, tOk, mOk,
+            snr_db = -1.0, snr_vs_synth_db = -1.0, pass = false)
+        else {
+          val preDec = Pcm.decode(j.pre_codec, j.pre_bytes)
+          val postDec = Pcm.decode(j.post_codec, j.post_bytes)
+          val snr = Pcm.snrDb(preDec, postDec)
+          val snrSynth = if (checkSynth) {
+            // pristine reference signal re-derived from the row index
+            val i = j.clip_id.stripPrefix("clip_").toLong
+            val ref = Pcm.tone(ClipSynth.toneFreqHz(i), j.post_sr.get, j.post_dur.get)
+            Pcm.snrDb(ref, postDec)
+          } else Pcm.PerfectSnrDb
+          val pass = tOk && mOk && snr >= SnrGateDb &&
+            (!checkSynth || snrSynth >= SnrGateDb)
+          VerifyRow(j.clip_id, inPre, inPost, tOk, mOk, snr, snrSynth, pass)
+        }
       }
     }
   }

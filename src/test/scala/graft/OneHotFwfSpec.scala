@@ -102,4 +102,41 @@ class OneHotFwfSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().toSeq ===
       src.orderBy("id").collect().toSeq)
   }
+
+  test("FWF write fails loudly on over-width values instead of truncating") {
+    val dir = Files.createTempDirectory("graft-fwf-wide-").toString
+    val fields = Seq(Fwf.Field("amount", 1, 5, LongType))
+    val e = intercept[Exception] {
+      Fwf.write(Seq(123456L).toDF("amount"), dir, fields)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("wider than field")),
+      s"want the width error, got $e")
+  }
+
+  test("CSV zero-elision refuses null numerics (would round-trip as 0)") {
+    val dir = Files.createTempDirectory("graft-csv-null-").toString
+    val src = Seq((Some(1L), "a"), (None, "b")).toDF("v", "tag")
+    val e = intercept[Exception] {
+      graft.sources.Csv.writeZeroElided(src, dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("zero-elision")),
+      s"want the null-numeric error, got $e")
+  }
+
+  test("one-hot disambiguates sanitize-colliding categories") {
+    val df = Seq("a-b", "a_b", "c").toDF("k")
+    val enc = graft.functions.OneHot.encode(df, "k")
+    val names = enc.columns.filter(_.startsWith("k_"))
+    assert(names.distinct.length == names.length, s"duplicate columns: ${names.toSeq}")
+    assert(names.length == 3)
+    // each row still gets exactly one hot indicator
+    import org.apache.spark.sql.functions._
+    val hot = enc.select(names.map(col).reduce(_ + _).as("s"))
+      .agg(min("s"), max("s")).head()
+    assert(hot.getInt(0) == 1 && hot.getInt(1) == 1)
+  }
 }
