@@ -612,20 +612,36 @@ object Audio {
     //    frequency (parabolic Goertzel refinement) + spectral centroid; the
     //    estimate is checked against the labeled tone frequency, replacing
     //    q72's fixed decoy probes with a full-spectrum search. --
+    //    Oracle: the decoded PCM + power spectra are exported as a fixture
+    //    and DuckDB re-runs the whole estimator in SQL — coarse argmax over
+    //    the spectrum, BOTH parabolic refinement passes (each Goertzel probe
+    //    recomputed through the exact identity goertzel(f) =
+    //    |sum_k x_k e^{-j 2 pi f k / sr}|^2 / n^2 as cos/sin list sums — a
+    //    different O(n) algorithm for the same quantity, so the agreement is
+    //    algorithm-independent), the centroid sum, and the rounding/verdict
+    //    arithmetic. The FFT behind the fixture spectra is spec-checked
+    //    against an O(n^2) DFT + Parseval in AudioDspSpec. --
     "q85_audio_spectrum" -> ((s, d) => {
       import s.implicits._
+      val fx = OracleFixtures.freshDir("q85_pcm", d)
       ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         val i = c.clip_id.stripPrefix("clip_").toLong
         val pcm = Pcm.decode(c.codec, c.bytes)
-        val f = graft.audio.Dsp.dominantFreqHz(pcm, c.sr_hz)
-        val ps = graft.audio.Dsp.powerSpectrum(pcm, 0, pcm.length)
-        val cen = graft.audio.Dsp.spectralCentroidHz(ps, c.sr_hz)
-        val labeled = ClipSynth.toneFreqHz(i)
-        (c.clip_id, c.codec, c.sr_hz, labeled,
-          math.round(f * 10.0) / 10.0, math.round(cen),
-          math.abs(f - labeled) < 2.0)
-      }.toDF("clip_id", "codec", "sr_hz", "labeled_hz", "dominant_hz",
-        "centroid_hz", "label_ok")
+        (c.clip_id, c.codec, c.sr_hz, ClipSynth.toneFreqHz(i),
+          pcm.map(_.toInt), graft.audio.Dsp.powerSpectrum(pcm, 0, pcm.length))
+      }.toDF("clip_id", "codec", "sr_hz", "labeled_hz", "pcm", "pspec")
+        .write.mode("overwrite").parquet(fx)
+      OracleFixtures.register("q85_audio_spectrum", spectrumOracleSql(fx))
+      s.read.parquet(fx)
+        .as[(String, String, Int, Double, Array[Int], Array[Double])]
+        .map { case (id, codec, sr, labeled, pcmI, ps) =>
+          val pcm = pcmI.map(_.toShort)
+          val f = graft.audio.Dsp.dominantFreqHz(pcm, sr)
+          val cen = graft.audio.Dsp.spectralCentroidHz(ps, sr)
+          (id, codec, sr, labeled, math.round(f * 10.0) / 10.0,
+            math.round(cen), math.abs(f - labeled) < 2.0)
+        }.toDF("clip_id", "codec", "sr_hz", "labeled_hz", "dominant_hz",
+          "centroid_hz", "label_ok")
     }),
 
     // -- zonemap file skipping: cluster on (sr_hz, dur_ms) Z-order, then
@@ -1289,24 +1305,38 @@ object Audio {
     //    per chunk. Self-validating: the labeled tone's mel band
     //    (Dsp.melBandOf) must be the argmax energy band (+-1 for spectral
     //    leakage at band edges). Per-row array math, zero shuffle. --
+    //    Oracle: the power spectra are exported as a fixture and DuckDB
+    //    rebuilds the ENTIRE filterbank in SQL — the O'Shaughnessy mel scale
+    //    through its own log10/pow, the mel-equally-spaced triangle edges,
+    //    the per-band weighted energy sums, the log-dB rounding, the argmax
+    //    band, and the labeled tone's expected band — so every number past
+    //    the FFT is cross-engine checked (the FFT itself is spec-checked
+    //    against an O(n^2) DFT + Parseval in AudioDspSpec). --
     "q95_audio_mel" -> ((s, d) => {
       import s.implicits._
       val nMels = 24
+      val fx = OracleFixtures.freshDir("q95_pcm", d)
       ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         val i = c.clip_id.stripPrefix("clip_").toLong
         val pcm = Pcm.decode(c.codec, c.bytes)
-        val ps = graft.audio.Dsp.powerSpectrum(pcm, 0, pcm.length)
-        val mel = graft.audio.Dsp.melFilterbank(ps, c.sr_hz, nMels)
-        val logMel = mel.map(e => math.round(10.0 * math.log10(e + 1e-9)))
-        var argmax = 0
-        var j = 1
-        while (j < nMels) { if (mel(j) > mel(argmax)) argmax = j; j += 1 }
-        val expected = graft.audio.Dsp.melBandOf(
-          ClipSynth.toneFreqHz(i), c.sr_hz, nMels)
-        (c.clip_id, c.sr_hz, argmax, expected,
-          math.abs(argmax - expected) <= 1, logMel.mkString(","))
-      }.toDF("clip_id", "sr_hz", "argmax_band", "expected_band", "mel_ok",
-        "log_mel_db")
+        (c.clip_id, c.sr_hz, ClipSynth.toneFreqHz(i),
+          graft.audio.Dsp.powerSpectrum(pcm, 0, pcm.length))
+      }.toDF("clip_id", "sr_hz", "labeled_hz", "pspec")
+        .write.mode("overwrite").parquet(fx)
+      OracleFixtures.register("q95_audio_mel", melOracleSql(fx, nMels))
+      s.read.parquet(fx)
+        .as[(String, Int, Double, Array[Double])]
+        .map { case (id, sr, labeled, ps) =>
+          val mel = graft.audio.Dsp.melFilterbank(ps, sr, nMels)
+          val logMel = mel.map(e => math.round(10.0 * math.log10(e + 1e-9)))
+          var argmax = 0
+          var j = 1
+          while (j < nMels) { if (mel(j) > mel(argmax)) argmax = j; j += 1 }
+          val expected = graft.audio.Dsp.melBandOf(labeled, sr, nMels)
+          (id, sr, argmax, expected,
+            math.abs(argmax - expected) <= 1, logMel.mkString(","))
+        }.toDF("clip_id", "sr_hz", "argmax_band", "expected_band", "mel_ok",
+          "log_mel_db")
     }),
 
     // -- manifest stats as a queryable table (the .meta sidecar analog).
@@ -1525,6 +1555,106 @@ object Audio {
        |)
        |SELECT s.l_orderkey, s.l_linenumber, s.px, s.sy, c.d AS gkey
        |FROM src s JOIN cells c ON c.cx = s.px AND c.cy = s.sy""".stripMargin
+  }
+
+  /** DuckDB re-implementation of q85's dominant-frequency estimator over the
+   * exported (pcm, pspec) fixture. Each Goertzel probe is recomputed through
+   * the exact algebraic identity goertzel(f) = |Σ_k x_k e^{-j2πfk/sr}|²/n²
+   * (cos/sin list sums), so the two engines share no code path; the ~1e-12
+   * relative FP divergence between the recurrence and the direct sums is
+   * orders of magnitude below the 0.1 Hz output rounding. */
+  private def spectrumOracleSql(fx: String): String = {
+    // direct-DFT power at frequency expression `f` over the pcm list
+    def g(f: String): String =
+      s"""(pow(list_sum(list_transform(generate_series(0, n - 1),
+         |    k -> pcm[k + 1] * cos(2 * pi() * ($f) / sr_hz * k))), 2)
+         |  + pow(list_sum(list_transform(generate_series(0, n - 1),
+         |    k -> pcm[k + 1] * sin(2 * pi() * ($f) / sr_hz * k))), 2))
+         |  / (1.0 * n * n)""".stripMargin
+    s"""WITH src AS (
+       |  SELECT clip_id, codec, sr_hz, labeled_hz, pcm, pspec,
+       |    len(pcm) AS n, len(pspec) AS np, 2 * len(pspec) AS nfft
+       |  FROM read_parquet('$fx/*.parquet')),
+       |c0 AS (  -- coarse FFT argmax excluding DC + centroid sums
+       |  SELECT *, list_max(pspec[2:]) AS best,
+       |    list_position(pspec[2:], list_max(pspec[2:])) AS pbin,
+       |    coalesce(list_sum(list_transform(generate_series(1, np),
+       |      kk -> ((kk - 1) * sr_hz) * 1.0 / nfft * pspec[kk])), 0.0) AS cnum,
+       |    coalesce(list_sum(pspec), 0.0) AS cden
+       |  FROM src),
+       |c1 AS (  -- silent/too-short clips estimate 0 (NULL carries the skip)
+       |  SELECT *, CASE WHEN n < 32 OR best IS NULL OR best <= 0.0 THEN NULL
+       |              ELSE pbin * 1.0 * sr_hz / nfft END AS f0,
+       |    sr_hz * 1.0 / nfft AS d0
+       |  FROM c0),
+       |g1 AS (SELECT *, ${g("greatest(1.0, f0 - d0)")} AS ym1,
+       |    ${g("f0")} AS y01, ${g("f0 + d0")} AS yp1 FROM c1),
+       |c2 AS (  -- parabolic refinement pass 1
+       |  SELECT *, f0 + CASE WHEN ym1 - 2.0 * y01 + yp1 <> 0.0
+       |      THEN greatest(-1.0, least(1.0,
+       |        0.5 * (ym1 - yp1) / (ym1 - 2.0 * y01 + yp1))) * d0
+       |      ELSE 0.0 END AS f1,
+       |    d0 / 4.0 AS d1
+       |  FROM g1),
+       |g2 AS (SELECT *, ${g("greatest(1.0, f1 - d1)")} AS ym2,
+       |    ${g("f1")} AS y02, ${g("f1 + d1")} AS yp2 FROM c2),
+       |c3 AS (  -- parabolic refinement pass 2
+       |  SELECT *, f1 + CASE WHEN ym2 - 2.0 * y02 + yp2 <> 0.0
+       |      THEN greatest(-1.0, least(1.0,
+       |        0.5 * (ym2 - yp2) / (ym2 - 2.0 * y02 + yp2))) * d1
+       |      ELSE 0.0 END AS f2
+       |  FROM g2)
+       |SELECT clip_id, codec, sr_hz, labeled_hz,
+       |  CASE WHEN f2 IS NULL THEN 0.0
+       |       ELSE floor(f2 * 10.0 + 0.5) / 10.0 END AS dominant_hz,
+       |  CASE WHEN cden = 0.0 THEN 0
+       |       ELSE CAST(floor(cnum / cden + 0.5) AS BIGINT) END AS centroid_hz,
+       |  abs(coalesce(f2, 0.0) - labeled_hz) < 2.0 AS label_ok
+       |FROM c3""".stripMargin
+  }
+
+  /** DuckDB re-implementation of q95's mel filterbank over the exported
+   * power-spectrum fixture: triangle edges from the O'Shaughnessy formulas
+   * (DuckDB's own log10/pow), per-band weighted sums in bin order, log-dB
+   * rounding via floor(x+0.5) (Scala Math.round semantics, NOT SQL round's
+   * half-away-from-zero), first-wins argmax/argmin via list_position. */
+  private def melOracleSql(fx: String, nMels: Int): String = {
+    val ne = nMels + 1 // triangle edge count - 1 (mel scale split points)
+    s"""WITH src AS (
+       |  SELECT clip_id, sr_hz, labeled_hz, pspec,
+       |    len(pspec) AS np, 2 * len(pspec) AS nfft,
+       |    2595.0 * log10(1.0 + (sr_hz / 2.0) / 700.0) AS mhi
+       |  FROM read_parquet('$fx/*.parquet')),
+       |e AS (
+       |  SELECT *,
+       |    list_transform(generate_series(0, $ne), i ->
+       |      700.0 * (pow(10.0, ((mhi * i) / $ne.0) / 2595.0) - 1.0)) AS edges,
+       |    list_transform(generate_series(0, np - 1), k ->
+       |      (k * sr_hz) * 1.0 / nfft) AS freqs
+       |  FROM src),
+       |m AS (
+       |  SELECT *, list_transform(generate_series(1, $nMels), mm ->
+       |    coalesce(list_sum(list_transform(generate_series(1, np), kk ->
+       |      CASE WHEN freqs[kk] > edges[mm] AND freqs[kk] < edges[mm + 2] THEN
+       |        (CASE WHEN freqs[kk] <= edges[mm + 1]
+       |          THEN (freqs[kk] - edges[mm])
+       |            / greatest(edges[mm + 1] - edges[mm], 1e-12)
+       |          ELSE (edges[mm + 2] - freqs[kk])
+       |            / greatest(edges[mm + 2] - edges[mm + 1], 1e-12) END)
+       |        * pspec[kk]
+       |      ELSE 0.0 END)), 0.0)) AS mels,
+       |    list_transform(generate_series(1, $nMels), mm ->
+       |      abs(edges[mm + 1] - labeled_hz)) AS dists
+       |  FROM e),
+       |v AS (
+       |  SELECT *, CAST(list_position(mels, list_max(mels)) - 1 AS INTEGER) AS am,
+       |    CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS eb
+       |  FROM m)
+       |SELECT clip_id, sr_hz, am AS argmax_band, eb AS expected_band,
+       |  abs(am - eb) <= 1 AS mel_ok,
+       |  array_to_string(list_transform(mels, x ->
+       |    CAST(floor(10.0 * log10(x + 1e-9) + 0.5) AS BIGINT)), ',') AS log_mel_db
+       |FROM v""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
