@@ -578,8 +578,16 @@ object Audio {
     //    fingerprint collapses them. Plants one transcoded + one re-coded
     //    variant per clip and reports fingerprint clusters with MORE
     //    DISTINCT PAYLOADS than exact dedup would merge. --
+    //    Oracle: the canonicalized signal, the per-segment spectra, and the
+    //    RAW payload bytes are exported as a fixture; DuckDB unnests the
+    //    metadata segment grid, replays the per-segment dominant-frequency
+    //    estimator (direct-DFT Goertzel probes, both parabolic passes),
+    //    string-aggregates the track in segment order, counts payload
+    //    distinctness over the raw BLOBs (hash-free), and re-runs the
+    //    cluster GROUP BY — the fingerprint semantics end-to-end in SQL. --
     "q84_audio_fingerprint" -> ((s, d) => {
       import s.implicits._
+      val fx = OracleFixtures.freshDir("q84_pcm", d)
       // persist: base feeds THREE lineages (itself + two transcoded
       // variants) and tone synthesis dominates this query's cost — without
       // it the full synth pass runs 3x (the q100 lesson)
@@ -595,11 +603,26 @@ object Audio {
         .map { c =>
           val canon = graft.audio.Dsp.resampleLinear(
             Pcm.decode(c.codec, c.bytes), c.sr_hz, 8000)
-          val track = graft.audio.Dsp.pitchTrackSegs(canon,
-            math.max(1, c.dur_ms / 100))
+          val nSeg = math.max(1, c.dur_ms / 100)
+          val specs = Array.tabulate(nSeg) { si =>
+            val from = (si.toLong * canon.length / nSeg).toInt
+            val to = ((si + 1).toLong * canon.length / nSeg).toInt
+            if (to - from < 32) Array.empty[Double]
+            else graft.audio.Dsp.powerSpectrum(canon, from, to - from)
+          }
+          (c.clip_id, c.bytes, canon.map(_.toInt), nSeg, specs)
+        }.toDF("clip_id", "bytes", "canon", "nseg", "segspecs")
+        .write.mode("overwrite").parquet(fx)
+      base.unpersist()
+      OracleFixtures.register("q84_audio_fingerprint", fingerprintOracleSql(fx))
+      s.read.parquet(fx)
+        .as[(String, Array[Byte], Array[Int], Int, Array[Array[Double]])]
+        .map { case (id, bytes, canonI, nSeg, _) =>
+          val canon = canonI.map(_.toShort)
+          val track = graft.audio.Dsp.pitchTrackSegs(canon, nSeg)
           val payloadMd5 = java.security.MessageDigest.getInstance("MD5")
-            .digest(c.bytes).map("%02x".format(_)).mkString
-          (c.clip_id, track.mkString(","), payloadMd5)
+            .digest(bytes).map("%02x".format(_)).mkString
+          (id, track.mkString(","), payloadMd5)
         }.toDF("clip_id", "fp", "payload_md5")
         .groupBy("fp")
         .agg(count(lit(1)).as("n_members"),
@@ -1563,14 +1586,41 @@ object Audio {
    * (cos/sin list sums), so the two engines share no code path; the ~1e-12
    * relative FP divergence between the recurrence and the direct sums is
    * orders of magnitude below the 0.1 Hz output rounding. */
+  /** Direct-DFT power at frequency expression `f` over columns
+   * (pcm, n, sr_hz) — the exact algebraic equal of [[graft.audio.Dsp
+   * .goertzelPower]] computed by a different O(n) algorithm. */
+  private def dftPowerSql(f: String): String =
+    s"""(pow(list_sum(list_transform(generate_series(0, n - 1),
+       |    k -> pcm[k + 1] * cos(2 * pi() * ($f) / sr_hz * k))), 2)
+       |  + pow(list_sum(list_transform(generate_series(0, n - 1),
+       |    k -> pcm[k + 1] * sin(2 * pi() * ($f) / sr_hz * k))), 2))
+       |  / (1.0 * n * n)""".stripMargin
+
+  /** The two parabolic refinement passes of Dsp.dominantFreqHz as CTEs
+   * g1/c2/g2/c3 over `prev`'s columns (pcm, n, sr_hz, f0, d0); c3 exposes
+   * the refined estimate as f2 (NULL when f0 was NULL = silent clip). */
+  private def refineSql(prev: String): String = {
+    def g(f: String) = dftPowerSql(f)
+    s"""g1 AS (SELECT *, ${g("greatest(1.0, f0 - d0)")} AS ym1,
+       |    ${g("f0")} AS y01, ${g("f0 + d0")} AS yp1 FROM $prev),
+       |c2 AS (  -- parabolic refinement pass 1
+       |  SELECT *, f0 + CASE WHEN ym1 - 2.0 * y01 + yp1 <> 0.0
+       |      THEN greatest(-1.0, least(1.0,
+       |        0.5 * (ym1 - yp1) / (ym1 - 2.0 * y01 + yp1))) * d0
+       |      ELSE 0.0 END AS f1,
+       |    d0 / 4.0 AS d1
+       |  FROM g1),
+       |g2 AS (SELECT *, ${g("greatest(1.0, f1 - d1)")} AS ym2,
+       |    ${g("f1")} AS y02, ${g("f1 + d1")} AS yp2 FROM c2),
+       |c3 AS (  -- parabolic refinement pass 2
+       |  SELECT *, f1 + CASE WHEN ym2 - 2.0 * y02 + yp2 <> 0.0
+       |      THEN greatest(-1.0, least(1.0,
+       |        0.5 * (ym2 - yp2) / (ym2 - 2.0 * y02 + yp2))) * d1
+       |      ELSE 0.0 END AS f2
+       |  FROM g2)""".stripMargin
+  }
+
   private def spectrumOracleSql(fx: String): String = {
-    // direct-DFT power at frequency expression `f` over the pcm list
-    def g(f: String): String =
-      s"""(pow(list_sum(list_transform(generate_series(0, n - 1),
-         |    k -> pcm[k + 1] * cos(2 * pi() * ($f) / sr_hz * k))), 2)
-         |  + pow(list_sum(list_transform(generate_series(0, n - 1),
-         |    k -> pcm[k + 1] * sin(2 * pi() * ($f) / sr_hz * k))), 2))
-         |  / (1.0 * n * n)""".stripMargin
     s"""WITH src AS (
        |  SELECT clip_id, codec, sr_hz, labeled_hz, pcm, pspec,
        |    len(pcm) AS n, len(pspec) AS np, 2 * len(pspec) AS nfft
@@ -1587,23 +1637,7 @@ object Audio {
        |              ELSE pbin * 1.0 * sr_hz / nfft END AS f0,
        |    sr_hz * 1.0 / nfft AS d0
        |  FROM c0),
-       |g1 AS (SELECT *, ${g("greatest(1.0, f0 - d0)")} AS ym1,
-       |    ${g("f0")} AS y01, ${g("f0 + d0")} AS yp1 FROM c1),
-       |c2 AS (  -- parabolic refinement pass 1
-       |  SELECT *, f0 + CASE WHEN ym1 - 2.0 * y01 + yp1 <> 0.0
-       |      THEN greatest(-1.0, least(1.0,
-       |        0.5 * (ym1 - yp1) / (ym1 - 2.0 * y01 + yp1))) * d0
-       |      ELSE 0.0 END AS f1,
-       |    d0 / 4.0 AS d1
-       |  FROM g1),
-       |g2 AS (SELECT *, ${g("greatest(1.0, f1 - d1)")} AS ym2,
-       |    ${g("f1")} AS y02, ${g("f1 + d1")} AS yp2 FROM c2),
-       |c3 AS (  -- parabolic refinement pass 2
-       |  SELECT *, f1 + CASE WHEN ym2 - 2.0 * y02 + yp2 <> 0.0
-       |      THEN greatest(-1.0, least(1.0,
-       |        0.5 * (ym2 - yp2) / (ym2 - 2.0 * y02 + yp2))) * d1
-       |      ELSE 0.0 END AS f2
-       |  FROM g2)
+       |${refineSql("c1")}
        |SELECT clip_id, codec, sr_hz, labeled_hz,
        |  CASE WHEN f2 IS NULL THEN 0.0
        |       ELSE floor(f2 * 10.0 + 0.5) / 10.0 END AS dominant_hz,
@@ -1611,6 +1645,55 @@ object Audio {
        |       ELSE CAST(floor(cnum / cden + 0.5) AS BIGINT) END AS centroid_hz,
        |  abs(coalesce(f2, 0.0) - labeled_hz) < 2.0 AS label_ok
        |FROM c3""".stripMargin
+  }
+
+  /** DuckDB re-implementation of q84's pitch-track fingerprint + cluster
+   * GROUP BY over the exported (bytes, canon, nseg, segspecs) fixture. The
+   * metadata segment grid is UNNESTED into one row per (clip, segment), the
+   * q85 estimator chain runs per segment at the canonical 8 kHz, the track
+   * re-assembles via string_agg in segment order, and payload distinctness
+   * is counted over the RAW BLOBs (hash-free, so the check is independent
+   * of any digest implementation) — the codec/rate-invariance claim
+   * (3 payload variants, 1 fingerprint) checked end-to-end by a second
+   * engine. */
+  private def fingerprintOracleSql(fx: String): String = {
+    s"""WITH src AS (
+       |  SELECT clip_id, canon, nseg, segspecs, len(canon) AS nc, bytes
+       |  FROM read_parquet('$fx/*.parquet')),
+       |sx AS (  -- one row per (clip, segment) of the metadata grid
+       |  SELECT clip_id, nc, nseg, canon, segspecs,
+       |    unnest(generate_series(0, nseg - 1)) AS s
+       |  FROM src WHERE nc >= 32),
+       |sl AS (  -- integer segment bounds, exactly pitchTrackSegs' grid
+       |  SELECT clip_id, s, canon, segspecs[CAST(s + 1 AS INTEGER)] AS pspec,
+       |    (s * nc) // nseg AS fi, ((s + 1) * nc) // nseg AS ti
+       |  FROM sx),
+       |c0 AS (
+       |  SELECT clip_id, s, ti - fi AS n, canon[fi + 1 : ti] AS pcm,
+       |    8000 AS sr_hz, pspec, 2 * len(pspec) AS nfft
+       |  FROM sl),
+       |c0b AS (
+       |  SELECT *, list_max(pspec[2:]) AS best,
+       |    list_position(pspec[2:], list_max(pspec[2:])) AS pbin
+       |  FROM c0),
+       |c1 AS (  -- short/silent segments estimate 0 (NULL carries the skip)
+       |  SELECT *, CASE WHEN n < 32 OR best IS NULL OR best <= 0.0 THEN NULL
+       |      ELSE pbin * 1.0 * sr_hz / nfft END AS f0,
+       |    CASE WHEN n < 32 THEN NULL ELSE sr_hz * 1.0 / nfft END AS d0
+       |  FROM c0b),
+       |${refineSql("c1")},
+       |tr AS (  -- track elements joined in segment order
+       |  SELECT clip_id, string_agg(
+       |    CAST(CASE WHEN f2 IS NULL THEN 0
+       |         ELSE CAST(floor(f2 + 0.5) AS BIGINT) END AS VARCHAR),
+       |    ',' ORDER BY s) AS fp
+       |  FROM c3 GROUP BY clip_id),
+       |per AS (SELECT src.clip_id, src.bytes, coalesce(tr.fp, '') AS fp
+       |        FROM src LEFT JOIN tr ON src.clip_id = tr.clip_id)
+       |SELECT fp, count(*) AS n_members,
+       |  count(DISTINCT bytes) AS n_distinct_payloads,
+       |  min(clip_id) AS keep_clip_id
+       |FROM per GROUP BY fp HAVING count(DISTINCT bytes) > 1""".stripMargin
   }
 
   /** DuckDB re-implementation of q95's mel filterbank over the exported
