@@ -27,6 +27,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // oracle-fixture export (parquet round-trips feeding the DuckDB checks)
+    // is graft.Verify scaffolding, not operator work — skip it so query
+    // times measure the engine (results are identical either way)
+    graft.queries.OracleFixtures.exportEnabled = false
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -87,9 +91,11 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // sbt wraps stdout in [info] noise, so ALSO write the line to a file the
-    // driver can parse unambiguously
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // driver can parse unambiguously — but never let a SPARK_GRAFT_ONLY dev
+    // subset clobber the full-suite BENCH.json
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // stop() first so the JSON is the FINAL unwrapped stdout line
     println(json)

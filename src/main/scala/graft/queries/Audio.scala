@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
  * per query: the curve-key queries run over lineitem against unrolled SQL
  * bit-math formulas; the audio-arithmetic and maintenance-store queries
  * EXPORT their decoded input (or register the store's raw data-file lists)
- * through [[OracleFixtures]] so DuckDB recomputes the result independently;
- * only queries whose output is inherently engine-internal (scan-equality
- * verdicts, spectral estimates needing an FFT, VAD state machines) remain
- * rows-only with spec-level invariants.
+ * through [[OracleFixtures]] so DuckDB recomputes the result independently —
+ * including the spectral estimators, whose Goertzel probes the oracle
+ * replays as direct-DFT cos/sin sums (the FFT itself is spec-checked against
+ * an O(n^2) DFT + Parseval in AudioDspSpec). Fixture export is verification
+ * scaffolding: graft.Bench disables it ([[OracleFixtures.exportEnabled]])
+ * and the queries compute the identical result from the in-memory input.
  */
 object Audio {
 
@@ -145,13 +147,11 @@ object Audio {
     //    SQL — two engines, one arithmetic (judge r3 directive #3). --
     "q61_audio_features" -> ((s, d) => {
       import s.implicits._
-      val fx = OracleFixtures.freshDir("q61_pcm", d)
-      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+      val inputs = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         (c.clip_id, c.codec, c.sr_hz, c.dur_ms,
           Pcm.decode(c.codec, c.bytes).map(_.toInt))
       }.toDF("clip_id", "codec", "sr_hz", "dur_ms", "pcm")
-        .write.mode("overwrite").parquet(fx)
-      OracleFixtures.register("q61_audio_features",
+      OracleFixtures.stage(s, "q61_audio_features", "q61_pcm", d, inputs)(fx =>
         s"""SELECT clip_id, codec, sr_hz, dur_ms,
            |  len(pcm) AS n_samples,
            |  coalesce(list_max(list_transform(pcm, x -> abs(x))), 0) AS peak,
@@ -163,7 +163,6 @@ object Audio {
            |      i -> CASE WHEN (pcm[i-1] < 0) <> (pcm[i] < 0) THEN 1 ELSE 0 END)), 0)
            |  END AS zero_crossings
            |FROM read_parquet('$fx/*.parquet')""".stripMargin)
-      s.read.parquet(fx)
         .select("clip_id", "codec", "sr_hz", "dur_ms", "pcm")
         .as[(String, String, Int, Int, Array[Int])]
         .map { case (id, codec, sr, dur, pcm) =>
@@ -190,16 +189,13 @@ object Audio {
     //    any digest implementation). --
     "q62_audio_dedup" -> ((s, d) => {
       import s.implicits._
-      val fx = OracleFixtures.freshDir("q62_clips", d)
       val base = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200)
       val dup = base.map(c => c.copy(clip_id = c.clip_id + "_dup"))
-      base.union(dup).toDF().select("clip_id", "bytes")
-        .write.mode("overwrite").parquet(fx)
-      OracleFixtures.register("q62_audio_dedup",
+      val inputs = base.union(dup).toDF().select("clip_id", "bytes")
+      OracleFixtures.stage(s, "q62_audio_dedup", "q62_clips", d, inputs)(fx =>
         s"""SELECT min(clip_id) AS keep_clip_id, count(*) AS n_copies
            |FROM read_parquet('$fx/*.parquet')
            |GROUP BY bytes HAVING count(*) > 1""".stripMargin)
-      s.read.parquet(fx)
         .groupBy(col("bytes"))
         .agg(min("clip_id").as("keep_clip_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
@@ -259,14 +255,12 @@ object Audio {
     //    fold order), and the peak-normalize — the full DSP chain in SQL. --
     "q70_audio_resample" -> ((s, d) => {
       import s.implicits._
-      val fx = OracleFixtures.freshDir("q70_pcm", d)
-      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+      val inputs = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         val i = c.clip_id.stripPrefix("clip_").toLong
         (c.clip_id, c.codec, c.sr_hz,
           Pcm.decode(c.codec, c.bytes).map(_.toInt),
           Pcm.tone(ClipSynth.toneFreqHz(i), 16000, c.dur_ms).map(_.toInt))
       }.toDF("clip_id", "codec", "sr_hz", "pcm", "ref")
-        .write.mode("overwrite").parquet(fx)
       // rs[j] = rint(a + (b-a)*frac) at exact rational positions; idx is
       // 0-based in the JVM, 1-based in SQL
       val idx = "CAST(j::BIGINT * sr_hz // 16000 AS INT)"
@@ -276,7 +270,7 @@ object Audio {
            |    CAST(pcm[$idx + 1] AS DOUBLE) +
            |    (CAST(pcm[least($idx + 2, len(pcm))] AS DOUBLE) - CAST(pcm[$idx + 1] AS DOUBLE)) *
            |    (CAST((j::BIGINT * sr_hz) % 16000 AS DOUBLE) / 16000.0), 0) AS BIGINT))) AS INT))""".stripMargin
-      OracleFixtures.register("q70_audio_resample",
+      OracleFixtures.stage(s, "q70_audio_resample", "q70_pcm", d, inputs)(fx =>
         s"""WITH rs AS (
            |  SELECT clip_id, codec, sr_hz, ref, len(pcm) AS n_in, $rsExpr AS rsl
            |  FROM read_parquet('$fx/*.parquet')),
@@ -298,7 +292,6 @@ object Audio {
            |      CAST(round_even(CAST(v AS DOUBLE) * (30000.0 / p), 0) AS BIGINT))) AS INT))))
            |  END AS peak_norm
            |FROM snr""".stripMargin)
-      s.read.parquet(fx)
         .select("clip_id", "codec", "sr_hz", "pcm", "ref")
         .as[(String, String, Int, Array[Int], Array[Int])]
         .map { case (id, codec, sr, pcmI, refI) =>
@@ -322,14 +315,12 @@ object Audio {
     //    bounds, the 25/10 ms frame grid, and every per-frame RMS in SQL. --
     "q71_audio_frames" -> ((s, d) => {
       import s.implicits._
-      val fx = OracleFixtures.freshDir("q71_pcm", d)
-      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+      val inputs = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         (c.clip_id, c.sr_hz, Pcm.decode(c.codec, c.bytes).map(_.toInt))
       }.toDF("clip_id", "sr_hz", "pcm")
-        .write.mode("overwrite").parquet(fx)
       // the pad is zeros and the trim threshold is 0, so the trimmed window
       // is exactly pcm[lo..hi] where lo/hi are the first/last nonzero sample
-      OracleFixtures.register("q71_audio_frames",
+      OracleFixtures.stage(s, "q71_audio_frames", "q71_pcm", d, inputs)(fx =>
         s"""WITH b AS (
            |  SELECT clip_id, sr_hz, pcm, len(pcm) AS n,
            |    sr_hz * 50 // 1000 AS padn,
@@ -362,7 +353,6 @@ object Audio {
            |    x -> CASE WHEN x > 1000.0 THEN 1 ELSE 0 END)), 0) AS n_active,
            |  CAST(floor(coalesce(list_max(rmsl), 0.0) + 0.5) AS BIGINT) AS max_frame_rms
            |FROM r""".stripMargin)
-      s.read.parquet(fx)
         .select("clip_id", "sr_hz", "pcm")
         .as[(String, Int, Array[Int])]
         .map { case (id, sr, pcmI) =>
@@ -403,14 +393,12 @@ object Audio {
     //    separates the two regimes unambiguously in both engines. --
     "q72_audio_tonecheck" -> ((s, d) => {
       import s.implicits._
-      val fx = OracleFixtures.freshDir("q72_pcm", d)
-      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+      val inputs = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         val i = c.clip_id.stripPrefix("clip_").toLong
         (c.clip_id, c.sr_hz, ClipSynth.toneFreqHz(i),
           Pcm.decode(c.codec, c.bytes).map(_.toInt))
       }.toDF("clip_id", "sr_hz", "freq_hz", "pcm")
-        .write.mode("overwrite").parquet(fx)
-      OracleFixtures.register("q72_audio_tonecheck",
+      OracleFixtures.stage(s, "q72_audio_tonecheck", "q72_pcm", d, inputs)(fx =>
         s"""WITH p AS (SELECT clip_id, sr_hz, freq_hz, pcm, len(pcm) AS n
            |  FROM read_parquet('$fx/*.parquet')),
            |freqs AS (
@@ -440,7 +428,6 @@ object Audio {
            |  END AS sig_db10,
            |  psig > 4.0 * poff AS label_ok
            |FROM pv""".stripMargin)
-      s.read.parquet(fx)
         .select("clip_id", "sr_hz", "freq_hz", "pcm")
         .as[(String, Int, Double, Array[Int])]
         .map { case (id, sr, f, pcmI) =>
@@ -475,6 +462,9 @@ object Audio {
         ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).toDF())
       val s0 = store.currentSnapshotId.get
       val res = Transcode.run(s, store, Pcm.Pcm16le, 16000, runId = "q82")
+      // oracle export only: the signal-pair dump exists for DuckDB, not for
+      // the query result (Transcode.verify below) — skipped under Bench
+      if (OracleFixtures.exportEnabled) {
       val fx = OracleFixtures.freshDir("q82_pcm", d)
       val oldC = store.scan(s, s0).select(col("clip_id"),
         col("bytes").as("o_bytes"), col("sr_hz").as("o_sr"),
@@ -512,6 +502,7 @@ object Audio {
            |SELECT clip_id, round(raw_snr, 1) AS snr_db, meta_ok, transcript_ok,
            |       raw_snr >= 20.0 AND meta_ok AND transcript_ok AS pass
            |FROM v""".stripMargin)
+      }
       Transcode.verify(s, store, s0, res.snapshotId, Pcm.Pcm16le, 16000,
         minSnrDb = 20.0)
         .select(col("clip_id"), round(col("snr_db"), 1).as("snr_db"),
@@ -529,12 +520,10 @@ object Audio {
     //    a cross-engine BLOB md5 does not exist in the oracle engine). --
     "q83_audio_segments" -> ((s, d) => {
       import s.implicits._
-      val fx = OracleFixtures.freshDir("q83_pcm", d)
-      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+      val inputs = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         (c.clip_id, c.sr_hz, Pcm.decode(c.codec, c.bytes).map(_.toInt))
       }.toDF("clip_id", "sr_hz", "pcm")
-        .write.mode("overwrite").parquet(fx)
-      OracleFixtures.register("q83_audio_segments",
+      OracleFixtures.stage(s, "q83_audio_segments", "q83_pcm", d, inputs)(fx =>
         s"""WITH p AS (
            |  SELECT clip_id, sr_hz, pcm, len(pcm) AS n,
            |    sr_hz * 50 // 1000 AS fl, sr_hz * 25 // 1000 AS hop
@@ -553,7 +542,6 @@ object Audio {
            |    AS rms_rounded,
            |  2 * fl AS n_bytes
            |FROM fr""".stripMargin)
-      s.read.parquet(fx)
         .select("clip_id", "sr_hz", "pcm")
         .as[(String, Int, Array[Int])]
         .flatMap { case (id, sr, pcmI) =>
@@ -587,7 +575,6 @@ object Audio {
     //    cluster GROUP BY — the fingerprint semantics end-to-end in SQL. --
     "q84_audio_fingerprint" -> ((s, d) => {
       import s.implicits._
-      val fx = OracleFixtures.freshDir("q84_pcm", d)
       // persist: base feeds THREE lineages (itself + two transcoded
       // variants) and tone synthesis dominates this query's cost — without
       // it the full synth pass runs 3x (the q100 lesson)
@@ -598,24 +585,32 @@ object Audio {
         graft.synth.Clip(c.clip_id + suffix, Pcm.encode(codec, rs), rate,
           c.dur_ms, codec, c.transcript)
       }
-      base.union(variant("_t16", Pcm.Pcm16le, 16000))
+      // the per-segment spectra exist ONLY for the oracle (the query's own
+      // estimator recomputes them inside pitchTrackSegs); skip the second
+      // FFT pass when nothing will read them
+      val wantSpecs = OracleFixtures.exportEnabled
+      val inputs = base.union(variant("_t16", Pcm.Pcm16le, 16000))
         .union(variant("_u8", Pcm.Ulaw, 8000))
         .map { c =>
           val canon = graft.audio.Dsp.resampleLinear(
             Pcm.decode(c.codec, c.bytes), c.sr_hz, 8000)
           val nSeg = math.max(1, c.dur_ms / 100)
-          val specs = Array.tabulate(nSeg) { si =>
-            val from = (si.toLong * canon.length / nSeg).toInt
-            val to = ((si + 1).toLong * canon.length / nSeg).toInt
-            if (to - from < 32) Array.empty[Double]
-            else graft.audio.Dsp.powerSpectrum(canon, from, to - from)
-          }
+          val specs =
+            if (!wantSpecs) Array.empty[Array[Double]]
+            else Array.tabulate(nSeg) { si =>
+              val from = (si.toLong * canon.length / nSeg).toInt
+              val to = ((si + 1).toLong * canon.length / nSeg).toInt
+              if (to - from < 32) Array.empty[Double]
+              else graft.audio.Dsp.powerSpectrum(canon, from, to - from)
+            }
           (c.clip_id, c.bytes, canon.map(_.toInt), nSeg, specs)
         }.toDF("clip_id", "bytes", "canon", "nseg", "segspecs")
-        .write.mode("overwrite").parquet(fx)
-      base.unpersist()
-      OracleFixtures.register("q84_audio_fingerprint", fingerprintOracleSql(fx))
-      s.read.parquet(fx)
+      val staged = OracleFixtures.stage(s, "q84_audio_fingerprint", "q84_pcm",
+        d, inputs)(fingerprintOracleSql)
+      // export materialized the union, so the cache can go; without export
+      // the downstream plan still depends on base's three lineages
+      if (OracleFixtures.exportEnabled) base.unpersist()
+      staged
         .as[(String, Array[Byte], Array[Int], Int, Array[Array[Double]])]
         .map { case (id, bytes, canonI, nSeg, _) =>
           val canon = canonI.map(_.toShort)
@@ -646,16 +641,14 @@ object Audio {
     //    against an O(n^2) DFT + Parseval in AudioDspSpec. --
     "q85_audio_spectrum" -> ((s, d) => {
       import s.implicits._
-      val fx = OracleFixtures.freshDir("q85_pcm", d)
-      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+      val inputs = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         val i = c.clip_id.stripPrefix("clip_").toLong
         val pcm = Pcm.decode(c.codec, c.bytes)
         (c.clip_id, c.codec, c.sr_hz, ClipSynth.toneFreqHz(i),
           pcm.map(_.toInt), graft.audio.Dsp.powerSpectrum(pcm, 0, pcm.length))
       }.toDF("clip_id", "codec", "sr_hz", "labeled_hz", "pcm", "pspec")
-        .write.mode("overwrite").parquet(fx)
-      OracleFixtures.register("q85_audio_spectrum", spectrumOracleSql(fx))
-      s.read.parquet(fx)
+      OracleFixtures.stage(s, "q85_audio_spectrum", "q85_pcm", d,
+        inputs)(spectrumOracleSql)
         .as[(String, String, Int, Double, Array[Int], Array[Double])]
         .map { case (id, codec, sr, labeled, pcmI, ps) =>
           val pcm = pcmI.map(_.toShort)
@@ -1053,8 +1046,7 @@ object Audio {
     //    against the same planted layout. --
     "q90_audio_vad" -> ((s, d) => {
       import s.implicits._
-      val fx = OracleFixtures.freshDir("q90_pcm", d)
-      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+      val inputs = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         val i = c.clip_id.stripPrefix("clip_").toLong
         val sr = c.sr_hz
         val utt = Pcm.tone(ClipSynth.toneFreqHz(i), sr, 600)
@@ -1066,8 +1058,8 @@ object Audio {
         zero(150, 210)
         zero(360, 420)
         (c.clip_id, sr, utt.map(_.toInt))
-      }.toDF("clip_id", "sr_hz", "pcm").write.mode("overwrite").parquet(fx)
-      OracleFixtures.register("q90_audio_vad",
+      }.toDF("clip_id", "sr_hz", "pcm")
+      OracleFixtures.stage(s, "q90_audio_vad", "q90_pcm", d, inputs)(fx =>
         s"""WITH p AS (SELECT clip_id, sr_hz, pcm, len(pcm) AS n,
            |    sr_hz * 25 // 1000 AS fl, sr_hz * 10 // 1000 AS hop
            |  FROM read_parquet('$fx/*.parquet')),
@@ -1108,7 +1100,6 @@ object Audio {
            |  coalesce(per.active_ms, 0) AS active_ms,
            |  coalesce(per.vad_ok, false) AS vad_ok
            |FROM p LEFT JOIN per ON p.clip_id = per.clip_id""".stripMargin)
-      s.read.parquet(fx)
         .select("clip_id", "sr_hz", "pcm")
         .as[(String, Int, Array[Int])]
         .map { case (id, sr, pcmI) =>
@@ -1338,16 +1329,14 @@ object Audio {
     "q95_audio_mel" -> ((s, d) => {
       import s.implicits._
       val nMels = 24
-      val fx = OracleFixtures.freshDir("q95_pcm", d)
-      ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
+      val inputs = ClipSynth.dataset(s, clipCount(d), 16, maxDurMs = 200).map { c =>
         val i = c.clip_id.stripPrefix("clip_").toLong
         val pcm = Pcm.decode(c.codec, c.bytes)
         (c.clip_id, c.sr_hz, ClipSynth.toneFreqHz(i),
           graft.audio.Dsp.powerSpectrum(pcm, 0, pcm.length))
       }.toDF("clip_id", "sr_hz", "labeled_hz", "pspec")
-        .write.mode("overwrite").parquet(fx)
-      OracleFixtures.register("q95_audio_mel", melOracleSql(fx, nMels))
-      s.read.parquet(fx)
+      OracleFixtures.stage(s, "q95_audio_mel", "q95_pcm", d,
+        inputs)(melOracleSql(_, nMels))
         .as[(String, Int, Double, Array[Double])]
         .map { case (id, sr, labeled, ps) =>
           val mel = graft.audio.Dsp.melFilterbank(ps, sr, nMels)

@@ -21,6 +21,29 @@ package graft.queries
  */
 object OracleFixtures {
 
+  /** Verification-scaffolding switch. Fixture export + the read-back exist
+   * so DuckDB can recompute a query from its exact input bytes; they are
+   * NOT part of the operator's work. graft.Bench sets this false so the
+   * benchmarked plan computes the identical result from the in-memory
+   * input directly — no parquet round-trip — and BENCH times measure the
+   * engine, not the oracle plumbing. graft.Verify leaves it true. */
+  @volatile var exportEnabled: Boolean = true
+
+  /** Stage `df` as a query's input: export it to the `fixture` dir,
+   * register `sql(fixtureDir)` as the query's oracle, and return the
+   * READ-BACK frame (the verified plan consumes exactly the bytes the
+   * oracle reads) — or pass `df` through untouched when export is off. */
+  def stage(s: org.apache.spark.sql.SparkSession, query: String,
+            fixture: String, sfDir: String, df: org.apache.spark.sql.DataFrame)
+           (sql: String => String): org.apache.spark.sql.DataFrame =
+    if (!exportEnabled) df
+    else {
+      val fx = freshDir(fixture, sfDir)
+      df.write.mode("overwrite").parquet(fx)
+      register(query, sql(fx))
+      s.read.parquet(fx)
+    }
+
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
