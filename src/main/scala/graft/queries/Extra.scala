@@ -372,10 +372,50 @@ object Extra {
           * 100, 0).cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // -- unpivot / melt (reference transpose, VectorLike.kt:446-459; SURVEY
+    //    §2 maps full transpose to pivot+unpivot territory): the inverse of
+    //    q17's pivot — wide per-linestatus quantity columns fold back to
+    //    long (key, variable, value) rows. Dataset.unpivot KEEPS null cells,
+    //    unlike SQL UNPIVOT's exclude-nulls default — the pivot declares a
+    //    third status 'X' no row carries, so every key yields one all-NULL
+    //    lane and the oracle's UNION ALL must replicate the retention
+    //    exactly. Melt is a per-row generator — zero shuffle beyond the
+    //    pivot agg, so the long form costs nothing extra at 100 TB. --
+    "q108_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O", "X"))
+        .sum("qty")
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("X", "qty_x")
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_f"), col("qty_o"), col("qty_x")),
+        "linestatus", "qty")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q108_unpivot" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS BIGINT))
+        |      FILTER (WHERE l_linestatus='F') AS BIGINT) AS qty_f,
+        |    CAST(sum(CAST(l_quantity AS BIGINT))
+        |      FILTER (WHERE l_linestatus='O') AS BIGINT) AS qty_o,
+        |    CAST(sum(CAST(l_quantity AS BIGINT))
+        |      FILTER (WHERE l_linestatus='X') AS BIGINT) AS qty_x
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty_f' AS linestatus, qty_f AS qty FROM p
+        |UNION ALL
+        |SELECT l_returnflag, 'qty_o' AS linestatus, qty_o AS qty FROM p
+        |UNION ALL
+        |SELECT l_returnflag, 'qty_x' AS linestatus, qty_x AS qty FROM p""".stripMargin,
     "q86_revenue_by_nation" ->
       """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)

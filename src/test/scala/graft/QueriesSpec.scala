@@ -32,6 +32,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(piv === total)
   }
 
+  test("unpivot is the exact long form of the pivot, nulls kept") {
+    val wide = SparkEntry.queries("q17_pivot")(spark, sf).collect()
+    val long = SparkEntry.queries("q108_unpivot")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(long.size === wide.length * 3)
+    wide.foreach { r =>
+      val k = r.getString(0)
+      def cell(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      assert(long((k, "qty_f")) === cell(1))
+      assert(long((k, "qty_o")) === cell(2))
+      // the declared-but-absent 'X' status is an all-NULL pivot lane: its
+      // cells must SURVIVE the melt (Dataset.unpivot keeps nulls, unlike
+      // SQL UNPIVOT's exclude-nulls default)
+      assert(long((k, "qty_x")) === None)
+    }
+  }
+
   test("q60 zorder matches the pure core on every row") {
     SparkEntry.queries("q60_zorder_key")(spark, sf).collect().foreach { r =>
       val px = r.getAs[Long]("px")
