@@ -8,16 +8,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** One add-column evolution: the files captured here existed BEFORE the
- * column did, so on read they take `defaultSql`; files written after carry
- * the column physically (including genuine NULLs, which are preserved).
- * `schemaAfterJson` is the declared table schema from this evolution on. */
+/** One schema evolution. The files captured in `paths` were written BEFORE
+ * it, under `schemaBeforeJson` (the era's physical layout); files written
+ * after carry `schemaAfterJson` physically.
+ *
+ *  - `kind = "add"`: pre-files take `defaultSql` for `column` on read
+ *    (including a dropped-then-re-added name whose stale bytes must NOT
+ *    resurface — the column logically did not exist in those files);
+ *    post-files keep their written values, genuine NULLs included.
+ *  - `kind = "rename"`: pre-files store the data under `renamedFrom` and are
+ *    read via a rename projection; values are untouched.
+ *  - `kind = "drop"`: pre-files still carry the bytes; the column is
+ *    projected away on read (column pruning makes that free).
+ *
+ * `schemaBeforeJson` is empty on records written before rename/drop support;
+ * for those (always `add`) the before-schema is the after-schema minus the
+ * added column. */
 final case class Evolution(
     column: String,
     typeDdl: String,
     defaultSql: String,
     schemaAfterJson: String,
-    paths: Seq[String])
+    paths: Seq[String],
+    kind: String = "add",
+    renamedFrom: String = "",
+    schemaBeforeJson: String = "")
 
 final case class EvolutionLog(evolutions: Seq[Evolution])
 
@@ -73,33 +88,94 @@ object Evolve {
    */
   def addColumn(spark: SparkSession, store: MetaStore, column: String,
                 typeDdl: String, defaultSql: String): Long =
+    record(spark, store, s"add $column") { before =>
+      require(!before.fieldNames.contains(column),
+        s"column $column already exists")
+      val after = StructType(before.fields :+
+        org.apache.spark.sql.types.StructField(
+          column, org.apache.spark.sql.types.DataType.fromDDL(typeDdl),
+          nullable = true))
+      (Evolution(column, typeDdl, defaultSql, after.json, Nil,
+        kind = "add", schemaBeforeJson = before.json),
+        Map("column" -> column, "type" -> typeDdl, "default" -> defaultSql))
+    }
+
+  /**
+   * Rename `from` to `to`, metadata-only (Iceberg `RENAME COLUMN`): no file
+   * is touched; pre-rename files keep the bytes under the old physical name
+   * and every read projects them to the new one. Zonemap stats of old files
+   * stay keyed by the old name, so predicates on the new name simply can't
+   * prune them ([[graft.table.Pruning]] keeps on missing stats — IO cost,
+   * never correctness); rewrites re-stat under the new name. Refused for
+   * partition-spec sources and the bloom side-table column: their
+   * write-path/probe machinery is keyed by physical name and a silent remap
+   * would desynchronize layout from planning.
+   */
+  def renameColumn(spark: SparkSession, store: MetaStore,
+                   from: String, to: String): Long =
+    record(spark, store, s"rename $from->$to") { before =>
+      require(before.fieldNames.contains(from), s"no such column: $from")
+      require(!before.fieldNames.contains(to), s"column $to already exists")
+      requireUnbound(store, from, "rename")
+      val after = StructType(before.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      (Evolution(to, "", "", after.json, Nil,
+        kind = "rename", renamedFrom = from, schemaBeforeJson = before.json),
+        Map("renamedFrom" -> from, "column" -> to))
+    }
+
+  /**
+   * Drop `column`, metadata-only (Iceberg `DROP COLUMN`): pre-drop files
+   * keep the bytes (column pruning makes the dead column free to carry) and
+   * every read projects it away; rewrites physically shed it. A later
+   * [[addColumn]] may REUSE the name — stale bytes never resurface because
+   * pre-add files take the add's default outright (the column logically
+   * did not exist there). Refused for partition/bloom-bound columns.
+   */
+  def dropColumn(spark: SparkSession, store: MetaStore, column: String): Long =
+    record(spark, store, s"drop $column") { before =>
+      require(before.fieldNames.contains(column), s"no such column: $column")
+      require(before.fields.length > 1, "cannot drop the last column")
+      requireUnbound(store, column, "drop")
+      val after = StructType(before.fields.filterNot(_.name == column))
+      (Evolution(column, "", "", after.json, Nil,
+        kind = "drop", schemaBeforeJson = before.json),
+        Map("column" -> column, "dropped" -> "true"))
+    }
+
+  private def requireUnbound(store: MetaStore, column: String, op: String): Unit = {
+    require(!store.partitionSpec.exists(_.fields.exists(_.source == column)),
+      s"cannot $op $column: it is a partition-spec source column")
+    require(!store.bloomColumn.contains(column),
+      s"cannot $op $column: it is the bloom side-table key column")
+  }
+
+  /** Shared evolution commit: capture the live-file set, commit a no-op
+   * snapshot under CAS, then publish the extended log atomically. */
+  private def record(spark: SparkSession, store: MetaStore, what: String)(
+      mk: StructType => (Evolution, Map[String, String])): Long =
     graft.table.MetaStore.withCommitRetry() {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("evolve: empty table"))
-    val entries = store.entries(snapId)
-    val cur = store.scan(spark, snapId)
-    require(!cur.columns.contains(column), s"column $column already exists")
-    val after = StructType(cur.schema.fields :+
-      org.apache.spark.sql.types.StructField(
-        column, org.apache.spark.sql.types.DataType.fromDDL(typeDdl),
-        nullable = true))
+    val before = store.scan(spark, snapId).schema
+    val (evo0, summary) = mk(before)
     // pre-evolution paths = files reachable from ANY live snapshot, not just
     // CURRENT: a pinned tag or rollback target may reference files already
-    // rewritten away from the head — those files also predate the column, and
-    // omitting them would make Refs.scanTag read NULL instead of the default
-    // after this evolution (latest-schema-wins contract)
+    // rewritten away from the head — those files also predate this evolution,
+    // and omitting them would give Refs.scanTag the wrong era treatment
+    // (latest-schema-wins contract)
     val prePaths = store.allSnapshotIds.flatMap(store.entries)
       .map(_.path).distinct.toVector
-    val evo = Evolution(column, typeDdl, defaultSql, after.json, prePaths)
+    val evo = evo0.copy(paths = prePaths)
     val all = EvolutionLog((evolutions(store) :+ evo).toVector)
     // commit FIRST, then publish the log atomically (temp + rename, like
     // CURRENT): a crash between the two leaves a harmless no-op "evolve"
     // snapshot, never a log that retro-actively rewrites pinned reads, and
     // never a torn evolutions.json that would fail every subsequent scan.
     // expectedParent: a file appended between the prePaths capture and this
-    // commit would be misclassified as post-evolution (NULL instead of the
-    // default) — the CAS fails instead and the retry recaptures.
-    val id = store.commitDelta("evolve", Nil, summary = Map(
-      "column" -> column, "type" -> typeDdl, "default" -> defaultSql),
+    // commit would be misclassified as post-evolution — the CAS fails
+    // instead and the retry recaptures.
+    val id = store.commitDelta("evolve", Nil,
+      summary = summary + ("evolution" -> what),
       expectedParent = Some(snapId))
     val tmp = logPath(store).resolveSibling(
       s"evolutions.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -127,17 +203,42 @@ object Evolve {
     val declared = org.apache.spark.sql.types.DataType.fromJson(
       evos.last.schemaAfterJson).asInstanceOf[StructType]
     val evoSets = evos.map(_.paths.toSet)
-    val groups = files.groupBy(f => evoSets.map(_.contains(f.path)))
-    groups.map { case (flags, fs) =>
-      val base = spark.read.schema(declared).parquet(fs.map(_.path): _*)
-      evos.zip(flags).foldLeft(base) {
-        case (df, (e, predates)) =>
-          if (predates)
-            df.withColumn(e.column,
-              coalesce(col(e.column), expr(e.defaultSql).cast(e.typeDdl)))
-          else df
-      }
+    // era(f) = index of the first evolution f predates (capture sets are
+    // monotone: a file live at evolution k is captured by every later one),
+    // evos.length = written after all of them. Each group is read under ITS
+    // era's physical schema, then the subsequent evolutions replay in order:
+    // add fills the default OUTRIGHT (the column logically did not exist in
+    // pre-add files — a dropped-then-re-added name may be physically present
+    // with stale bytes that must not resurface; genuinely-absent columns
+    // read the same either way), rename/drop are projections.
+    def era(f: graft.table.DataFile): Int = {
+      val k = evoSets.indexWhere(_.contains(f.path))
+      if (k < 0) evos.length else k
+    }
+    files.groupBy(era).toSeq.sortBy(_._1).map { case (k, fs) =>
+      val readSchema =
+        if (k == evos.length) declared else schemaBefore(evos(k))
+      val base = spark.read.schema(readSchema).parquet(fs.map(_.path): _*)
+      evos.drop(k).foldLeft(base) { (df, e) =>
+        e.kind match {
+          case "rename" => df.withColumnRenamed(e.renamedFrom, e.column)
+          case "drop" => df.drop(e.column)
+          case _ => df.withColumn(e.column,
+            expr(e.defaultSql).cast(e.typeDdl))
+        }
+      }.select(declared.fieldNames.map(col).toSeq: _*)
     }.reduce(_.unionByName(_))
+  }
+
+  /** The physical schema files of `e`'s era were written under. Legacy add
+   * records (no `schemaBeforeJson`) derive it as after-minus-column. */
+  private def schemaBefore(e: Evolution): StructType = {
+    if (e.schemaBeforeJson.nonEmpty)
+      org.apache.spark.sql.types.DataType.fromJson(e.schemaBeforeJson)
+        .asInstanceOf[StructType]
+    else StructType(org.apache.spark.sql.types.DataType
+      .fromJson(e.schemaAfterJson).asInstanceOf[StructType]
+      .fields.filterNot(_.name == e.column))
   }
 
   /** Evolution-aware snapshot scan (see [[readFiles]]). */

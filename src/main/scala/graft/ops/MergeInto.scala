@@ -43,19 +43,37 @@ object MergeInto {
 
   /** @param deleteKeys WHEN MATCHED THEN DELETE branch: rows of the target
    *                     whose key appears here are dropped during the
-   *                     copy-on-write rewrite. */
+   *                     copy-on-write rewrite.
+   * @param deleteUnmatched WHEN NOT MATCHED BY SOURCE THEN DELETE (the
+   *                     full-sync merge: after the commit the table's key
+   *                     set EQUALS the source's). The stale-key set is
+   *                     computed against the SAME snapshot the rewrite is
+   *                     planned on (and the commit CASes on it), so an
+   *                     interleaved append can never be half-synced away.
+   *                     Intrinsically O(table): every row is matched or
+   *                     stale, so every non-empty file is touched — use it
+   *                     for genuine mirror loads, not incremental batches. */
   def run(spark: SparkSession, store: MetaStore, updates: DataFrame,
           keyCol: String = "clip_id",
           targetBytes: Long = 128L * 1024 * 1024,
           runId: String = s"merge-${System.currentTimeMillis()}",
           broadcastUpdates: Boolean = true,
           deleteKeys: Option[DataFrame] = None,
+          deleteUnmatched: Boolean = false,
           extraSummary: Map[String, String] = Map.empty): MergeResult = {
     val snapId = store.currentSnapshotId.getOrElse(sys.error("merge: empty table"))
     val entries = store.entries(snapId)
     val t0 = System.nanoTime()
 
-    val updKeys0 = deleteKeys.foldLeft(updates.select(col(keyCol)))(
+    val allDeleteKeys: Option[DataFrame] =
+      if (!deleteUnmatched) deleteKeys
+      else {
+        val stale = store.scan(spark, snapId).select(col(keyCol))
+          .except(updates.select(col(keyCol)))
+        Some(deleteKeys.map(_.select(col(keyCol)).unionByName(stale))
+          .getOrElse(stale))
+      }
+    val updKeys0 = allDeleteKeys.foldLeft(updates.select(col(keyCol)))(
       (u, dk) => u.unionByName(dk.select(col(keyCol)))).distinct()
     val updKeys = if (broadcastUpdates) broadcast(updKeys0) else updKeys0
 
@@ -111,9 +129,12 @@ object MergeInto {
         Seq(keyCol), "full_outer")
       .select(col(keyCol) +: dataCols.map(c =>
         when(col("u._upd"), col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
-    val merged = deleteKeys match {
-      case Some(dk) => merged0.join(
-        broadcast(dk.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+    val merged = allDeleteKeys match {
+      case Some(dk) =>
+        val keys = dk.select(col(keyCol)).distinct()
+        // a not-matched-by-source key set is table-sized — never broadcast it
+        val right = if (deleteUnmatched) keys else broadcast(keys)
+        merged0.join(right, Seq(keyCol), "left_anti")
       case None => merged0
     }
 

@@ -1214,6 +1214,72 @@ object Audio {
         .agg(count(lit(1)).as("n_rows"))
     }),
 
+    // -- rename/drop schema evolution (ops/Evolve.scala): RENAME COLUMN and
+    //    DROP COLUMN are metadata-only (Iceberg parity) — pre-rename files
+    //    keep the bytes under the old physical name and read through a
+    //    rename projection; a dropped column's bytes stay in old files but
+    //    never resurface, even when the NAME is re-added later (pre-add
+    //    rows take the new default outright). The closing compaction
+    //    materializes the final schema physically. --
+    //    Oracle: DuckDB reads each ERA's raw file list under its physical
+    //    schema and replays the projections independently: era1 aliases
+    //    transcript->caption, era1+era2 take the re-added codec's default
+    //    ('fresh') because they predate the add, era3 keeps written codecs.
+    //    The Spark side scans POST-compaction, so equality also proves the
+    //    rewrite materialized renames/defaults bit-exactly. --
+    "q109_schema_rename_drop" -> ((s, d) => {
+      val dir = OracleFixtures.freshDir("q109_store", d)
+      val store = MetaStore.forClips(dir)
+      val n = clipCount(d)
+      Append.run(s, store, ClipSynth.dataset(s, n, 8, maxDurMs = 150).toDF())
+      val f1 = store.entries(store.currentSnapshotId.get).map(_.path)
+
+      Evolve.renameColumn(s, store, "transcript", "caption")
+      Append.run(s, store,
+        ClipSynth.dataset(s, n / 4, 2, maxDurMs = 150).toDF()
+          .withColumn("clip_id", concat(lit("v2_"), col("clip_id")))
+          .withColumnRenamed("transcript", "caption"))
+      val f2 = store.entries(store.currentSnapshotId.get).map(_.path)
+        .filterNot(f1.toSet)
+
+      Evolve.dropColumn(s, store, "codec")
+      Evolve.addColumn(s, store, "codec", "string", "'fresh'")
+      Append.run(s, store,
+        ClipSynth.dataset(s, n / 4, 2, maxDurMs = 150).toDF()
+          .withColumn("clip_id", concat(lit("v3_"), col("clip_id")))
+          .withColumnRenamed("transcript", "caption")
+          .withColumn("codec", lit("written")))
+      val f3 = store.entries(store.currentSnapshotId.get).map(_.path)
+        .filterNot((f1 ++ f2).toSet)
+
+      OracleFixtures.register("q109_schema_rename_drop",
+        s"""WITH e1 AS (SELECT clip_id, transcript AS caption, 'fresh' AS codec
+           |  FROM read_parquet(${OracleFixtures.pathList(f1)})),
+           |e2 AS (SELECT clip_id, caption, 'fresh' AS codec
+           |  FROM read_parquet(${OracleFixtures.pathList(f2)})),
+           |e3 AS (SELECT clip_id, caption, codec
+           |  FROM read_parquet(${OracleFixtures.pathList(f3)})),
+           |t AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           |      UNION ALL SELECT * FROM e3)
+           |SELECT CASE WHEN starts_with(clip_id, 'v3_') THEN 'era3'
+           |            WHEN starts_with(clip_id, 'v2_') THEN 'era2'
+           |            ELSE 'era1' END AS era,
+           |  codec, count(*) AS n_rows, count(caption) AS caption_rows,
+           |  CAST(sum(length(caption)) AS BIGINT) AS caption_chars
+           |FROM t GROUP BY 1, 2""".stripMargin)
+
+      Compact.run(s, store, targetBytes = 8L * 1024 * 1024, runId = "q109-compact")
+      store.scanCurrent(s)
+        .groupBy(
+          when(col("clip_id").startsWith("v3_"), lit("era3"))
+            .when(col("clip_id").startsWith("v2_"), lit("era2"))
+            .otherwise(lit("era1")).as("era"),
+          col("codec"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("caption")).as("caption_rows"),
+          sum(length(col("caption"))).as("caption_chars"))
+    }),
+
     // -- write-time quality gates (ops/Constraints.scala): one aggregate
     //    pass over the incoming batch counts every violation class (null
     //    keys, duplicate ids, out-of-range rates, unknown codecs, empty

@@ -107,6 +107,15 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * the table (e.g. a whole-table partition-drop delete). A table that
    * never held data falls back to a schemaless empty frame. */
   private[graft] def emptyLike(spark: SparkSession): DataFrame = {
+    // an evolution log declares the schema outright (a raw historical file
+    // would carry its ERA's physical layout — pre-rename names, dropped
+    // columns); without one any reachable file's footer is authoritative
+    val evos = graft.ops.Evolve.evolutions(this)
+    if (evos.nonEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(evos.last.schemaAfterJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
     val anyFile = allSnapshotIds.reverseIterator
       .flatMap(id => entries(id).iterator)
       .find(e => Files.exists(Paths.get(e.path)))
@@ -162,11 +171,16 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
         "manifest counts would over-count masked rows (materialize deletes first)")
     val es = entries(snapshotId)
     val rows = es.map(_.rows).sum
-    val mins = es.flatMap(_.statLong(column, lower = true))
-    val maxs = es.flatMap(_.statLong(column, lower = false))
+    // min/max only when EVERY file carries a numeric stat for the column:
+    // a file without one (written before an add/rename evolution, or with
+    // non-numeric stats) may hold rows outside the partial range, so a
+    // skip-the-gaps aggregate would be confidently wrong — None says
+    // "recompute from data", never a narrower-than-true answer
+    val mins = es.map(_.statLong(column, lower = true))
+    val maxs = es.map(_.statLong(column, lower = false))
     (rows,
-      if (mins.isEmpty) None else Some(mins.min),
-      if (maxs.isEmpty) None else Some(maxs.max))
+      if (es.isEmpty || mins.exists(_.isEmpty)) None else Some(mins.flatten.min),
+      if (es.isEmpty || maxs.exists(_.isEmpty)) None else Some(maxs.flatten.max))
   }
 
   // ---- hidden partitioning ----
@@ -234,6 +248,26 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     spark.createDataset(allSnapshotIds.map(snapshot))(
       Encoders.product[Snapshot]).toDF()
   }
+
+  /** One row per partition tuple of `snapshotId`: file/row/byte totals and
+   * the seq range — Iceberg's `table$partitions` analog, answered from the
+   * manifest alone (zero data IO). Files written without tuple
+   * reconstruction group under the empty tuple; `max_seq - min_seq` spread
+   * per tuple is the per-partition compaction-debt signal
+   * [[graft.ops.AutoMaintain]] reads file-wise. */
+  def partitionsTable(spark: SparkSession, snapshotId: Long): DataFrame =
+    filesTable(spark, snapshotId)
+      .groupBy(col("partition"))
+      .agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n_files"),
+        org.apache.spark.sql.functions.sum(col("rows")).as("n_rows"),
+        org.apache.spark.sql.functions.sum(col("sizeBytes")).as("total_bytes"),
+        org.apache.spark.sql.functions.min(col("seq")).as("min_seq"),
+        org.apache.spark.sql.functions.max(col("seq")).as("max_seq"))
+
+  def partitionsTableCurrent(spark: SparkSession): DataFrame =
+    partitionsTable(spark,
+      currentSnapshotId.getOrElse(sys.error(s"$tableDir: no current snapshot")))
 
   /** Fresh output directory for one maintenance pass. */
   def newDataDir(tag: String): String = {

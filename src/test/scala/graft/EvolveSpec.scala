@@ -97,6 +97,94 @@ class EvolveSpec extends AnyFunSuite {
       "published export materializes the evolved default")
   }
 
+  test("renameColumn is metadata-only: old files read under the new name") {
+    val dir = Files.createTempDirectory("graft-evolve-ren-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 60, 4, maxDurMs = 120).toDF())
+    val preFiles = store.entries(store.currentSnapshotId.get).map(_.path).toSet
+
+    Evolve.renameColumn(spark, store, "transcript", "caption")
+    val df = store.scanCurrent(spark)
+    assert(df.columns.toSeq.contains("caption") && !df.columns.contains("transcript"))
+    assert(df.filter(length(col("caption")) > 0).count() == 60,
+      "values survive the rename")
+    assert(store.entries(store.currentSnapshotId.get).map(_.path).toSet == preFiles,
+      "no data file was touched")
+
+    // post-rename append writes the new physical name; mixed eras union
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 20, 2, maxDurMs = 120).toDF()
+        .withColumn("clip_id", concat(lit("v2_"), col("clip_id")))
+        .withColumnRenamed("transcript", "caption"))
+    val mixed = store.scanCurrent(spark)
+    assert(mixed.count() == 80)
+    assert(mixed.filter(col("caption").isNull).count() == 0)
+
+    // a rewrite materializes the new name physically
+    Compact.run(spark, store, targetBytes = 64L * 1024 * 1024, runId = "ren-compact")
+    val raw = spark.read.parquet(
+      store.entries(store.currentSnapshotId.get).map(_.path): _*)
+    assert(raw.columns.contains("caption") && !raw.columns.contains("transcript"))
+
+    // CDC across the rename + compaction sees zero row changes
+    intercept[IllegalArgumentException] {
+      Evolve.renameColumn(spark, store, "caption", "sr_hz") // name collision
+    }
+    intercept[IllegalArgumentException] {
+      Evolve.renameColumn(spark, store, "nope", "x")
+    }
+  }
+
+  test("dropColumn hides stale bytes; re-added name takes the default, not the corpse") {
+    val dir = Files.createTempDirectory("graft-evolve-drop-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 50, 4, maxDurMs = 120).toDF())
+    val sA = store.currentSnapshotId.get
+
+    Evolve.dropColumn(spark, store, "codec")
+    val df = store.scanCurrent(spark)
+    assert(!df.columns.contains("codec"))
+    assert(df.count() == 50)
+
+    // re-add the SAME name: old files physically carry 'codec' values, but
+    // logically the column was reborn — every pre-add row must read the
+    // default, never the stale bytes
+    Evolve.addColumn(spark, store, "codec", "string", "'fresh'")
+    val re = store.scanCurrent(spark)
+    assert(re.filter(col("codec") === "fresh").count() == 50,
+      "dropped-then-re-added column never resurrects stale values")
+
+    // append under the reborn column, then compact: values stay separated
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 10, 1, maxDurMs = 120).toDF()
+        .withColumn("clip_id", concat(lit("v2_"), col("clip_id")))
+        .withColumn("codec", lit("written")))
+    Compact.run(spark, store, targetBytes = 64L * 1024 * 1024, runId = "drop-compact")
+    val post = store.scanCurrent(spark).cache()
+    assert(post.filter(col("codec") === "fresh").count() == 50)
+    assert(post.filter(col("codec") === "written").count() == 10)
+    post.unpersist()
+
+    // time travel to the pre-drop snapshot reads the CURRENT declared schema
+    // (latest-schema-wins, same contract as addColumn over tagged reads)
+    assert(store.scan(spark, sA).columns.contains("codec"))
+
+    intercept[IllegalArgumentException] { Evolve.dropColumn(spark, store, "ghost") }
+  }
+
+  test("rename refuses partition-spec sources and the bloom column") {
+    import graft.table.{PartField, PartitionSpec}
+    val dir = Files.createTempDirectory("graft-evolve-guard-").toString
+    val store = MetaStore.forClips(dir)
+    store.setPartitionSpec(PartitionSpec(Seq(
+      PartField("codec_p", "codec", "identity", 0, "string"))))
+    Append.run(spark, store, ClipSynth.dataset(spark, 20, 2, maxDurMs = 120).toDF())
+    intercept[IllegalArgumentException] {
+      Evolve.renameColumn(spark, store, "codec", "enc")
+    }
+    intercept[IllegalArgumentException] { Evolve.dropColumn(spark, store, "codec") }
+  }
+
   test("CDC across an evolution + compaction stays empty (era-normalized reads)") {
     val dir = Files.createTempDirectory("graft-evolve-cdc-").toString
     val store = MetaStore.forClips(dir)

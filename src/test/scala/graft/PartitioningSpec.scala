@@ -239,6 +239,13 @@ class PartitioningSpec extends AnyFunSuite {
     assert(snaps.filter(col("operation") === "append").count() == 2)
     assert(snaps.selectExpr("CAST(summary['rows'] AS LONG)").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(200L, 300L))
+    // partitions table: per-tuple rollup equals the data's group-by
+    val parts = store.partitionsTableCurrent(spark)
+      .selectExpr("partition['codec'] AS codec", "n_rows", "n_files")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(parts.view.mapValues(_._1).toMap == byData)
+    assert(parts.values.map(_._2).sum ==
+      store.entries(store.currentSnapshotId.get).size)
   }
 
   test("pre-spec history: empty tuples are always kept") {

@@ -56,6 +56,42 @@ class ShardAndMergeSpec extends AnyFunSuite {
     assert(store.scan(spark, before).count() === 500)
   }
 
+  test("full-sync merge: NOT MATCHED BY SOURCE rows are deleted") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sync-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 300, 6, maxDurMs = 100).toDF())
+    val before = store.currentSnapshotId.get
+
+    // source = ids 100..349: 100..299 match (two patched), 300..349 are
+    // inserts, and target ids 0..99 are NOT matched by source -> deleted
+    val src = spark.range(100L, 350L, 1L, 4)
+      .map(i => ClipSynth.clip(i, 100)).toDF()
+      .withColumn("transcript",
+        when(col("clip_id").isin(ClipSynth.clipId(150), ClipSynth.clipId(151)),
+          lit("synced")).otherwise(col("transcript")))
+    val res = MergeInto.run(spark, store, src, runId = "t-sync",
+      deleteUnmatched = true)
+
+    val after = store.scan(spark, res.snapshotId).cache()
+    assert(after.count() === 250, "table key set == source key set")
+    assert(after.filter(col("clip_id") < ClipSynth.clipId(100)).count() === 0,
+      "unmatched-by-source rows gone")
+    assert(after.filter(col("transcript") === "synced").count() === 2,
+      "matched rows updated")
+    assert(after.filter(col("clip_id") >= ClipSynth.clipId(300)).count() === 50,
+      "not-matched rows inserted")
+    after.unpersist()
+    // snapshot isolation: the pre-sync snapshot still has all 300
+    assert(store.scan(spark, before).count() === 300)
+    // idempotent: re-running the same sync changes nothing
+    val res2 = MergeInto.run(spark, store, src.withColumn("transcript",
+      when(col("clip_id").isin(ClipSynth.clipId(150), ClipSynth.clipId(151)),
+        lit("synced")).otherwise(col("transcript"))), runId = "t-sync2",
+      deleteUnmatched = true)
+    assert(store.scan(spark, res2.snapshotId).count() === 250)
+  }
+
   test("typed null-as-zero aggregator matches coalesce-sum semantics") {
     import spark.implicits._
     val df = Seq[(String, java.lang.Long)](
