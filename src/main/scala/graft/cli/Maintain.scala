@@ -28,6 +28,9 @@ import org.apache.spark.sql.SparkSession
  *     changes <from> <to>           row-level CDC between snapshots
  *     feed <sinceSnap>              poll appended rows since a cursor
  *     evolve <col> <type> <defaultSql>  add a column with initial default
+ *     evolve-rename <from> <to>     rename a column, metadata-only
+ *     evolve-drop <col>             drop a column, metadata-only
+ *     partitions                    per-tuple file/row/byte rollup (manifest-only)
  *     transcode [codec] [rateHz]    canonicalize payloads (default pcm16le 16000)
  *     orphans [minAgeH]             delete unreachable data files (crashed writes)
  *     publish <snapId|tag> <dest>   export a snapshot as standalone parquet
@@ -135,6 +138,24 @@ object Maintain {
       case "evolve" =>
         val id = Evolve.addColumn(spark, store, rest(0), rest(1), rest(2))
         println(s"snapshot $id: added ${rest(0)} ${rest(1)} default ${rest(2)}")
+      case "evolve-rename" =>
+        val id = Evolve.renameColumn(spark, store, rest(0), rest(1))
+        println(s"snapshot $id: renamed ${rest(0)} -> ${rest(1)} (metadata-only)")
+      case "evolve-drop" =>
+        val id = Evolve.dropColumn(spark, store, rest(0))
+        println(s"snapshot $id: dropped ${rest(0)} (metadata-only)")
+      case "partitions" =>
+        // per-tuple rollup from the manifest alone (table$partitions)
+        store.partitionsTableCurrent(spark)
+          .selectExpr("partition", "n_files", "n_rows", "total_bytes",
+            "min_seq", "max_seq")
+          .collect().foreach { r =>
+            val tup = r.getMap[String, String](0)
+            val t = if (tup.isEmpty) "(unpartitioned)"
+              else tup.map { case (k, v) => s"$k=$v" }.mkString(",")
+            println(f"$t%-40s files=${r.getLong(1)} rows=${r.getLong(2)} " +
+              s"bytes=${r.getLong(3)} seq=[${r.getLong(4)},${r.getLong(5)}]")
+          }
       case "publish" =>
         val target = rest(0).toLongOption.getOrElse(Refs.snapshotFor(store, rest(0)))
         val r = Publish.run(store, target, rest(1), Some(spark))
