@@ -30,6 +30,7 @@ import org.apache.spark.sql.SparkSession
  *     evolve <col> <type> <defaultSql>  add a column with initial default
  *     evolve-rename <from> <to>     rename a column, metadata-only
  *     evolve-drop <col>             drop a column, metadata-only
+ *     evolve-widen <col> <type>     widen a column type (int->long etc), metadata-only
  *     partitions                    per-tuple file/row/byte rollup (manifest-only)
  *     transcode [codec] [rateHz]    canonicalize payloads (default pcm16le 16000)
  *     orphans [minAgeH]             delete unreachable data files (crashed writes)
@@ -144,6 +145,9 @@ object Maintain {
       case "evolve-drop" =>
         val id = Evolve.dropColumn(spark, store, rest(0))
         println(s"snapshot $id: dropped ${rest(0)} (metadata-only)")
+      case "evolve-widen" =>
+        val id = Evolve.widenColumn(spark, store, rest(0), rest(1))
+        println(s"snapshot $id: widened ${rest(0)} -> ${rest(1)} (metadata-only)")
       case "partitions" =>
         // per-tuple rollup from the manifest alone (table$partitions)
         store.partitionsTableCurrent(spark)

@@ -143,6 +143,47 @@ object Evolve {
         Map("column" -> column, "dropped" -> "true"))
     }
 
+  /** The Iceberg-legal widening promotions (never lossy, so old files can
+   * be cast on read with bit-exact round-trips). */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /**
+   * Widen `column` to `toTypeDdl`, metadata-only (Iceberg type promotion:
+   * int->long, float->double, decimal precision growth). Pre-widen files
+   * keep the narrow physical type and are cast on read — lossless by
+   * construction, so scan output is identical to a full rewrite; rewrites
+   * materialize the wide type. Refused for partition-spec sources (bucket
+   * hashing is typed: xxhash64 of an int column's values differs from the
+   * long's, so a silent widen would desynchronize probe from layout).
+   */
+  def widenColumn(spark: SparkSession, store: MetaStore, column: String,
+                  toTypeDdl: String): Long =
+    record(spark, store, s"widen $column->$toTypeDdl") { before =>
+      val idx = before.fieldNames.indexOf(column)
+      require(idx >= 0, s"no such column: $column")
+      val to = org.apache.spark.sql.types.DataType.fromDDL(toTypeDdl)
+      require(widens(before.fields(idx).dataType, to),
+        s"cannot widen $column: ${before.fields(idx).dataType.sql} -> " +
+          s"${to.sql} is not a lossless promotion (int->long, float->double, " +
+          "decimal precision growth)")
+      requireUnbound(store, column, "widen")
+      val after = StructType(before.fields.map(f =>
+        if (f.name == column) f.copy(dataType = to) else f))
+      (Evolution(column, toTypeDdl, "", after.json, Nil,
+        kind = "widen", schemaBeforeJson = before.json),
+        Map("column" -> column, "widenedTo" -> toTypeDdl))
+    }
+
   private def requireUnbound(store: MetaStore, column: String, op: String): Unit = {
     require(!store.partitionSpec.exists(_.fields.exists(_.source == column)),
       s"cannot $op $column: it is a partition-spec source column")
@@ -223,6 +264,7 @@ object Evolve {
         e.kind match {
           case "rename" => df.withColumnRenamed(e.renamedFrom, e.column)
           case "drop" => df.drop(e.column)
+          case "widen" => df.withColumn(e.column, col(e.column).cast(e.typeDdl))
           case _ => df.withColumn(e.column,
             expr(e.defaultSql).cast(e.typeDdl))
         }

@@ -172,6 +172,46 @@ class EvolveSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Evolve.dropColumn(spark, store, "ghost") }
   }
 
+  test("widenColumn promotes int->long metadata-only; illegal promotions refused") {
+    val dir = Files.createTempDirectory("graft-evolve-widen-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 40, 2, maxDurMs = 120).toDF())
+    val preFiles = store.entries(store.currentSnapshotId.get).map(_.path).toSet
+    val sumBefore = store.scanCurrent(spark)
+      .agg(sum(col("dur_ms").cast("long"))).collect().head.getLong(0)
+
+    Evolve.widenColumn(spark, store, "dur_ms", "bigint")
+    val df = store.scanCurrent(spark)
+    assert(df.schema("dur_ms").dataType ==
+      org.apache.spark.sql.types.LongType, "declared type widened")
+    assert(df.agg(sum("dur_ms")).collect().head.getLong(0) == sumBefore,
+      "values bit-exact across the widen")
+    assert(store.entries(store.currentSnapshotId.get).map(_.path).toSet == preFiles,
+      "no data file was touched")
+
+    // post-widen append writes long physically; mixed eras still union,
+    // and a rewrite materializes the wide type
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 10, 1, maxDurMs = 120).toDF()
+        .withColumn("clip_id", concat(lit("v2_"), col("clip_id")))
+        .withColumn("dur_ms", col("dur_ms").cast("long") + 1000000000L))
+    assert(store.scanCurrent(spark).filter(col("dur_ms") > 1000000000L).count() == 10)
+    Compact.run(spark, store, targetBytes = 64L * 1024 * 1024, runId = "widen-compact")
+    val raw = spark.read.parquet(
+      store.entries(store.currentSnapshotId.get).map(_.path): _*)
+    assert(raw.schema("dur_ms").dataType == org.apache.spark.sql.types.LongType,
+      "rewrite materialized the wide physical type")
+    assert(store.scanCurrent(spark).count() == 50)
+
+    // narrowing / cross-family promotions refused
+    intercept[IllegalArgumentException] {
+      Evolve.widenColumn(spark, store, "dur_ms", "int")
+    }
+    intercept[IllegalArgumentException] {
+      Evolve.widenColumn(spark, store, "codec", "bigint")
+    }
+  }
+
   test("rename refuses partition-spec sources and the bloom column") {
     import graft.table.{PartField, PartitionSpec}
     val dir = Files.createTempDirectory("graft-evolve-guard-").toString
