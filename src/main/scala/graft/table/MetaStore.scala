@@ -516,11 +516,15 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
    * (metadata-only): many delta commits leave one small manifest each; this
    * folds them back to ceil(files / manifestShardSize) shards. Returns
    * (new snapshot id, manifests before, after). */
-  def compactManifests(): (Long, Int, Int) = {
+  def compactManifests(): (Long, Int, Int) = MetaStore.withCommitRetry() {
     val cur = currentSnapshotId.getOrElse(sys.error(s"$tableDir: no current snapshot"))
     val before = snapshot(cur).manifests.size
+    // CAS on the snapshot whose full entry list we serialized: without it an
+    // append landing between entries(cur) and the commit would be silently
+    // clobbered by this stale re-shard (retry re-reads and re-shards)
     val id = commit("rewrite-manifests", entries(cur),
-      Map("manifestsBefore" -> before.toString))
+      Map("manifestsBefore" -> before.toString),
+      expectedParent = Some(cur))
     (id, before, snapshot(id).manifests.size)
   }
 

@@ -108,6 +108,26 @@ class CommitRaceSpec extends AnyFunSuite {
     assert(store.deleteEntries(store.currentSnapshotId.get).nonEmpty)
   }
 
+  test("compactManifests racing appends never drops an interleaved batch") {
+    val store = freshStore("remanifest")
+    seed(store)
+    // re-shard storms alongside appends: the re-shard serializes a FULL file
+    // list, so without its CAS an append landing in between is clobbered
+    // (its files vanish from the re-sharded snapshot). withCommitRetry makes
+    // every racer eventually succeed; row count proves no batch was lost.
+    val results = inParallel(8) { i =>
+      if (i % 2 == 0) {
+        Append.run(spark, store, // retries internally on commit races
+          ClipSynth.dataset(spark, 10, 1, maxDurMs = 40).toDF()
+            .withColumn("clip_id", concat(lit(s"r${i}_"), col("clip_id"))))
+        10L
+      } else { store.compactManifests(); 0L }
+    }
+    val expected = 60L + results.sum
+    assert(store.scanCurrent(spark).count() == expected,
+      "an interleaved append was clobbered by a stale manifest re-shard")
+  }
+
   test("batched cluster rerun after an interleaved delete must not resurrect rows") {
     val store = freshStore("clre")
     seed(store)
