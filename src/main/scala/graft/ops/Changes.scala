@@ -137,10 +137,32 @@ object Changes {
     val keyed = deltaDels.map(_.path).filter { p =>
       spark.read.parquet(p).columns.contains(keyCol)
     }
-    if (keyed.isEmpty) base
+    // POSITION deletes added in the range carry no key column — resolve the
+    // named (file_path, pos) rows to keys by reading the TARGET files under
+    // `from`'s visibility with row identity attached. Bounded by the delete
+    // churn's target-file set, never the table.
+    val posDelPaths = deltaDels.map(_.path)
+      .filter(p => Deletes.isPositional(spark, p))
+    val posKeyVals: Seq[Any] =
+      if (posDelPaths.isEmpty) Nil
+      else {
+        val pairs = spark.read.parquet(posDelPaths: _*)
+          .select(col("file_path").as(Deletes.PosPathCol),
+            col("pos").cast("long").as(Deletes.PosIdxCol)).distinct()
+        val targetPaths = pairs.select(Deletes.PosPathCol)
+          .distinct().collect().map(_.getString(0)).toSet
+        val targets = store.entries(fromId).filter(f => targetPaths.contains(f.path))
+        if (targets.isEmpty) Nil
+        else Deletes.readFiles(spark, store, fromId, targets, withPos = true)
+          .join(broadcast(pairs), Seq(Deletes.PosPathCol, Deletes.PosIdxCol), "left_semi")
+          .select(keyCol).distinct().collect().map(_.get(0)).toSeq
+      }
+    if (keyed.isEmpty && posKeyVals.isEmpty) base
     else {
-      val keyVals = spark.read.parquet(keyed: _*)
-        .select(keyCol).distinct().collect().map(_.get(0)).toSeq
+      val keyVals = (if (keyed.isEmpty) Nil
+        else spark.read.parquet(keyed: _*)
+          .select(keyCol).distinct().collect().map(_.get(0)).toSeq
+        ).++(posKeyVals).distinct
       if (keyVals.isEmpty) base
       else {
         val pred = Seq(graft.table.Pred.InSet(keyCol, keyVals))

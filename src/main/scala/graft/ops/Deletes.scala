@@ -24,7 +24,13 @@ final case class DeleteResult(
     rowsDropped: Long = 0L)
 
 /**
- * Merge-on-read row-level deletes: equality-delete FILES, Iceberg-style.
+ * Merge-on-read row-level deletes, Iceberg-style — BOTH v2 delete shapes:
+ *
+ *  - **equality deletes** (key-value files, the sequence rule below), and
+ *  - **position deletes** ([[Deletes.runPositional]]: `(file_path, pos)`
+ *    files naming exact physical rows; applied by path+row-index anti-join
+ *    against Spark's `_metadata` hidden columns, verified against DuckDB's
+ *    `file_row_number` — the two engines agree on parquet row order).
  *
  * A delete commit writes a small parquet of key values (no data file is
  * touched — the write cost is O(deleted keys), not O(table)) and records it
@@ -53,6 +59,20 @@ object Deletes {
    * anti-join (driver+executor memory bound); larger sets shuffle. */
   var broadcastRowLimit: Long = 5L * 1000 * 1000
 
+  /** Helper columns carrying each row's physical identity through a
+   * position-aware read: normalized source file path + 0-based row index
+   * within that file (Spark's `_metadata.file_path` / `_metadata.row_index`
+   * hidden columns, attached at the raw parquet read). */
+  val PosPathCol = "_pos_path"
+  val PosIdxCol = "_pos_idx"
+
+  /** Column set that marks a delete file as a POSITION delete (Iceberg v2's
+   * second delete shape): rows of `(file_path, pos)` naming exact physical
+   * rows. Anything else is an equality delete keyed on those columns. The
+   * two never collide: delete keys are table columns, and `file_path`/`pos`
+   * are reserved (not clip-table columns). */
+  private val PosDeleteCols = Seq("file_path", "pos")
+
   /** Read one group of delete files (uniform column set) as a distinct key
    * frame. */
   private def keyFrame(spark: SparkSession, paths: Seq[String]): DataFrame =
@@ -65,6 +85,12 @@ object Deletes {
    * before any data is read. */
   private val delColsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Whether the delete file at `path` is a position delete (footer-only
+   * probe, cached — same cache the equality grouping uses). */
+  def isPositional(spark: SparkSession, path: String): Boolean =
+    delColsCache.computeIfAbsent(path,
+      pp => spark.read.parquet(pp).columns.toSeq.sorted) == PosDeleteCols
 
   /** Anti-join `df` against every delete entry in `dels`. Delete files are
    * grouped by their column set (equality deletes may key on different
@@ -82,26 +108,60 @@ object Deletes {
     }
   }
 
+  /** Anti-join position-delete `(file_path, pos)` pairs against a frame that
+   * carries [[PosPathCol]]/[[PosIdxCol]] row identity. Position deletes
+   * apply purely by exact path — rewrites change paths, so a stale position
+   * delete is inert on rewritten files by construction (no sequence rule
+   * needed; paths are never reused, every output dir is UUID-fresh). */
+  private def applyPositional(spark: SparkSession, df: DataFrame,
+                              posDels: Seq[DataFile]): DataFrame = {
+    val keys = spark.read.parquet(posDels.map(_.path): _*)
+      .select(col("file_path").as(PosPathCol), col("pos").cast("long").as(PosIdxCol))
+      .distinct()
+    val right =
+      if (posDels.map(_.rows).sum <= broadcastRowLimit) broadcast(keys) else keys
+    df.join(right, Seq(PosPathCol, PosIdxCol), "left_anti")
+  }
+
   /**
    * Delete-aware + evolution-aware read of a file subset under `snapshotId`:
-   * files are grouped by which deletes apply to them (delete `d` applies to
-   * file `f` iff `f.seq < d.seq`), each group is read through the
+   * files are grouped by which EQUALITY deletes apply to them (delete `d`
+   * applies to file `f` iff `f.seq < d.seq`), each group is read through the
    * evolution-aware path and anti-joined against exactly its applicable
    * delete keys. The group count is O(distinct delete seqs), which stays
    * small because rewrites retire deletes ([[expireInert]]).
+   *
+   * POSITION deletes (files of `(file_path, pos)`) are applied after the
+   * union in ONE anti-join on physical row identity — they key on exact
+   * paths, so no per-seq grouping is needed and rows of files they don't
+   * name are untouched.
+   *
+   * @param withPos keep the [[PosPathCol]]/[[PosIdxCol]] row-identity
+   *   columns in the output (for callers resolving rows to positions, e.g.
+   *   `deleteWhere(positional = true)`); otherwise they are attached only
+   *   when position deletes exist and dropped before returning.
    */
   def readFiles(spark: SparkSession, store: MetaStore, snapshotId: Long,
-                files: Seq[DataFile]): DataFrame = {
+                files: Seq[DataFile], withPos: Boolean = false): DataFrame = {
     if (files.isEmpty) return spark.emptyDataFrame
     val dels = store.deleteEntries(snapshotId).sortBy(_.seq)
-    if (dels.isEmpty) return Evolve.readFiles(spark, store, files)
-    val delSeqs = dels.map(_.seq)
-    // boundary index = how many deletes DON'T apply (seq <= file seq);
-    // applicable set for the group = dels.drop(boundary)
+    val (posDels, eqDels) = dels.partition(d => isPositional(spark, d.path))
+    val needPos = withPos || posDels.nonEmpty
+    if (dels.isEmpty && !needPos) return Evolve.readFiles(spark, store, files)
+    val delSeqs = eqDels.map(_.seq)
+    // boundary index = how many equality deletes DON'T apply (seq <= file
+    // seq); applicable set for the group = eqDels.drop(boundary)
     val groups = files.groupBy(f => delSeqs.count(_ <= f.seq))
-    groups.toSeq.sortBy(_._1).map { case (boundary, fs) =>
-      applyTo(spark, Evolve.readFiles(spark, store, fs), dels.drop(boundary))
+    val eqApplied = groups.toSeq.sortBy(_._1).map { case (boundary, fs) =>
+      applyTo(spark, Evolve.readFiles(spark, store, fs, needPos),
+        eqDels.drop(boundary))
     }.reduce(_.unionByName(_))
+    val visible =
+      if (posDels.isEmpty) eqApplied
+      else applyPositional(spark, eqApplied, posDels)
+    if (withPos) visible
+    else if (needPos) visible.drop(PosPathCol, PosIdxCol)
+    else visible
   }
 
   /** Delete-aware snapshot scan (the [[MetaStore.scan]] route when the
@@ -146,6 +206,43 @@ object Deletes {
   }
 
   /**
+   * Commit a POSITION delete: `positions` is a frame of exactly
+   * `(file_path: string, pos: long)` naming physical rows of CURRENT data
+   * files (0-based row index within the file — Spark's `_metadata.row_index`
+   * / DuckDB's `file_row_number` convention). O(|positions|) work, zero data
+   * rewrite; applied read-side by path+pos anti-join. Unlike an equality
+   * delete there is no key semantics: a later re-insert of the same logical
+   * key is a DIFFERENT physical row and is never masked, and every rewrite
+   * (new paths) makes the delete inert on the rewritten data by
+   * construction.
+   *
+   * The caller resolved positions against a specific snapshot's files —
+   * `expectedSnapshot` CASes on it so an interleaved rewrite (which would
+   * orphan the named paths and silently un-delete) fails the commit instead.
+   */
+  def runPositional(spark: SparkSession, store: MetaStore, positions: DataFrame,
+                    expectedSnapshot: Long,
+                    runId: String = s"delete-${System.currentTimeMillis()}"): DeleteResult = {
+    require(positions.columns.sorted.toSeq == Seq("file_path", "pos"),
+      s"position delete needs exactly (file_path, pos); got ${positions.columns.mkString(",")}")
+    val outDir = store.newDataDir("posdelete")
+    positions.select(col("file_path"), col("pos").cast("long"))
+      .distinct().coalesce(1).write.mode("overwrite").parquet(outDir)
+    val rawEntries = store.collectStats(spark, outDir).filter(_.rows > 0)
+    val rows = rawEntries.map(_.rows).sum
+    if (rows == 0)
+      return DeleteResult(store.currentSnapshotId.getOrElse(-1L), 0, 0)
+    val newSnap = store.commitDelta("delete", Nil, summary = Map(
+      "runId" -> runId,
+      "deleteRows" -> rows.toString,
+      "deleteFiles" -> rawEntries.size.toString,
+      "deleteType" -> "position"),
+      addedDeletes = rawEntries,
+      expectedParent = Some(expectedSnapshot))
+    DeleteResult(newSnap, rawEntries.size, rows)
+  }
+
+  /**
    * Predicate-shaped delete, two tiers in ONE atomic commit:
    *
    *  1. **Partition-drop fast path** — files whose partition tuple or
@@ -164,9 +261,16 @@ object Deletes {
    *
    * Key-based residue semantics unchanged: an equality delete removes every
    * visible row sharing the key (keys are expected unique, e.g. clip_id).
+   *
+   * With `positional = true` the residue is committed as a POSITION delete
+   * instead: matching rows resolve to `(file_path, pos)` via the
+   * position-aware read, so no key column (or key uniqueness) is needed and
+   * a later re-insert of a matching key is never masked. The partition-drop
+   * fast path is identical in both modes.
    */
   def deleteWhere(spark: SparkSession, store: MetaStore, preds: Seq[Pred],
                   keyCols: Seq[String] = Seq("clip_id"),
+                  positional: Boolean = false,
                   runId: String = s"delete-${System.currentTimeMillis()}"): DeleteResult =
   // a lost commit race re-runs the WHOLE resolution: the covered-file set
   // and residue keys must be re-proven against the snapshot that beat us
@@ -186,6 +290,11 @@ object Deletes {
     val candidates = Pruning.keep(rest.filter(tupleKeep), preds)
     val keyDf =
       if (candidates.isEmpty) None
+      else if (positional)
+        Some(readFiles(spark, store, snapId, candidates, withPos = true)
+          .filter(Pred.and(preds))
+          .select(col(PosPathCol).as("file_path"), col(PosIdxCol).as("pos"))
+          .distinct())
       else Some(readFiles(spark, store, snapId, candidates)
         .filter(Pred.and(preds)).select(keyCols.map(col): _*).distinct())
 
@@ -220,6 +329,9 @@ object Deletes {
   /**
    * Drop delete files no live data file is still covered by (every data
    * file's `seq >= delete.seq`, which a full cluster rewrite guarantees).
+   * The seq rule is conservative for POSITION deletes (a dead-path position
+   * delete with a high seq is kept here); [[materialize]] retires those
+   * exactly via path liveness.
    * Metadata-only commit; the orphaned delete parquets become GC-able by
    * [[ExpireSnapshots]] / [[RemoveOrphans]] once no retained snapshot
    * references them. Returns (new snapshot id, deletes dropped); no commit
@@ -282,21 +394,40 @@ object Deletes {
     val entries = store.entries(snapId)
     val dels = store.deleteEntries(snapId)
     if (dels.isEmpty) return MaterializeResult(snapId, 0, 0, 0)
-    val covered = entries.filter(f => dels.exists(_.seq > f.seq))
-    if (covered.isEmpty) { // already outrun — plain retire
-      val (id, n) = expireInert(store)
-      return MaterializeResult(id, 0, 0, n)
+    // position deletes cover exactly the live files they NAME (pairs naming
+    // rewritten-away paths are dead weight, not coverage); equality deletes
+    // cover by the sequence rule
+    val (posDels, eqDels) = dels.partition(d => isPositional(spark, d.path))
+    val posTargets: Set[String] =
+      if (posDels.isEmpty) Set.empty
+      else spark.read.parquet(posDels.map(_.path): _*)
+        .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    val coveredEq = entries.filter(f => eqDels.exists(_.seq > f.seq))
+    val coveredPos = entries.filter(f => posTargets.contains(f.path))
+    val covered = coveredEq ++
+      coveredPos.filterNot(f => coveredEq.exists(_.path == f.path))
+    if (covered.isEmpty) {
+      // every delete is provably inert — no equality delete covers any live
+      // file AND no position delete names a live path — so retire them ALL
+      // (expireInert's seq-only rule would keep a dead-path position delete)
+      val id = store.commitDelta("expire-deletes", Nil, summary = Map(
+        "deletesDropped" -> dels.size.toString,
+        "deletesKept" -> "0"),
+        deletes = Some(Nil),
+        expectedParent = Some(snapId))
+      return MaterializeResult(id, 0, 0, dels.size)
     }
 
-    // promotion proof: per delete-key column, the distinct key values (only
-    // when every delete file keys on exactly ONE column and the total stays
+    // promotion proof (equality deletes only — a position-named file always
+    // rewrites): per delete-key column, the distinct key values (only when
+    // every delete file keys on exactly ONE column and the total stays
     // driver-sized; multi-column keys would need tuple-level proofs)
-    val delCols = dels.map(d => spark.read.parquet(d.path).columns.toSeq)
-    val provable = dels.map(_.rows).sum <= promoteKeyLimit && delCols.forall(_.size == 1)
-    val toRewrite: Seq[DataFile] =
-      if (!provable) covered
+    val delCols = eqDels.map(d => spark.read.parquet(d.path).columns.toSeq)
+    val provable = eqDels.map(_.rows).sum <= promoteKeyLimit && delCols.forall(_.size == 1)
+    val eqToRewrite: Seq[DataFile] =
+      if (!provable) coveredEq
       else {
-        val byCol = dels.zip(delCols).groupBy(_._2.head)
+        val byCol = eqDels.zip(delCols).groupBy(_._2.head)
         // a file needs a rewrite iff it MAY contain a key of SOME delete
         // that covers it (delete.seq > file.seq)
         val mayPerCol: Map[String, DataFile => Boolean] =
@@ -309,7 +440,7 @@ object Deletes {
               .getOrElse((_: DataFile) => true)
             val bloomSurvivors: Option[Set[String]] =
               if (store.bloomColumn.contains(c)) {
-                val zoneCand = covered.filter(f =>
+                val zoneCand = coveredEq.filter(f =>
                   f.seq < maxSeq && tupleKeep(f) && pred.mayMatch(f))
                 Some(graft.table.FileBloom.prunePaths(spark, store,
                   zoneCand.map(_.path), vals.map(_.toString)))
@@ -317,8 +448,10 @@ object Deletes {
             c -> ((f: DataFile) => f.seq < maxSeq && tupleKeep(f) &&
               pred.mayMatch(f) && bloomSurvivors.forall(_.contains(f.path)))
           }
-        covered.filter(f => mayPerCol.values.exists(_(f)))
+        coveredEq.filter(f => mayPerCol.values.exists(_(f)))
       }
+    val toRewrite = eqToRewrite ++
+      coveredPos.filterNot(f => eqToRewrite.exists(_.path == f.path))
     val promoted = covered.filterNot(f => toRewrite.exists(_.path == f.path))
 
     val newEntries =

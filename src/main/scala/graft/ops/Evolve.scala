@@ -237,10 +237,22 @@ object Evolve {
    * direct-file maintenance readers (per-bin compaction), so every rewrite
    * materializes the defaults regardless of which path it reads through.
    */
+  /** @param withPos attach [[Deletes.PosPathCol]]/[[Deletes.PosIdxCol]]
+   *   (normalized source path + 0-based row index, from the parquet source's
+   *   `_metadata` hidden columns) at the RAW read — before any era
+   *   projection — so position deletes can be applied and resolved on
+   *   physical row identity. */
   def readFiles(spark: SparkSession, store: MetaStore,
-                files: Seq[graft.table.DataFile]): DataFrame = {
+                files: Seq[graft.table.DataFile],
+                withPos: Boolean = false): DataFrame = {
+    def pos(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else df
+        .withColumn(Deletes.PosPathCol,
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn(Deletes.PosIdxCol, col("_metadata.row_index"))
     val evos = evolutions(store)
-    if (evos.isEmpty) return spark.read.parquet(files.map(_.path): _*)
+    if (evos.isEmpty) return pos(spark.read.parquet(files.map(_.path): _*))
     val declared = org.apache.spark.sql.types.DataType.fromJson(
       evos.last.schemaAfterJson).asInstanceOf[StructType]
     val evoSets = evos.map(_.paths.toSet)
@@ -256,10 +268,12 @@ object Evolve {
       val k = evoSets.indexWhere(_.contains(f.path))
       if (k < 0) evos.length else k
     }
+    val outCols = declared.fieldNames.toSeq ++
+      (if (withPos) Seq(Deletes.PosPathCol, Deletes.PosIdxCol) else Nil)
     files.groupBy(era).toSeq.sortBy(_._1).map { case (k, fs) =>
       val readSchema =
         if (k == evos.length) declared else schemaBefore(evos(k))
-      val base = spark.read.schema(readSchema).parquet(fs.map(_.path): _*)
+      val base = pos(spark.read.schema(readSchema).parquet(fs.map(_.path): _*))
       evos.drop(k).foldLeft(base) { (df, e) =>
         e.kind match {
           case "rename" => df.withColumnRenamed(e.renamedFrom, e.column)
@@ -268,7 +282,7 @@ object Evolve {
           case _ => df.withColumn(e.column,
             expr(e.defaultSql).cast(e.typeDdl))
         }
-      }.select(declared.fieldNames.map(col).toSeq: _*)
+      }.select(outCols.map(col): _*)
     }.reduce(_.unionByName(_))
   }
 

@@ -257,6 +257,137 @@ class DeleteSpec extends AnyFunSuite {
     assert(sum("deleteRows").toLong == res.deleteRows)
   }
 
+  test("position delete hides exactly the named rows; re-insert is never masked") {
+    val store = freshStore("pos")
+    seed(store)
+    val snapId = store.currentSnapshotId.get
+    val all = visibleIds(store)
+
+    // name the first two physical rows of one data file
+    val target = store.entries(snapId).head
+    val doomed = spark.read.parquet(target.path)
+      .limit(2).select("clip_id").as[String].collect().toSet
+    val positions = Seq((target.path, 0L), (target.path, 1L)).toDF("file_path", "pos")
+    val res = Deletes.runPositional(spark, store, positions, expectedSnapshot = snapId)
+    assert(res.deleteRows == 2)
+    assert(visibleIds(store) == all -- doomed)
+    // remaining rows of the SAME file survive (path+pos precision, not path)
+    assert(store.scanCurrent(spark).count() == 60 - 2)
+
+    // re-insert one deleted key: a position delete can never mask the new
+    // physical row (different file), unlike an equality delete's key rule
+    val back = doomed.head
+    Append.run(spark, store, Seq(ClipSynth.clip(back.stripPrefix("clip_").toLong,
+      maxDurMs = 40)).toDS().toDF())
+    assert(visibleIds(store).contains(back))
+
+    // stale resolution is refused: the CAS fails rather than committing
+    // positions planned against a snapshot that has moved on
+    intercept[graft.table.ConcurrentCommitException] {
+      Deletes.runPositional(spark, store,
+        Seq((target.path, 2L)).toDF("file_path", "pos"), expectedSnapshot = snapId)
+    }
+  }
+
+  test("deleteWhere(positional): predicate residue lands as a position delete") {
+    val store = freshStore("poswhere")
+    seed(store)
+    val expectGone = store.scanCurrent(spark)
+      .filter(col("codec") === "ulaw").select("clip_id").as[String].collect().toSet
+    val res = Deletes.deleteWhere(spark, store,
+      Seq(Pred.EqualTo("codec", "ulaw")), positional = true)
+    assert(res.deleteRows == expectGone.size.toLong)
+    val dels = store.deleteEntries(store.currentSnapshotId.get)
+    assert(dels.nonEmpty &&
+      spark.read.parquet(dels.head.path).columns.sorted.sameElements(
+        Array("file_path", "pos")))
+    assert(visibleIds(store).intersect(expectGone).isEmpty)
+
+    // pruned scan stays exact under live position deletes
+    val preds = Seq(Pred.Between("dur_ms", 5, 35))
+    val pruned = store.scanCurrentPruned(spark, preds).df
+      .select("clip_id").as[String].collect().sorted
+    val full = store.scanCurrent(spark).filter(Pred.and(preds))
+      .select("clip_id").as[String].collect().sorted
+    assert(pruned.sameElements(full))
+  }
+
+  test("mixed equality + position deletes apply together; materialize retires both") {
+    val store = freshStore("posmix")
+    seed(store)
+    val snapId = store.currentSnapshotId.get
+    // equality-delete the ulaw codec rows, position-delete row 0 of one file
+    Deletes.deleteWhere(spark, store, Seq(Pred.EqualTo("codec", "ulaw")))
+    val target = store.entries(snapId).last
+    val posVictim = spark.read.parquet(target.path)
+      .limit(1).select("clip_id", "codec").as[(String, String)].collect().head
+    Deletes.runPositional(spark, store,
+      Seq((target.path, 0L)).toDF("file_path", "pos"),
+      expectedSnapshot = store.currentSnapshotId.get)
+    val ulaw = (0L until 60L).filter(i => ClipSynth.codec(i) == "ulaw")
+      .map(ClipSynth.clipId).toSet
+    val expect = (0L until 60L).map(ClipSynth.clipId).toSet -- ulaw -- (
+      if (posVictim._2 == "ulaw") Set.empty[String] else Set(posVictim._1))
+    assert(visibleIds(store) == expect)
+
+    // materialize rewrites the position-named file, promotes/rewrites the
+    // equality-covered rest, and retires EVERY delete file in one commit
+    val m = Deletes.materialize(spark, store)
+    assert(m.deletesRetired == 2)
+    assert(store.deleteEntries(m.snapshotId).isEmpty)
+    assert(visibleIds(store) == expect)
+    // the position-named path is gone from the manifest (rewritten)
+    assert(!store.entries(m.snapshotId).exists(_.path == target.path))
+  }
+
+  test("rewrite makes a position delete dead-path; materialize retires it exactly") {
+    val store = freshStore("posdead")
+    seed(store)
+    val snapId = store.currentSnapshotId.get
+    val target = store.entries(snapId).head
+    Deletes.runPositional(spark, store,
+      Seq((target.path, 0L)).toDF("file_path", "pos"), expectedSnapshot = snapId)
+    val expect = visibleIds(store)
+
+    // full rewrite: every named path dies, the delete is inert by path but
+    // its seq is NOT below the rewritten files' seq floor for expireInert's
+    // conservative rule... cluster stamps new seqs above it, so both rules
+    // agree here; the interesting case is materialize's covered-empty branch
+    Cluster.run(spark, store, targetBytes = 512L * 1024)
+    assert(visibleIds(store) == expect, "rewrite materialized the position delete")
+    val m = Deletes.materialize(spark, store)
+    assert(m.filesRewritten == 0 && m.filesPromoted == 0 && m.deletesRetired == 1,
+      s"dead-path position delete must retire metadata-only: $m")
+    assert(store.deleteEntries(m.snapshotId).isEmpty)
+    assert(visibleIds(store) == expect)
+  }
+
+  test("CDC classifies position deletes: delete rows, and re-insert as update") {
+    val store = freshStore("poscdc")
+    seed(store)
+    val from = store.currentSnapshotId.get
+    val target = store.entries(from).head
+    val victims = spark.read.parquet(target.path)
+      .limit(3).select("clip_id").as[String].collect().toSet
+    Deletes.runPositional(spark, store,
+      Seq((target.path, 0L), (target.path, 1L), (target.path, 2L))
+        .toDF("file_path", "pos"),
+      expectedSnapshot = from)
+    // re-insert ONE of the deleted keys with new content -> net update
+    val back = victims.head
+    Append.run(spark, store, Seq(ClipSynth.clip(back.stripPrefix("clip_").toLong,
+      maxDurMs = 40)).toDS().toDF()
+      .withColumn("transcript", concat(col("transcript"), lit(" v2"))))
+    val to = store.currentSnapshotId.get
+
+    val rows = Changes.rowChanges(spark, store, from, to)
+      .as[(String, String)].collect().toMap
+    assert(rows(back) == "update", s"re-inserted key must be update: $rows")
+    assert((victims - back).forall(k => rows.get(k).contains("delete")),
+      s"position-deleted keys must emit delete rows: $rows")
+    assert(rows.size == victims.size, s"no extra CDC rows: $rows")
+  }
+
   test("null rows are never swept by a whole-file drop") {
     val store = freshStore("pnull")
     // a file whose dur_ms stats span [100,100] but contains a NULL row:
