@@ -1495,6 +1495,59 @@ object Audio {
         runId = "q100-compact", singleJob = true)
       store.scanCurrent(s)
         .select("clip_id", "codec", "dur_ms", "sr_hz", "transcript")
+    }),
+
+    // -- POSITION deletes (ops/Deletes.scala:runPositional): Iceberg v2's
+    //    second delete shape — files of (file_path, pos) naming exact
+    //    physical rows, applied by path+row-index anti-join on the parquet
+    //    source's _metadata hidden columns. The story: two appends -> a
+    //    predicate delete committed as POSITIONS (deleteWhere resolves
+    //    matching rows to (file_path, pos) through the position-aware read;
+    //    no key column needed) -> a re-insert of some deleted keys (new
+    //    physical rows in new files — a position delete can never mask them,
+    //    unlike an equality delete's key rule) -> a compaction that
+    //    materializes the masks into its rewritten bins while carried-over
+    //    files stay covered read-side. Returns the final visible rows. --
+    //    Oracle: DuckDB replays position semantics from the RAW pre-compact
+    //    files via read_parquet(filename, file_row_number) — the two engines
+    //    agree on parquet row order — anti-joined against the delete pairs:
+    //    an independent recompute of both the position-delete application
+    //    and the compaction's scan preservation. --
+    "q110_position_deletes" -> ((s, d) => {
+      import s.implicits._
+      val dir = OracleFixtures.freshDir("q110_store", d)
+      val store = MetaStore.forClips(dir)
+      val n = clipCount(d)
+      def synthRange(from: Long, until: Long, parts: Int) =
+        s.range(from, until, 1L, parts).map(i => ClipSynth.clip(i, 150)).toDF()
+      Append.run(s, store, synthRange(0, n / 2, 4))
+      Append.run(s, store, synthRange(n / 2, n, 4))
+      Deletes.deleteWhere(s, store, Seq(Pred.EqualTo("codec", Pcm.Pcm8)),
+        positional = true, runId = "q110-delete")
+      val delFiles = store.deleteEntries(store.currentSnapshotId.get)
+      // re-insert 8 deleted keys with new content: different physical rows,
+      // never masked by the committed positions
+      val reIdx = (0L until n).filter(i => ClipSynth.codec(i) == Pcm.Pcm8).take(8)
+      Append.run(s, store,
+        reIdx.toDS().repartition(1).map(i => ClipSynth.clip(i, 150)).toDF()
+          .withColumn("transcript", concat(col("transcript"), lit(" v2"))))
+      val rawFiles = store.entries(store.currentSnapshotId.get)
+      OracleFixtures.register("q110_position_deletes",
+        s"""WITH rows_all AS (
+           |  SELECT clip_id, codec, dur_ms, sr_hz, transcript,
+           |    filename AS fpath, file_row_number AS fpos
+           |  FROM read_parquet(${OracleFixtures.pathList(rawFiles.map(_.path))},
+           |    filename=true, file_row_number=true)),
+           |delk AS (SELECT file_path, pos
+           |  FROM read_parquet(${OracleFixtures.pathList(delFiles.map(_.path))}))
+           |SELECT a.clip_id, a.codec, a.dur_ms, a.sr_hz, a.transcript
+           |FROM rows_all a LEFT JOIN delk
+           |  ON a.fpath = delk.file_path AND a.fpos = delk.pos
+           |WHERE delk.file_path IS NULL""".stripMargin)
+      Compact.run(s, store, targetBytes = 512L * 1024,
+        runId = "q110-compact", singleJob = true)
+      store.scanCurrent(s)
+        .select("clip_id", "codec", "dur_ms", "sr_hz", "transcript")
     })
   )
 
