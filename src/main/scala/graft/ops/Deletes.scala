@@ -225,6 +225,16 @@ object Deletes {
                     runId: String = s"delete-${System.currentTimeMillis()}"): DeleteResult = {
     require(positions.columns.sorted.toSeq == Seq("file_path", "pos"),
       s"position delete needs exactly (file_path, pos); got ${positions.columns.mkString(",")}")
+    // every named path must be a LIVE data file of the snapshot the caller
+    // resolved against — a stale or mistyped path would otherwise commit a
+    // silent no-op mask. Driver-side set: bounded by file count, not rows.
+    val live = store.entries(expectedSnapshot).map(_.path).toSet
+    val named = positions.select("file_path").distinct()
+      .collect().map(_.getString(0))
+    val dead = named.filterNot(live.contains)
+    require(dead.isEmpty,
+      s"position delete names ${dead.length} path(s) not live in snapshot " +
+        s"$expectedSnapshot (stale resolution or typo): ${dead.take(3).mkString(", ")}")
     val outDir = store.newDataDir("posdelete")
     positions.select(col("file_path"), col("pos").cast("long"))
       .distinct().coalesce(1).write.mode("overwrite").parquet(outDir)

@@ -287,6 +287,15 @@ class DeleteSpec extends AnyFunSuite {
       Deletes.runPositional(spark, store,
         Seq((target.path, 2L)).toDF("file_path", "pos"), expectedSnapshot = snapId)
     }
+
+    // a path not live in the expected snapshot is refused up front
+    // (a silent no-op mask otherwise)
+    val bogus = intercept[IllegalArgumentException] {
+      Deletes.runPositional(spark, store,
+        Seq((target.path + ".gone", 0L)).toDF("file_path", "pos"),
+        expectedSnapshot = store.currentSnapshotId.get)
+    }
+    assert(bogus.getMessage.contains("not live"))
   }
 
   test("deleteWhere(positional): predicate residue lands as a position delete") {
