@@ -38,6 +38,9 @@ import org.apache.spark.sql.SparkSession
  *     materialize-deletes           pay down merge-on-read debt: promote
  *                                   provably-clean files metadata-only,
  *                                   rewrite the rest, retire delete files
+ *     delete-where-pos <col> <op> <v>  predicate delete, residue as POSITIONS
+ *     compact-pos-deletes           merge position-delete files into one,
+ *                                   dropping dead-path mask rows
  *     wap-stage <name> <n> [fromId] stage a batch outside the snapshot log
  *     wap-audit <name>              constraint-audit the staged batch only
  *     wap-publish <name> [force]    atomic O(batch) publish (audit-gated)
@@ -203,6 +206,22 @@ object Maintain {
         println(s"snapshot ${r.snapshotId}: dropped ${r.filesDropped} " +
           s"fully-covered file(s) (${r.rowsDropped} rows, metadata-only) + " +
           s"equality delete of ${r.deleteRows} keys in ${r.deleteFiles} delete file(s)")
+      case "delete-where-pos" =>
+        // <col> <op:eq|lt|gteq> <value> — residue committed as POSITIONS
+        val pred = rest(1) match {
+          case "eq" => graft.table.Pred.EqualTo(rest(0), rest(2))
+          case "lt" => graft.table.Pred.Lt(rest(0), rest(2).toLong)
+          case "gteq" => graft.table.Pred.GtEq(rest(0), rest(2).toLong)
+          case o => sys.error(s"delete-where-pos: unknown op $o (eq|lt|gteq)")
+        }
+        val r = Deletes.deleteWhere(spark, store, Seq(pred), positional = true)
+        println(s"snapshot ${r.snapshotId}: dropped ${r.filesDropped} " +
+          s"fully-covered file(s) (${r.rowsDropped} rows, metadata-only) + " +
+          s"position delete of ${r.deleteRows} rows in ${r.deleteFiles} delete file(s)")
+      case "compact-pos-deletes" =>
+        val (id, merged, dropped) = Deletes.compactPositional(spark, store)
+        println(s"snapshot $id: merged $merged position-delete file(s), " +
+          s"dropped $dropped dead-path mask row(s)")
       case "expire-deletes" =>
         val (id, dropped) = Deletes.expireInert(store)
         println(s"snapshot $id: dropped $dropped inert delete file(s)")

@@ -55,6 +55,10 @@ final case class MaintenancePolicy(
      * every scan) and live delete rows as a fraction of table rows. */
     maxDeleteEras: Int = 6,
     maxDeleteRowFrac: Double = 0.02,
+    /** Position-delete FILE bound ([[Deletes.compactPositional]] trigger):
+     * every position-delete commit adds one small file to the one union'd
+     * anti-join input; merge them (and drop dead-path pairs) past this. */
+    maxPosDeleteFiles: Int = 8,
     /** Bloom side-table shard bound ([[graft.table.FileBloom.compact]]
      * trigger): every write adds one shard, dead files keep their rows —
      * fold to one live-only shard past this. */
@@ -94,8 +98,14 @@ object AutoMaintain {
     // scan until a rewrite retires it — a streaming MOR upsert adds one per
     // batch. Bounded here; materialize promotes provably-clean files
     // metadata-only and rewrites the rest, retiring all delete files.
+    // position-delete files live under "posdelete-"-tagged dirs (both
+    // writers use the tag), so this stays a metadata-only classification;
+    // the read side classifies by schema. Each position file is one more
+    // small input to the single union'd anti-join — era semantics don't
+    // apply to them (application is by exact path, not seq).
+    val (posDels, eqDels) = dels.partition(_.path.contains("/posdelete-"))
     val morDebt = dels.nonEmpty && {
-      val eras = dels.map(_.seq).distinct.size
+      val eras = eqDels.map(_.seq).distinct.size
       val delRows = dels.map(_.rows).sum
       val tableRows = math.max(entries.map(_.rows).sum, 1L)
       eras > policy.maxDeleteEras ||
@@ -103,9 +113,12 @@ object AutoMaintain {
     }
     if (morDebt)
       out += Decision("materialize-deletes",
-        s"${dels.map(_.seq).distinct.size} delete eras / ${dels.map(_.rows).sum} delete rows " +
+        s"${eqDels.map(_.seq).distinct.size} delete eras / ${dels.map(_.rows).sum} delete rows " +
           s"exceed bounds (eras>${policy.maxDeleteEras} or rows>" +
           f"${policy.maxDeleteRowFrac}%.2f*table)")
+    else if (posDels.size > policy.maxPosDeleteFiles)
+      out += Decision("compact-pos-deletes",
+        s"${posDels.size} position-delete files exceed bound ${policy.maxPosDeleteFiles}")
     else {
       val inertable = dels.nonEmpty && {
         val minDataSeq = entries.map(_.seq).minOption.getOrElse(Long.MaxValue)
@@ -188,6 +201,9 @@ object AutoMaintain {
         case "materialize-deletes" =>
           Deletes.materialize(spark, store,
             runId = s"$runId-materialize").snapshotId
+        case "compact-pos-deletes" =>
+          Deletes.compactPositional(spark, store,
+            runId = s"$runId-posdel-compact")._1
         case "cluster" =>
           Cluster.run(spark, store, ZOrderCurve, policy.targetBytes,
             runId = s"$runId-cluster", hashCols = policy.clusterHashCols,

@@ -315,7 +315,10 @@ object Deletes {
     // proven against — an interleaved commit fails this commit (retryable)
     // instead of being clobbered, and the retry re-resolves the predicate.
     val delEntries = keyDf.map { k =>
-      val outDir = store.newDataDir("delete")
+      // positional residue under a "posdelete"-tagged dir (same tag as
+      // runPositional) so metadata-only planners can classify delete files
+      // by path; the read side still classifies by schema (isPositional)
+      val outDir = store.newDataDir(if (positional) "posdelete" else "delete")
       k.coalesce(1).write.mode("overwrite").parquet(outDir)
       store.collectStats(spark, outDir).filter(_.rows > 0)
     }.getOrElse(Nil)
@@ -334,6 +337,60 @@ object Deletes {
       expectedParent = Some(snapId))
     DeleteResult(newSnap, delEntries.size, delEntries.map(_.rows).sum,
       filesDropped = covered.size, rowsDropped = rowsDropped)
+  }
+
+  /**
+   * Merge every live POSITION-delete file into ONE, dropping pairs that
+   * name paths no longer live (rewrites / partition drops turned them into
+   * dead weight) — Iceberg's rewrite-position-delete-files maintenance.
+   * O(mask rows) work, zero data-file IO: frequent small streaming deletes
+   * otherwise accumulate one anti-join input per commit. Equality deletes
+   * are untouched (their per-seq application forbids naive merging: a
+   * merged file at max seq would over-apply to files between the seqs).
+   *
+   * The merged entry keeps `max(source seqs)` so [[expireInert]]'s
+   * conservative seq rule behaves exactly as it did on the inputs — a
+   * fresh (seq-0 → stamped-inert) entry would be dropped while still
+   * masking live rows.
+   *
+   * Returns (snapshot id, position files before, mask rows dropped as
+   * dead-path); no commit when there is nothing to merge or prune.
+   */
+  def compactPositional(spark: SparkSession, store: MetaStore,
+                        runId: String = s"posdel-compact-${System.currentTimeMillis()}"): (Long, Int, Long) =
+  MetaStore.withCommitRetry() {
+    import spark.implicits._
+    val snapId = store.currentSnapshotId.getOrElse(sys.error("delete: empty table"))
+    val dels = store.deleteEntries(snapId)
+    val (posDels, eqDels) = dels.partition(d => isPositional(spark, d.path))
+    if (posDels.isEmpty) return (snapId, 0, 0L)
+    val rowsBefore = posDels.map(_.rows).sum
+    // live-path semi-join (not isInCollection: the live set is file-count
+    // sized, 10^5-10^6 at scale — a join input, not an In-list literal)
+    val liveDf = store.entries(snapId).map(_.path).toDF("file_path")
+    val kept = spark.read.parquet(posDels.map(_.path): _*)
+      .select(col("file_path"), col("pos").cast("long"))
+      .join(liveDf, Seq("file_path"), "left_semi")
+      .distinct()
+    val keptRows = kept.count()
+    if (posDels.size < 2 && keptRows == rowsBefore) return (snapId, 0, 0L)
+    val maxSeq = posDels.map(_.seq).max
+    val newDels: Seq[DataFile] =
+      if (keptRows == 0) Nil
+      else {
+        val outDir = store.newDataDir("posdelete")
+        kept.coalesce(1).write.mode("overwrite").parquet(outDir)
+        store.collectStats(spark, outDir).filter(_.rows > 0)
+          .map(_.copy(seq = maxSeq))
+      }
+    val id = store.commitDelta("compact-deletes", Nil, summary = Map(
+      "runId" -> runId,
+      "posFilesMerged" -> posDels.size.toString,
+      "maskRowsDropped" -> (rowsBefore - keptRows).toString,
+      "deleteFiles" -> (eqDels.size + newDels.size).toString),
+      deletes = Some(eqDels ++ newDels),
+      expectedParent = Some(snapId))
+    (id, posDels.size, rowsBefore - keptRows)
   }
 
   /**

@@ -77,6 +77,30 @@ class AutoMaintainSpec extends AnyFunSuite {
     assert(AutoMaintain.plan(store, policy).isEmpty)
   }
 
+  test("position-delete file debt triggers compact-pos-deletes; run clears it") {
+    val store = newStore()
+    Append.run(spark, store, ClipSynth.dataset(spark, 300, 4, maxDurMs = 150).toDF())
+    val policy = MaintenancePolicy(maxSmallFiles = 1000, maxOverlapDepth = 1e9,
+      expireKeepLast = 100, maxPosDeleteFiles = 2,
+      maxDeleteEras = 1000, maxDeleteRowFrac = 1.0)
+    // three one-row position deletes: 3 files > bound 2; position files must
+    // NOT count toward the equality era bound (they are one union'd anti-join)
+    import spark.implicits._
+    val files = store.entries(store.currentSnapshotId.get)
+    files.take(3).foreach { f =>
+      Deletes.runPositional(spark, store,
+        Seq((f.path, 0L)).toDF("file_path", "pos"),
+        expectedSnapshot = store.currentSnapshotId.get)
+    }
+    val plan = AutoMaintain.plan(store, policy)
+    assert(plan.map(_.op) == Seq("compact-pos-deletes"), s"plan=$plan")
+    val before = rows(store)
+    AutoMaintain.run(spark, store, policy, runId = "auto-pos")
+    assert(store.deleteEntries(store.currentSnapshotId.get).size == 1)
+    assert(rows(store) == before, "maintenance must not change contents")
+    assert(AutoMaintain.plan(store, policy).isEmpty, "fixed point")
+  }
+
   test("per-tuple small-file accounting: lone files per partition are not debt") {
     val store = newStore()
     store.setPartitionSpec(graft.table.PartitionSpec(Seq(

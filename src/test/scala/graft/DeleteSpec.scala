@@ -371,6 +371,39 @@ class DeleteSpec extends AnyFunSuite {
     assert(visibleIds(store) == expect)
   }
 
+  test("compactPositional merges position files into one and drops dead-path pairs") {
+    val store = freshStore("poscompact")
+    seed(store)
+    // three position-delete commits -> three small delete files
+    val files = store.entries(store.currentSnapshotId.get)
+    files.take(3).foreach { f =>
+      Deletes.runPositional(spark, store,
+        Seq((f.path, 0L)).toDF("file_path", "pos"),
+        expectedSnapshot = store.currentSnapshotId.get)
+    }
+    val expect = visibleIds(store)
+    assert(store.deleteEntries(store.currentSnapshotId.get).size == 3)
+
+    val (id1, merged1, dropped1) = Deletes.compactPositional(spark, store)
+    assert(merged1 == 3 && dropped1 == 0, s"merge all, nothing dead yet: $merged1/$dropped1")
+    val after1 = store.deleteEntries(id1)
+    assert(after1.size == 1, "one merged position file")
+    assert(visibleIds(store) == expect, "visibility unchanged by the merge")
+
+    // compaction rewrites the named files -> every pair goes dead-path;
+    // a second compactPositional drops them all (empty delete set)
+    Compact.run(spark, store, targetBytes = 4L * 1024 * 1024)
+    assert(visibleIds(store) == expect, "rewrite materialized the masks")
+    val (id2, merged2, dropped2) = Deletes.compactPositional(spark, store)
+    assert(merged2 == 1 && dropped2 == 3, s"dead pairs dropped: $merged2/$dropped2")
+    assert(store.deleteEntries(id2).isEmpty, "no delete files left")
+    assert(visibleIds(store) == expect)
+
+    // fixed point: nothing to merge -> no commit
+    val (id3, merged3, _) = Deletes.compactPositional(spark, store)
+    assert(id3 == id2 && merged3 == 0, "no-op makes no commit")
+  }
+
   test("CDC classifies position deletes: delete rows, and re-insert as update") {
     val store = freshStore("poscdc")
     seed(store)
