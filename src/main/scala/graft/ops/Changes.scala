@@ -135,7 +135,7 @@ object Changes {
     val fromDelPaths = store.deleteEntries(fromId).map(_.path).toSet
     val deltaDels = store.deleteEntries(toId).filterNot(e => fromDelPaths.contains(e.path))
     val keyed = deltaDels.map(_.path).filter { p =>
-      spark.read.parquet(p).columns.contains(keyCol)
+      Deletes.delCols(spark, p).contains(keyCol)
     }
     // POSITION deletes added in the range carry no key column — resolve the
     // named (file_path, pos) rows to keys by reading the TARGET files under

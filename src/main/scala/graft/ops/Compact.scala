@@ -38,16 +38,16 @@ object Compact {
       toRewrite: Seq[Seq[DataFile]], outDir: String, runId: String): CompactResult = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
-    // closure-captured map with scheme-prefixed variants precomputed, so the
-    // per-row path is ONE hash lookup — no broadcast (Broadcast.value is a
-    // synchronized lookup; per-row it serializes the stage on one lock) and
-    // no per-row string normalization
+    // closure-captured map, so the per-row path is one decode + one hash
+    // lookup — no broadcast (Broadcast.value is a synchronized lookup;
+    // per-row it serializes the stage on one lock). Keys are the manifests'
+    // DECODED filesystem paths; input_file_name() returns a URI-ENCODED
+    // uri, so the probe must decode or files under partition dirs with
+    // encodable characters would all miss into the -1 bin.
     val binOf: Map[String, Int] = toRewrite.zipWithIndex
-      .flatMap { case (bin, i) =>
-        bin.flatMap(f => Seq(f.path -> i, s"file://${f.path}" -> i,
-          s"file:${f.path}" -> i))
-      }.toMap
-    val norm = udf((p: String) => binOf.getOrElse(p, -1))
+      .flatMap { case (bin, i) => bin.map(f => f.path -> i) }.toMap
+    val norm = udf((p: String) =>
+      binOf.getOrElse(graft.table.MetaStore.decodePath(p), -1))
     // input_file_name() needs a SINGLE-source plan: with live deletes or
     // schema-evolution eras the read is a union of era groups, so fall back
     // to per-bin reads with literal tags (O(bins) scan nodes — acceptable

@@ -86,11 +86,17 @@ object Deletes {
   private val delColsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
-  /** Whether the delete file at `path` is a position delete (footer-only
-   * probe, cached — same cache the equality grouping uses). */
-  def isPositional(spark: SparkSession, path: String): Boolean =
+  /** The (sorted) column set of the delete file at `path` — footer-only
+   * probe, cached for the store's lifetime (delete files are immutable).
+   * Shared by the equality grouping, the positional classifier, CDC's key
+   * probe, and the evolve guard, so each file's footer opens ONCE. */
+  def delCols(spark: SparkSession, path: String): Seq[String] =
     delColsCache.computeIfAbsent(path,
-      pp => spark.read.parquet(pp).columns.toSeq.sorted) == PosDeleteCols
+      pp => spark.read.parquet(pp).columns.toSeq.sorted)
+
+  /** Whether the delete file at `path` is a position delete. */
+  def isPositional(spark: SparkSession, path: String): Boolean =
+    delCols(spark, path) == PosDeleteCols
 
   /** Anti-join `df` against every delete entry in `dels`. Delete files are
    * grouped by their column set (equality deletes may key on different
@@ -98,9 +104,7 @@ object Deletes {
   def applyTo(spark: SparkSession, df: DataFrame, dels: Seq[DataFile]): DataFrame = {
     if (dels.isEmpty) return df
     val totalRows = dels.map(_.rows).sum
-    val bySchema = dels.map(_.path)
-      .groupBy(p => delColsCache.computeIfAbsent(p,
-        pp => spark.read.parquet(pp).columns.toSeq.sorted))
+    val bySchema = dels.map(_.path).groupBy(p => delCols(spark, p))
     bySchema.foldLeft(df) { case (acc, (cols, paths)) =>
       val keys = keyFrame(spark, paths)
       val right = if (totalRows <= broadcastRowLimit) broadcast(keys) else keys
@@ -489,12 +493,12 @@ object Deletes {
     // rewrites): per delete-key column, the distinct key values (only when
     // every delete file keys on exactly ONE column and the total stays
     // driver-sized; multi-column keys would need tuple-level proofs)
-    val delCols = eqDels.map(d => spark.read.parquet(d.path).columns.toSeq)
-    val provable = eqDels.map(_.rows).sum <= promoteKeyLimit && delCols.forall(_.size == 1)
+    val delColSets = eqDels.map(d => delCols(spark, d.path))
+    val provable = eqDels.map(_.rows).sum <= promoteKeyLimit && delColSets.forall(_.size == 1)
     val eqToRewrite: Seq[DataFile] =
       if (!provable) coveredEq
       else {
-        val byCol = eqDels.zip(delCols).groupBy(_._2.head)
+        val byCol = eqDels.zip(delColSets).groupBy(_._2.head)
         // a file needs a rewrite iff it MAY contain a key of SOME delete
         // that covers it (delete.seq > file.seq)
         val mayPerCol: Map[String, DataFile => Boolean] =

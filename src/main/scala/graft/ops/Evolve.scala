@@ -60,15 +60,23 @@ object Evolve {
   private def logPath(store: MetaStore) =
     Paths.get(store.tableDir, "meta", "evolutions.json")
 
-  /** mtime-guarded parse cache: every MetaStore.scan consults the log, and
-   * a maintenance pass issues MANY scans — re-parsing an O(files) JSON
-   * sidecar per scan is avoidable rework. Key = table dir; entry is
-   * invalidated whenever the file's (mtime, size) changes (the atomic
-   * rename in addColumn always bumps mtime). */
+  private def evoDir(store: MetaStore) =
+    Paths.get(store.tableDir, "meta", "evolutions")
+
+  /** mtime-guarded parse cache for the LEGACY single-file log: every
+   * MetaStore.scan consults the log, and a maintenance pass issues MANY
+   * scans — re-parsing an O(files) JSON sidecar per scan is avoidable
+   * rework. Key = table dir; entry is invalidated whenever the file's
+   * (mtime, size) changes. */
   private val logCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Evolution])]()
 
-  def evolutions(store: MetaStore): Seq[Evolution] = {
+  /** Per-file parse cache for the write-once per-snapshot entries (an
+   * evo-<id>.json never changes after its atomic publish). */
+  private val entryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Evolution]()
+
+  private def legacyEvolutions(store: MetaStore): Seq[Evolution] = {
     val p = logPath(store)
     if (!Files.exists(p)) return Seq.empty
     val mtime = Files.getLastModifiedTime(p).toMillis
@@ -79,6 +87,36 @@ object Evolve {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).evolutions
     logCache.put(store.tableDir, (mtime, size, parsed))
     parsed
+  }
+
+  /**
+   * The table's evolution log, in commit order: any legacy single-file
+   * entries (pre-dating per-snapshot records, never written anymore)
+   * followed by the write-once `meta/evolutions/evo-<snapId>.json` entries
+   * sorted by snapshot id. Per-snapshot files make the log append-only with
+   * NO read-modify-write: two racing evolvers each publish under their own
+   * committed snapshot id (unique by the commit CAS), so neither can clobber
+   * the other — the lost-update window of rewriting one shared JSON is gone.
+   */
+  def evolutions(store: MetaStore): Seq[Evolution] = {
+    val d = evoDir(store)
+    val perSnap: Seq[(Long, Evolution)] =
+      if (!Files.exists(d)) Nil
+      else {
+        val stream = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala
+            .map(_.getFileName.toString)
+            .collect { case n if n.startsWith("evo-") && n.endsWith(".json") =>
+              val id = n.stripPrefix("evo-").stripSuffix(".json").toLong
+              id -> entryCache.computeIfAbsent(d.resolve(n).toString, pp =>
+                Json.mapper.readValue[Evolution](new String(
+                  Files.readAllBytes(Paths.get(pp)), StandardCharsets.UTF_8)))
+            }.toVector
+        } finally stream.close()
+      }
+    legacyEvolutions(store) ++ perSnap.sortBy(_._1).map(_._2)
   }
 
   /**
@@ -116,7 +154,7 @@ object Evolve {
     record(spark, store, s"rename $from->$to") { before =>
       require(before.fieldNames.contains(from), s"no such column: $from")
       require(!before.fieldNames.contains(to), s"column $to already exists")
-      requireUnbound(store, from, "rename")
+      requireUnbound(spark, store, from, "rename")
       val after = StructType(before.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
       (Evolution(to, "", "", after.json, Nil,
@@ -136,7 +174,7 @@ object Evolve {
     record(spark, store, s"drop $column") { before =>
       require(before.fieldNames.contains(column), s"no such column: $column")
       require(before.fields.length > 1, "cannot drop the last column")
-      requireUnbound(store, column, "drop")
+      requireUnbound(spark, store, column, "drop")
       val after = StructType(before.fields.filterNot(_.name == column))
       (Evolution(column, "", "", after.json, Nil,
         kind = "drop", schemaBeforeJson = before.json),
@@ -176,7 +214,7 @@ object Evolve {
         s"cannot widen $column: ${before.fields(idx).dataType.sql} -> " +
           s"${to.sql} is not a lossless promotion (int->long, float->double, " +
           "decimal precision growth)")
-      requireUnbound(store, column, "widen")
+      requireUnbound(spark, store, column, "widen")
       val after = StructType(before.fields.map(f =>
         if (f.name == column) f.copy(dataType = to) else f))
       (Evolution(column, toTypeDdl, "", after.json, Nil,
@@ -184,11 +222,20 @@ object Evolve {
         Map("column" -> column, "widenedTo" -> toTypeDdl))
     }
 
-  private def requireUnbound(store: MetaStore, column: String, op: String): Unit = {
+  private def requireUnbound(spark: SparkSession, store: MetaStore,
+                             column: String, op: String): Unit = {
     require(!store.partitionSpec.exists(_.fields.exists(_.source == column)),
       s"cannot $op $column: it is a partition-spec source column")
     require(!store.bloomColumn.contains(column),
       s"cannot $op $column: it is the bloom side-table key column")
+    // live equality-delete files anti-join on their PHYSICAL key columns at
+    // every read — renaming/dropping such a column would make the whole
+    // table unreadable (the join target no longer exists post-evolution)
+    val keyed = store.currentSnapshotId.map(store.deleteEntries).getOrElse(Nil)
+      .filter(d => Deletes.delCols(spark, d.path).contains(column))
+    require(keyed.isEmpty,
+      s"cannot $op $column: ${keyed.size} live equality-delete file(s) key on " +
+        "it (retire the debt first: Deletes.materialize / expireInert)")
   }
 
   /** Shared evolution commit: capture the live-file set, commit a no-op
@@ -207,24 +254,40 @@ object Evolve {
     val prePaths = store.allSnapshotIds.flatMap(store.entries)
       .map(_.path).distinct.toVector
     val evo = evo0.copy(paths = prePaths)
-    val all = EvolutionLog((evolutions(store) :+ evo).toVector)
-    // commit FIRST, then publish the log atomically (temp + rename, like
-    // CURRENT): a crash between the two leaves a harmless no-op "evolve"
-    // snapshot, never a log that retro-actively rewrites pinned reads, and
-    // never a torn evolutions.json that would fail every subsequent scan.
+    // a concurrent evolver that committed but has not yet published its
+    // entry would make `before` (and mk's validation) stale — fail loudly
+    // (retryable: the publisher writes its entry microseconds after its
+    // commit, so the retry sees it). Only checkable for per-snapshot-era
+    // entries (legacy-log tables can't map entries to snapshot ids); expired
+    // snapshots don't matter — their entries outlive them by design.
+    if (!Files.exists(logPath(store))) {
+      val missing = store.allSnapshotIds.filter(i =>
+        store.snapshot(i).operation == "evolve" &&
+          !Files.exists(evoDir(store).resolve(s"evo-$i.json")))
+      if (missing.nonEmpty)
+        throw new graft.table.ConcurrentCommitException(
+          s"evolve snapshot(s) ${missing.mkString(",")} have no published " +
+            "log entry yet — concurrent evolver mid-publish")
+    }
+    // commit FIRST, then publish the entry atomically as a WRITE-ONCE
+    // per-snapshot file (evo-<id>.json, id unique by the commit CAS): a
+    // crash between the two leaves a harmless no-op "evolve" snapshot,
+    // never a log that retro-actively rewrites pinned reads, never a torn
+    // file, and never a lost update between two racing evolvers (nobody
+    // rewrites a shared log file).
     // expectedParent: a file appended between the prePaths capture and this
     // commit would be misclassified as post-evolution — the CAS fails
     // instead and the retry recaptures.
     val id = store.commitDelta("evolve", Nil,
       summary = summary + ("evolution" -> what),
       expectedParent = Some(snapId))
-    val tmp = logPath(store).resolveSibling(
-      s"evolutions.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(evoDir(store))
+    val tmp = evoDir(store).resolve(
+      s"evo-$id.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp,
-      Json.mapper.writeValueAsString(all).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, logPath(store),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Json.mapper.writeValueAsString(evo).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, evoDir(store).resolve(s"evo-$id.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     id
   }
 
@@ -245,11 +308,14 @@ object Evolve {
   def readFiles(spark: SparkSession, store: MetaStore,
                 files: Seq[graft.table.DataFile],
                 withPos: Boolean = false): DataFrame = {
+    // static decode (no instance capture): _metadata.file_path is a
+    // URI-ENCODED uri; position identity must match the manifests' decoded
+    // filesystem paths for files under encodable partition-dir names
+    val decodeUdf = udf((p: String) => MetaStore.decodePath(p))
     def pos(df: DataFrame): DataFrame =
       if (!withPos) df
       else df
-        .withColumn(Deletes.PosPathCol,
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn(Deletes.PosPathCol, decodeUdf(col("_metadata.file_path")))
         .withColumn(Deletes.PosIdxCol, col("_metadata.row_index"))
     val evos = evolutions(store)
     if (evos.isEmpty) return pos(spark.read.parquet(files.map(_.path): _*))

@@ -29,8 +29,14 @@ object ExpireSnapshots {
    *    rely on: a consumer lagging less than the window never loses a batch.
    *    0 = age is no protection (keepLast/current/tags still are). */
   def run(store: MetaStore, keepLast: Int = 1, minAgeMs: Long = 0L): ExpireResult = {
-    val all = store.allSnapshotIds
     val current = store.currentSnapshotId.getOrElse(sys.error("expire: empty table"))
+    // only COMMITTED history participates: a snap file with id > CURRENT is
+    // either crash debris or a commit in flight — counting it toward the
+    // keepLast window would silently shrink real retention by one per such
+    // file (and expire a snapshot a lagging ChangeFeed consumer was
+    // promised), and deleting it could kill a commit mid-publish. Debris is
+    // RemoveOrphans' job (age-floored), not expiry's.
+    val all = store.allSnapshotIds.filter(_ <= current)
     // tags are GC roots: a tagged snapshot (and its files) survives expiry
     // for as long as the tag exists (Refs.scala)
     val tagged = Refs.tags(store).values.toSeq.filter(all.contains)

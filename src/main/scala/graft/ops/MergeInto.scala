@@ -23,7 +23,7 @@ final case class MergeResult(
  * key->row index maps (cursor/src/main/java/cursors/Clusters.kt:132-196) are
  * re-expressed here as Spark joins:
  *
- *  1. touched-file discovery = inner join of (clip_id, input_file_name())
+ *  1. touched-file discovery = inner join of (clip_id, _metadata.file_path)
  *     against update keys — only files that actually contain a matched key
  *     get rewritten (everything else is carried over untouched);
  *  2. rewrite = full_outer join of touched-file rows with updates, coalescing
@@ -105,11 +105,15 @@ object MergeInto {
     val touchedPaths =
       if (candidates.isEmpty) Set.empty[String] // pure insert: no file can match
       else {
-        val discovery =
-          if (candidates.size == entries.size) store.scan(spark, snapId)
-          else Deletes.readFiles(spark, store, snapId, candidates)
-        discovery
-          .select(col(keyCol), input_file_name().as("_file"))
+        // row identity via the read's _metadata path column (withPos), NOT
+        // input_file_name(): the delete-aware read may anti-join, and when
+        // the delete side exceeds the broadcast limit the join shuffles —
+        // input_file_name() evaluated above an exchange returns "" and
+        // every touched file would silently classify as untouched (matched
+        // keys then DUPLICATE: old row carried over + update appended).
+        // _metadata.file_path is bound at the scan, immune to plan shape.
+        Deletes.readFiles(spark, store, snapId, candidates, withPos = true)
+          .select(col(keyCol), col(Deletes.PosPathCol).as("_file"))
           .join(updKeys, keyCol)
           .select("_file").distinct()
           .collect().map(r => store.normalizePath(r.getString(0))).toSet

@@ -45,13 +45,18 @@ object Transcode {
     val t0 = System.nanoTime()
     val snapId = store.currentSnapshotId.getOrElse(sys.error("transcode: empty table"))
     val outDir = store.newDataDir("transcode")
-    clips(store.scan(spark, snapId))
-      .map { c =>
-        val pcm = Pcm.decode(c.codec, c.bytes)
-        val rs = Dsp.resampleLinear(pcm, c.sr_hz, targetSrHz)
-        Clip(c.clip_id, Pcm.encode(targetCodec, rs), targetSrHz, c.dur_ms,
-          targetCodec, c.transcript)
-      }
+    // per-row payload rewrite over the FULL schema: columns added by
+    // Evolve.addColumn ride along untouched — a fixed Clip projection here
+    // would commit files without them, silently reverting every evolved
+    // value to NULL (the new files postdate all evolutions). The codec core
+    // is inherently JVM work, so a UDF costs nothing extra vs a typed map.
+    val tcode = udf((codec: String, bytes: Array[Byte], srHz: Int) =>
+      Pcm.encode(targetCodec,
+        Dsp.resampleLinear(Pcm.decode(codec, bytes), srHz, targetSrHz)))
+    store.scan(spark, snapId)
+      .withColumn("bytes", tcode(col("codec"), col("bytes"), col("sr_hz")))
+      .withColumn("sr_hz", lit(targetSrHz))
+      .withColumn("codec", lit(targetCodec))
       .write.mode("overwrite").parquet(outDir)
     val newEntries = store.collectStats(spark, outDir)
     val wallMs = (System.nanoTime() - t0) / 1000000

@@ -168,12 +168,23 @@ object Wap {
     require(rec.evolutionCount == evoNow,
       s"staged batch '$name' was written under schema era ${rec.evolutionCount} " +
         s"but the table is now at era $evoNow; discard and re-stage")
+    // probe-and-commit under the CAS: the up-front probe alone leaves a
+    // window where TWO concurrent publishes of the same batch both see
+    // "not yet published" and both commit (double-counted rows). Pinning
+    // expectedParent to the snapshot current at probe time turns the loser
+    // into a retry, whose RE-probe then sees the winner's commit.
     val id = MetaStore.withCommitRetry() {
-      store.commitDelta("wap-publish", rec.entries,
-        summary = rec.summary ++ Map(
-          "wapName" -> name,
-          "stagedMs" -> rec.createdMs.toString,
-          "auditedMs" -> rec.auditedMs.toString))
+      publishedAs(store, rec) match {
+        case Some(s) => s.id
+        case None =>
+          val parent = store.currentSnapshotId.getOrElse(-1L)
+          store.commitDelta("wap-publish", rec.entries,
+            summary = rec.summary ++ Map(
+              "wapName" -> name,
+              "stagedMs" -> rec.createdMs.toString,
+              "auditedMs" -> rec.auditedMs.toString),
+            expectedParent = Some(parent))
+      }
     }
     Files.deleteIfExists(recordPath(store, name))
     id

@@ -103,9 +103,10 @@ object FileBloom {
     val out = bloomRoot(store).resolve(
       java.util.UUID.randomUUID().toString.take(12))
     val agg = udaf(new BloomAgg(nBits))
-    // normalize file:///x -> /x with pure column ops (a closure over the
-    // store would drag the non-serializable MetaStore into the task)
-    val norm = regexp_replace(col("_file"), "^file:/+", "/")
+    // decode the URI-encoded input_file_name to the filesystem form the
+    // manifests store (static function: no MetaStore instance captured);
+    // runs once per FILE-group row, not per data row
+    val norm = udf((p: String) => MetaStore.decodePath(p)).apply(col("_file"))
     df.select(input_file_name().as("_file"), col(keyCol).cast("string").as("k"))
       .groupBy("_file")
       .agg(agg(col("k")).as("bloom"))
@@ -162,7 +163,10 @@ object FileBloom {
       .map(id => store.entries(id).map(_.path) ++
         store.deleteEntries(id).map(_.path))
       .getOrElse(Nil)
-    val all = spark.read.parquet(shards.map(_.toString): _*)
+    // ignoreMissingFiles: a concurrent compact's swap must degrade to
+    // fewer folded rows (conservative), not kill this pass mid-scan
+    val all = spark.read.option("ignoreMissingFiles", "true")
+      .parquet(shards.map(_.toString): _*)
     val total = all.count()
     val out = root.resolve(java.util.UUID.randomUUID().toString.take(12))
     all.join(livePaths.toDF("path"), Seq("path"), "inner")
@@ -178,8 +182,14 @@ object FileBloom {
     BloomCompaction(shards.size, 1, kept, total - kept)
   }
 
+  /** ignoreMissingFiles: [[compact]] deletes folded shard dirs AFTER the
+   * swap, so a reader that resolved the glob just before loses files
+   * mid-scan — with the option the vanished rows simply drop out, which is
+   * exactly the documented degradation (missing bloom row = conservative
+   * keep) instead of a FileNotFoundException killing the query. */
   def table(spark: SparkSession, store: MetaStore): DataFrame =
-    spark.read.parquet(s"${bloomRoot(store)}/*")
+    spark.read.option("ignoreMissingFiles", "true")
+      .parquet(s"${bloomRoot(store)}/*")
 
   /**
    * Distributed point-lookup prune: of `paths`, return those that MIGHT

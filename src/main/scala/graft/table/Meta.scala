@@ -35,8 +35,17 @@ final case class DataFile(
     stats: Map[String, ColStat],
     seq: Long = 0L,
     partition: Map[String, String] = Map.empty) {
+  /** Integer view of a numeric stat; None when absent OR not integral —
+   * every caller's contract is keep/recompute-on-unknown, so a double
+   * stats column must degrade conservatively, never throw. Doubles round
+   * toward the conservative side (floor for lower bound, ceil for upper):
+   * a widened bound can only admit extra files, never skip a matching one. */
   def statLong(col: String, lower: Boolean): Option[Long] =
-    stats.get(col).filter(_.numeric).map(s => (if (lower) s.min else s.max).toLong)
+    stats.get(col).filter(_.numeric).flatMap { s =>
+      val v = if (lower) s.min else s.max
+      v.toLongOption.orElse(v.toDoubleOption.map(d =>
+        if (lower) math.floor(d).toLong else math.ceil(d).toLong))
+    }
 }
 
 final case class ManifestFile(entries: Seq[DataFile])

@@ -327,11 +327,7 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
     }.toSeq.sortBy(_.path)
   }
 
-  def normalizePath(p: String): String = {
-    val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
-    // file:///x -> /x ; file:/x -> /x
-    "/+".r.replaceFirstIn(noScheme, "/")
-  }
+  def normalizePath(p: String): String = MetaStore.decodePath(p)
 
   private def fileSize(path: String): Long = {
     val f = new java.io.File(path)
@@ -707,6 +703,18 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 object MetaStore {
   /** Stats columns for the canonical clip table. */
   val ClipStatsColumns: Seq[String] = Seq("clip_id", "sr_hz", "dur_ms", "codec")
+
+  /** `input_file_name()` / `_metadata.file_path` return URI-ENCODED file
+   * URIs (space → %20, '%' → %25, ...); manifest paths are the DECODED
+   * filesystem form java.io.File sees. Every read-back of those columns
+   * must go through THIS decoder, or tuple parsing, compact bin lookups,
+   * bloom-path joins, and position-delete identity silently miss files
+   * under partition dirs whose values contain encodable characters. */
+  def decodePath(p: String): String =
+    if (p == null || !p.startsWith("file:")) p
+    else try new java.net.URI(p).getPath
+    catch { case _: java.net.URISyntaxException =>
+      "/+".r.replaceFirstIn(p.stripPrefix("file:"), "/") }
 
   def forClips(tableDir: String): MetaStore = new MetaStore(tableDir, ClipStatsColumns)
 

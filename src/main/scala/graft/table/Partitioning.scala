@@ -1,6 +1,6 @@
 package graft.table
 
-import java.net.{URLDecoder, URLEncoder}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -222,19 +222,26 @@ object Partitioning {
   def truncate(source: String, w: Long, sourceType: String = "long"): PartField =
     PartField(s"${source}_trunc", source, "truncate", w, sourceType)
 
-  /** Parse `_p_<name>=<value>` Hive segments out of a data-file path. */
+  /** Parse `_p_<name>=<value>` Hive segments out of a data-file path.
+   * Decodes with SPARK's partition-path convention (the segments are
+   * written by `partitionBy`), not URLDecoder — URL decoding turns a
+   * literal '+' (which Spark does NOT escape) into a space, so a value
+   * like "a+b" would record the wrong tuple: pruned scans would skip its
+   * file and a partition-drop delete on "a b" could remove it. */
   def tupleOf(path: String): Map[String, String] =
     path.split('/').iterator.collect {
       case seg if seg.startsWith(ColPrefix) && seg.contains('=') =>
         val i = seg.indexOf('=')
         seg.substring(ColPrefix.length, i) ->
-          URLDecoder.decode(seg.substring(i + 1), StandardCharsets.UTF_8)
+          ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
     }.toMap
 
   /** Re-encode a tuple as path segments (compaction bins re-home their
-   * outputs under the tuple's directory so stats re-parse it). */
+   * outputs under the tuple's directory so stats re-parse it) — same
+   * Spark convention as the write side, so re-homed and freshly-written
+   * segments are byte-identical for equal values. */
   def pathOf(tuple: Map[String, String]): String =
     tuple.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"$ColPrefix$k=${URLEncoder.encode(v, StandardCharsets.UTF_8)}"
+      s"$ColPrefix$k=${ExternalCatalogUtils.escapePathName(v)}"
     }.mkString("/")
 }

@@ -248,6 +248,35 @@ class PartitioningSpec extends AnyFunSuite {
       store.entries(store.currentSnapshotId.get).size)
   }
 
+  test("partition values with '+', space, and '%' round-trip exactly") {
+    // Spark's partitionBy leaves '+' literal; a URL-decoding parser would
+    // record "a+b" as "a b" — pruned scans then skip the file and a
+    // partition-drop delete on "a b" would remove the WRONG rows
+    val store = newStore()
+    store.setPartitionSpec(PartitionSpec(Seq(Partitioning.identity("codec"))))
+    val tricky = Seq("a+b", "a b", "a%2Bb")
+    Append.run(spark, store, ClipSynth.dataset(spark, 60, 2, maxDurMs = 40)
+      .toDF().withColumn("codec",
+        element_at(typedLit(tricky), ((xxhash64(col("clip_id")) % 3 + 3) % 3 + 1).cast("int"))))
+    val tuples = store.entries(store.currentSnapshotId.get)
+      .flatMap(_.partition.get("codec")).toSet
+    assert(tuples == tricky.toSet, s"manifest tuples must be exact: $tuples")
+    tricky.foreach { v =>
+      val want = sortedRows(store.scanCurrent(spark).filter(col("codec") === v))
+      assert(want.nonEmpty, s"fixture must cover $v")
+      val ps = store.scanCurrentPruned(spark, Seq(Pred.EqualTo("codec", v)))
+      assert(sortedRows(ps.df) == want, s"pruned scan wrong for '$v'")
+      assert(ps.filesKeptPartition < ps.filesTotal, s"tuple tier must prune for '$v'")
+    }
+    // partition-drop delete removes EXACTLY the "a b" rows, not "a+b"'s
+    val keepPlus = store.scanCurrent(spark).filter(col("codec") === "a+b").count()
+    graft.ops.Deletes.deleteWhere(spark, store,
+      Seq(Pred.EqualTo("codec", "a b")))
+    assert(store.scanCurrent(spark).filter(col("codec") === "a b").count() == 0)
+    assert(store.scanCurrent(spark).filter(col("codec") === "a+b").count() == keepPlus,
+      "'a+b' rows must survive a delete of 'a b'")
+  }
+
   test("pre-spec history: empty tuples are always kept") {
     val store = newStore()
     Append.run(spark, store, ClipSynth.dataset(spark, 100, 2, maxDurMs = 100).toDF())

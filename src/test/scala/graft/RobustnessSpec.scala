@@ -255,4 +255,159 @@ class RobustnessSpec extends AnyFunSuite {
     assert(ids === (1L to (threads * perThread)))
     assert(ids.map(store.snapshot(_).operation).forall(_ == "append"))
   }
+
+  test("merge touched-file discovery survives a shuffled (non-broadcast) delete join") {
+    // input_file_name() above an exchange returns "" — discovery must use
+    // scan-bound _metadata row identity or every matched key DUPLICATES
+    import spark.implicits._
+    val store = MetaStore.forClips(
+      Files.createTempDirectory("graft-mrg-shuf").toString)
+    Append.run(spark, store, ClipSynth.dataset(spark, 60, 2, maxDurMs = 40).toDF())
+    graft.ops.Deletes.run(spark, store,
+      Seq(ClipSynth.clipId(3), ClipSynth.clipId(7)).toDF("clip_id"))
+    val limit0 = graft.ops.Deletes.broadcastRowLimit
+    graft.ops.Deletes.broadcastRowLimit = 0 // force the shuffle anti-join path
+    try {
+      val upd = ClipSynth.dataset(spark, 10, 1, maxDurMs = 40).toDF()
+        .withColumn("transcript", concat(col("transcript"), lit(" upd")))
+      graft.ops.MergeInto.run(spark, store, upd, runId = "mrg-shuf")
+    } finally graft.ops.Deletes.broadcastRowLimit = limit0
+    val byKey = store.scanCurrent(spark).groupBy("clip_id").count()
+      .filter(col("count") > 1).count()
+    assert(byKey == 0, "matched keys must not duplicate")
+    // 58 visible + keys 3,7 re-inserted by the merge (standard NOT MATCHED
+    // -> INSERT; they were masked, so the update side saw no match)
+    assert(store.scanCurrent(spark).count() == 60)
+    val t = store.scanCurrent(spark)
+      .filter(col("clip_id") === ClipSynth.clipId(5))
+      .select("transcript").as[String].collect()
+    assert(t.length == 1 && t.head.endsWith(" upd"), "update applied once")
+  }
+
+  test("rename/drop of a live equality-delete key column is refused") {
+    import spark.implicits._
+    val store = MetaStore.forClips(
+      Files.createTempDirectory("graft-evoguard").toString)
+    Append.run(spark, store, ClipSynth.dataset(spark, 40, 2, maxDurMs = 40).toDF())
+    graft.ops.Deletes.run(spark, store, Seq("ulaw").toDF("codec"))
+    val e = intercept[IllegalArgumentException] {
+      Evolve.renameColumn(spark, store, "codec", "enc")
+    }
+    assert(e.getMessage.contains("equality-delete"))
+    intercept[IllegalArgumentException] {
+      Evolve.dropColumn(spark, store, "codec")
+    }
+    // retire the debt -> evolution proceeds, reads stay green
+    graft.ops.Deletes.materialize(spark, store)
+    Evolve.renameColumn(spark, store, "codec", "enc")
+    assert(store.scanCurrent(spark).columns.contains("enc"))
+    assert(store.scanCurrent(spark).filter(col("enc") === "ulaw").count() == 0)
+  }
+
+  test("transcode carries evolved columns through the rewrite") {
+    import spark.implicits._
+    val store = MetaStore.forClips(
+      Files.createTempDirectory("graft-tc-evo").toString)
+    Append.run(spark, store, ClipSynth.dataset(spark, 30, 2, maxDurMs = 40).toDF())
+    Evolve.addColumn(spark, store, "lang", "string", "'en'")
+    // a post-evolution batch with a WRITTEN value (not the default)
+    Append.run(spark, store, ClipSynth.dataset(spark, 40, 1, maxDurMs = 40).toDF()
+      .filter(col("clip_id") > ClipSynth.clipId(29))
+      .withColumn("lang", lit("fr")))
+    graft.ops.Transcode.run(spark, store, runId = "tc-evo")
+    val langs = store.scanCurrent(spark).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(langs == Map("en" -> 30L, "fr" -> 10L),
+      s"evolved values must survive the transcode: $langs")
+    // and the new files carry the column PHYSICALLY (materialized)
+    val f = store.entries(store.currentSnapshotId.get).head
+    assert(spark.read.parquet(f.path).columns.contains("lang"))
+  }
+
+  test("two racing evolvers: both entries land (write-once per-snapshot log)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evo-race").toString
+    val storeA = new MetaStore(dir, Seq("clip_id"))
+    val storeB = new MetaStore(dir, Seq("clip_id"))
+    Append.run(spark, storeA, ClipSynth.dataset(spark, 20, 1, maxDurMs = 40).toDF())
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def evolver(store: MetaStore, prefix: String): Runnable = () =>
+      (0 until 3).foreach { k =>
+        barrier.await()
+        try Evolve.addColumn(spark, store, s"${prefix}_$k", "string", s"'$prefix$k'")
+        catch { case t: Throwable => errs.add(t): Unit }
+      }
+    val t1 = new Thread(evolver(storeA, "ca"))
+    val t2 = new Thread(evolver(storeB, "cb"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"evolutions must retry to success: ${errs.peek()}")
+    val evos = Evolve.evolutions(storeA).map(_.column)
+    assert(evos.size == 6 && evos.toSet ==
+      Set("ca_0", "ca_1", "ca_2", "cb_0", "cb_1", "cb_2"),
+      s"no evolution may be lost to a log race: $evos")
+    val row = storeA.scanCurrent(spark).limit(1)
+      .select("ca_0", "cb_2").as[(String, String)].collect().head
+    assert(row == ("ca0", "cb2"), "defaults read back per entry")
+  }
+
+  test("two racing publishes of one staged batch commit it exactly once") {
+    import spark.implicits._
+    val store = MetaStore.forClips(
+      Files.createTempDirectory("graft-wap-race").toString)
+    Append.run(spark, store, ClipSynth.dataset(spark, 20, 1, maxDurMs = 40).toDF())
+    graft.ops.Wap.stage(spark, store,
+      ClipSynth.dataset(spark, 40, 1, maxDurMs = 40).toDF()
+        .filter(col("clip_id") > ClipSynth.clipId(19)), "race-batch")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def pub(): Runnable = () => {
+      barrier.await()
+      // a thread arriving after the winner's record cleanup legitimately
+      // finds no staged record — that is "already published", not a failure
+      try ids.add(graft.ops.Wap.publish(store, "race-batch", force = true)): Unit
+      catch { case _: java.nio.file.NoSuchFileException => }
+    }
+    val t1 = new Thread(pub()); val t2 = new Thread(pub())
+    t1.start(); t2.start(); t1.join(); t2.join()
+    import scala.jdk.CollectionConverters._
+    assert(ids.asScala.toSet.size == 1, s"both callers must see ONE commit: $ids")
+    assert(store.scanCurrent(spark).count() == 40, "rows counted once, not twice")
+    val wapSnaps = store.allSnapshotIds.map(store.snapshot)
+      .count(_.summary.get("wapName").contains("race-batch"))
+    assert(wapSnaps == 1, "exactly one wap-publish snapshot")
+  }
+
+  test("statLong degrades conservatively on non-integer stats") {
+    val f = DataFile("p", 1L, 1L, stats = Map(
+      "score" -> graft.table.ColStat("1.5", "2.5", numeric = true, 0L),
+      "n" -> graft.table.ColStat("3", "9", numeric = true, 0L),
+      "s" -> graft.table.ColStat("abc", "zzz", numeric = false, 0L)))
+    assert(f.statLong("score", lower = true).contains(1L), "floor widens down")
+    assert(f.statLong("score", lower = false).contains(3L), "ceil widens up")
+    assert(f.statLong("n", lower = true).contains(3L))
+    assert(f.statLong("s", lower = true).isEmpty, "non-numeric stays None")
+    assert(f.statLong("missing", lower = true).isEmpty)
+  }
+
+  test("commit debris above CURRENT neither shrinks retention nor gets expired") {
+    import spark.implicits._
+    val store = MetaStore.forClips(
+      Files.createTempDirectory("graft-exp-debris").toString)
+    (0 until 4).foreach { k =>
+      Append.run(spark, store, ClipSynth.dataset(spark, (k + 1) * 10L, 1,
+        maxDurMs = 40).toDF()
+        .filter(col("clip_id") > ClipSynth.clipId(k * 10L - 1)))
+    }
+    val cur = store.currentSnapshotId.get // 4
+    val debris = Paths.get(store.tableDir, "meta", s"snap-${cur + 1}.json")
+    Files.write(debris, Json.write(store.snapshot(cur).copy(id = cur + 1))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val res = ExpireSnapshots.run(store, keepLast = 3)
+    assert(res.expiredSnapshots == Seq(1L), s"window = last 3 COMMITTED snapshots: $res")
+    assert(res.retainedSnapshots == Seq(2L, 3L, 4L), s"debris must not eat a slot: $res")
+    assert(Files.exists(debris), "expiry must not touch an in-flight commit")
+    assert(store.scanCurrent(spark).count() == 40)
+    Files.delete(debris)
+  }
 }
