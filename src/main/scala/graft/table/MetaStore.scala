@@ -712,9 +712,19 @@ object MetaStore {
    * under partition dirs whose values contain encodable characters. */
   def decodePath(p: String): String =
     if (p == null || !p.startsWith("file:")) p
-    else try new java.net.URI(p).getPath
-    catch { case _: java.net.URISyntaxException =>
-      "/+".r.replaceFirstIn(p.stripPrefix("file:"), "/") }
+    else {
+      // fast path: no '%' means nothing to decode — scheme strip only.
+      // This runs per ROW inside withPos reads; URI parsing every row
+      // would dominate the scan for the overwhelmingly common case of
+      // partition values without encodable characters.
+      if (p.indexOf('%') < 0) {
+        var i = 5 // after "file:"
+        while (i < p.length && p.charAt(i) == '/') i += 1
+        "/" + p.substring(i)
+      } else try new java.net.URI(p).getPath
+      catch { case _: java.net.URISyntaxException =>
+        "/+".r.replaceFirstIn(p.stripPrefix("file:"), "/") }
+    }
 
   def forClips(tableDir: String): MetaStore = new MetaStore(tableDir, ClipStatsColumns)
 
