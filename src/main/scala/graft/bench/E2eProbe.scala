@@ -38,8 +38,12 @@ object E2eProbe {
       System.err.println(f"[e2e-probe] $name rep=$r rows=$rows wall=$sec%.2f s")
       sec
     }
+    val sortedW = walls.sorted
+    val median = // true median: average the middles on an even rep count
+      if (sortedW.size % 2 == 1) sortedW(sortedW.size / 2)
+      else (sortedW(sortedW.size / 2 - 1) + sortedW(sortedW.size / 2)) / 2.0
     System.err.println(f"[e2e-probe] $name min=${walls.min}%.2f " +
-      f"median=${walls.sorted.apply(walls.size / 2)}%.2f max=${walls.max}%.2f")
+      f"median=$median%.2f max=${walls.max}%.2f")
     spark.stop()
   }
 }

@@ -55,12 +55,8 @@ object MetaScale {
 
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toLong).getOrElse(200000L)
-    val root = {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    }
-    val dir = Files.createTempDirectory(root, "graft-metascale")
+    val dir = Files.createTempDirectory(
+      graft.queries.OracleFixtures.scratchRoot, "graft-metascale")
     try {
       val store = new MetaStore(dir.toString, MetaStore.ClipStatsColumns)
       store.bloomColumn = None
@@ -104,7 +100,7 @@ object MetaScale {
       val (_, tFullRewrite) = time(store.compactManifests())
 
       println(
-        f"""{"metric":"meta-scale","files":$k,"shards":${(k / store.manifestShardSize) + 1},""" +
+        f"""{"metric":"meta-scale","files":$k,"shards":${(k + store.manifestShardSize - 1) / store.manifestShardSize},""" +
         f""""commit_full_ms":$tCommitFull%.1f,"snapshot_load_ms":$tLoad%.1f,""" +
         f""""prune_partition_ms":$tPartition%.1f,"partition_kept":${partKept.size},""" +
         f""""prune_zonemap_ms":$tZonemap%.1f,"zonemap_kept":${zoneKept.size},""" +

@@ -51,6 +51,14 @@ import org.apache.spark.sql.SparkSession
  */
 object Maintain {
 
+  /** `<col> <op:eq|lt|gteq> <value>` shared by the delete-where ops. */
+  private def parsePred(rest: Array[String]): graft.table.Pred = rest(1) match {
+    case "eq" => graft.table.Pred.EqualTo(rest(0), rest(2))
+    case "lt" => graft.table.Pred.Lt(rest(0), rest(2).toLong)
+    case "gteq" => graft.table.Pred.GtEq(rest(0), rest(2).toLong)
+    case o => sys.error(s"delete-where: unknown op $o (eq|lt|gteq)")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Maintain <tableDir> <op> [args]")
     val tableDir = args(0)
@@ -196,25 +204,14 @@ object Maintain {
           s"${r.deleteRows} keys in ${r.deleteFiles} delete file(s)")
       case "delete-where" =>
         // <col> <op:eq|lt|gteq> <value> — resolved via the pruned scan
-        val pred = rest(1) match {
-          case "eq" => graft.table.Pred.EqualTo(rest(0), rest(2))
-          case "lt" => graft.table.Pred.Lt(rest(0), rest(2).toLong)
-          case "gteq" => graft.table.Pred.GtEq(rest(0), rest(2).toLong)
-          case o => sys.error(s"delete-where: unknown op $o (eq|lt|gteq)")
-        }
-        val r = Deletes.deleteWhere(spark, store, Seq(pred))
+        val r = Deletes.deleteWhere(spark, store, Seq(parsePred(rest)))
         println(s"snapshot ${r.snapshotId}: dropped ${r.filesDropped} " +
           s"fully-covered file(s) (${r.rowsDropped} rows, metadata-only) + " +
           s"equality delete of ${r.deleteRows} keys in ${r.deleteFiles} delete file(s)")
       case "delete-where-pos" =>
         // <col> <op:eq|lt|gteq> <value> — residue committed as POSITIONS
-        val pred = rest(1) match {
-          case "eq" => graft.table.Pred.EqualTo(rest(0), rest(2))
-          case "lt" => graft.table.Pred.Lt(rest(0), rest(2).toLong)
-          case "gteq" => graft.table.Pred.GtEq(rest(0), rest(2).toLong)
-          case o => sys.error(s"delete-where-pos: unknown op $o (eq|lt|gteq)")
-        }
-        val r = Deletes.deleteWhere(spark, store, Seq(pred), positional = true)
+        val r = Deletes.deleteWhere(spark, store, Seq(parsePred(rest)),
+          positional = true)
         println(s"snapshot ${r.snapshotId}: dropped ${r.filesDropped} " +
           s"fully-covered file(s) (${r.rowsDropped} rows, metadata-only) + " +
           s"position delete of ${r.deleteRows} rows in ${r.deleteFiles} delete file(s)")
@@ -308,16 +305,6 @@ object Maintain {
           else applied.foreach(a =>
             println(s"auto: ${a.decision.op} -> snapshot ${a.snapshotId} (${a.decision.reason})"))
         }
-      case "partitions" =>
-        // tuple -> (files, rows) census from the manifest alone
-        val es = store.entries(store.currentSnapshotId.get)
-        es.groupBy(_.partition).toSeq
-          .sortBy { case (t, _) => t.toSeq.sorted.mkString(",") }
-          .foreach { case (t, fs) =>
-            val tup = if (t.isEmpty) "(unpartitioned)"
-              else t.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(", ")
-            println(f"$tup%-50s files=${fs.size}%4d rows=${fs.map(_.rows).sum}")
-          }
       case other => sys.error(s"unknown op: $other")
     }
     spark.stop()

@@ -10,20 +10,26 @@ package graft.functions
  */
 object VecExprs {
 
-  /** dot(embedding, q) — requires columns `embedding` and `q`. */
-  val dotExpr: String =
-    "aggregate(zip_with(embedding, q, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+  /** dot(a, b) over two array columns — the ONE parity-safe recipe
+   * (cast-before-multiply, strict left fold); every dot in the engine
+   * derives from this so a parity fix reaches all of them. */
+  def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  /** ||embedding|| */
-  val normExpr: String =
-    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+  /** ||c|| over an array column, same recipe. */
+  def norm(c: String): String =
+    s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
 
+  /** dot(embedding, q) — the fixed-name fragments most queries use. */
+  val dotExpr: String = dot("embedding", "q")
+
+  /** ||embedding|| */
+  val normExpr: String = norm("embedding")
+
   /** ||q|| */
-  val qnormExpr: String =
-    "sqrt(aggregate(transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+  val qnormExpr: String = norm("q")
 
   /** Random-hyperplane sign bits -> 2^nPlanes buckets (default index width;
    * callers needing finer buckets pass their own plane count — more planes =

@@ -36,11 +36,8 @@ object Audio {
    * (bench/ScalingBench.scala:60-88); the e2e query stores get the same
    * treatment. Deleted on JVM exit so repeated runs don't leak tmpfs RAM. */
   private[queries] def e2eDir(prefix: String): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val root =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val d = java.nio.file.Files.createTempDirectory(root, prefix)
+    val d = java.nio.file.Files.createTempDirectory(
+      OracleFixtures.scratchRoot, prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
     d.toString

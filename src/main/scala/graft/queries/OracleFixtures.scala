@@ -57,11 +57,16 @@ object OracleFixtures {
     registry.asScala.toMap
   }
 
-  private def root: java.nio.file.Path = {
+  /** Scratch root for fixture/e2e stores: tmpfs when available (this host's
+   * /tmp collapses under concurrent small writes — ScalingBench measured),
+   * else java.io.tmpdir. The ONE policy point for every fixture/e2e/bench
+   * store except ScalingBench's GRAFT_BENCH_DIR-overridable root. */
+  def scratchRoot: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
+  private def root: java.nio.file.Path = scratchRoot
 
   /** Deterministic fixture dir for (query, sf); created if absent. */
   def dir(qname: String, sfDir: String): String = {

@@ -70,16 +70,11 @@ object Vector {
         col("embedding").as("ea"), col("bkt"))
       val b = doubled.select(col("vec_id").as("id_b"),
         col("embedding").as("eb"), col("bkt"))
-      val dotPair =
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-      def nrm(c: String) =
-        s"sqrt(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
       a.join(b, Seq("bkt"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(expr(dotPair) / (expr(nrm("ea")) * expr(nrm("eb"))), 4)
+          round(expr(VecExprs.dot("ea", "eb")) /
+            (expr(VecExprs.norm("ea")) * expr(VecExprs.norm("eb"))), 4)
             .as("cosine"))
         .filter(col("cosine") >= 0.99)
     }),

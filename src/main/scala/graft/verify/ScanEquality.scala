@@ -90,6 +90,9 @@ object ScanEquality {
         col("pre_dur") <=> col("post_dur") &&
         col("pre_codec") <=> col("post_codec")
       val digEq = col("pre_md5") <=> col("post_md5") // null-safe: null==null bytes
+      // a NULL payload on both sides digest-matches, but the decode path
+      // fails null payloads — the cheap gate must agree, not pass them
+      val bytesOk = col("pre_md5").isNotNull && col("post_md5").isNotNull
       val fast = j.filter(!both || digEq).select(
         col("clip_id"),
         inPre.as("in_pre"), inPost.as("in_post"),
@@ -97,7 +100,7 @@ object ScanEquality {
         (both && mOk).as("meta_ok"),
         when(both, lit(Pcm.PerfectSnrDb)).otherwise(lit(-1.0)).as("snr_db"),
         when(both, lit(Pcm.PerfectSnrDb)).otherwise(lit(-1.0)).as("snr_vs_synth_db"),
-        (both && tOk && mOk).as("pass")).as[VerifyRow]
+        (both && tOk && mOk && bytesOk).as("pass")).as[VerifyRow]
       val mismatchIds = j.filter(both && !digEq).select("clip_id")
       val slow = compareDecodeAll(spark,
         pre.join(mismatchIds, Seq("clip_id"), "left_semi"),
@@ -169,8 +172,13 @@ object ScanEquality {
       min(col("snr_db")).as("minSnr")).collect()(0)
     val n = agg.getAs[Long]("n")
     val passed = agg.getAs[Long]("passed")
-    VerifyReport(n, passed, n - passed,
-      Option(agg.getAs[Double]("minSnr")).getOrElse(-1.0),
+    // raw cell, not getAs[Double]: primitive unboxing turns SQL NULL into
+    // 0.0 and an empty verify would report a measured-looking 0 dB floor
+    val minSnr = agg.get(agg.fieldIndex("minSnr")) match {
+      case null => -1.0
+      case d: java.lang.Double => d.doubleValue()
+    }
+    VerifyReport(n, passed, n - passed, minSnr,
       if (n == 0) 0.0 else passed.toDouble / n)
   }
 }
