@@ -141,14 +141,14 @@ object Changes {
     // named (file_path, pos) rows to keys by reading the TARGET files under
     // `from`'s visibility with row identity attached. Bounded by the delete
     // churn's target-file set, never the table.
-    val posDelPaths = deltaDels.map(_.path)
-      .filter(p => Deletes.isPositional(spark, p))
+    val posDelEntries = deltaDels
+      .filter(d => Deletes.isPositional(spark, d.path))
     val posKeyVals: Seq[Any] =
-      if (posDelPaths.isEmpty) Nil
+      if (posDelEntries.isEmpty) Nil
       else {
-        val pairs = spark.read.parquet(posDelPaths: _*)
+        val pairs = Deletes.positionPairs(spark, posDelEntries)
           .select(col("file_path").as(Deletes.PosPathCol),
-            col("pos").cast("long").as(Deletes.PosIdxCol)).distinct()
+            col("pos").as(Deletes.PosIdxCol))
         val targetPaths = pairs.select(Deletes.PosPathCol)
           .distinct().collect().map(_.getString(0)).toSet
         val targets = store.entries(fromId).filter(f => targetPaths.contains(f.path))

@@ -73,6 +73,10 @@ object Deletes {
    * are reserved (not clip-table columns). */
   private val PosDeleteCols = Seq("file_path", "pos")
 
+  /** Column set of a DELETION-VECTOR file ([[DeleteVectors]]): one
+   * `(file_path, dv)` row per masked data file, the packed position form. */
+  private val DvDeleteCols = Seq("dv", "file_path")
+
   /** Read one group of delete files (uniform column set) as a distinct key
    * frame. */
   private def keyFrame(spark: SparkSession, paths: Seq[String]): DataFrame =
@@ -94,9 +98,31 @@ object Deletes {
     delColsCache.computeIfAbsent(path,
       pp => spark.read.parquet(pp).columns.toSeq.sorted)
 
-  /** Whether the delete file at `path` is a position delete. */
-  def isPositional(spark: SparkSession, path: String): Boolean =
-    delCols(spark, path) == PosDeleteCols
+  /** Whether the delete file at `path` is a position delete — either the
+   * pair form or the packed deletion-vector form. */
+  def isPositional(spark: SparkSession, path: String): Boolean = {
+    val c = delCols(spark, path)
+    c == PosDeleteCols || c == DvDeleteCols
+  }
+
+  /** Whether the delete file at `path` is a packed deletion vector. */
+  def isVector(spark: SparkSession, path: String): Boolean =
+    delCols(spark, path) == DvDeleteCols
+
+  /** All `(file_path, pos)` pairs of a mixed set of position-delete files
+   * (pair files read directly, vector files expanded) — distinct. */
+  def positionPairs(spark: SparkSession, posDels: Seq[DataFile]): DataFrame = {
+    val (dvs, pairs) = posDels.partition(d => isVector(spark, d.path))
+    val expandUdf = udf((dv: Array[Byte]) => DeleteVectors.expand(dv))
+    val frames =
+      (if (pairs.isEmpty) Nil
+       else Seq(spark.read.parquet(pairs.map(_.path): _*)
+         .select(col("file_path"), col("pos").cast("long")))) ++
+      (if (dvs.isEmpty) Nil
+       else Seq(spark.read.parquet(dvs.map(_.path): _*)
+         .select(col("file_path"), explode(expandUdf(col("dv"))).as("pos"))))
+    frames.reduce(_.unionByName(_)).distinct()
+  }
 
   /** Anti-join `df` against every delete entry in `dels`. Delete files are
    * grouped by their column set (equality deletes may key on different
@@ -119,12 +145,31 @@ object Deletes {
    * needed; paths are never reused, every output dir is UUID-fresh). */
   private def applyPositional(spark: SparkSession, df: DataFrame,
                               posDels: Seq[DataFile]): DataFrame = {
-    val keys = spark.read.parquet(posDels.map(_.path): _*)
-      .select(col("file_path").as(PosPathCol), col("pos").cast("long").as(PosIdxCol))
-      .distinct()
-    val right =
-      if (posDels.map(_.rows).sum <= broadcastRowLimit) broadcast(keys) else keys
-    df.join(right, Seq(PosPathCol, PosIdxCol), "left_anti")
+    val (dvs, pairs) = posDels.partition(d => isVector(spark, d.path))
+    val pairApplied =
+      if (pairs.isEmpty) df
+      else {
+        val keys = spark.read.parquet(pairs.map(_.path): _*)
+          .select(col("file_path").as(PosPathCol),
+            col("pos").cast("long").as(PosIdxCol))
+          .distinct()
+        val right =
+          if (pairs.map(_.rows).sum <= broadcastRowLimit) broadcast(keys) else keys
+        df.join(right, Seq(PosPathCol, PosIdxCol), "left_anti")
+      }
+    if (dvs.isEmpty) pairApplied
+    else {
+      // deletion vectors: ONE row per masked file — broadcast the (path, dv)
+      // map, O(1) bit test per data row, no per-deleted-row join input
+      val dvDf = spark.read.parquet(dvs.map(_.path): _*)
+        .select(col("file_path").as(PosPathCol), col("dv"))
+        .dropDuplicates(PosPathCol)
+      val masked = udf((dv: Array[Byte], pos: Long) =>
+        DeleteVectors.contains(dv, pos))
+      pairApplied.join(broadcast(dvDf), Seq(PosPathCol), "left_outer")
+        .filter(col("dv").isNull || !masked(col("dv"), col(PosIdxCol)))
+        .drop("dv")
+    }
   }
 
   /**
@@ -360,7 +405,13 @@ object Deletes {
    * Returns (snapshot id, position files before, mask rows dropped as
    * dead-path); no commit when there is nothing to merge or prune.
    */
+  /** @param pack re-emit the merged masks as DELETION VECTORS
+   *   ([[DeleteVectors]]: one `(file_path, dv)` bitset row per masked data
+   *   file — Iceberg v3's packed form) instead of `(file_path, pos)` pairs.
+   *   Files whose max masked position exceeds [[DeleteVectors.MaxPackPos]]
+   *   keep the pair form (a dense bitset would dwarf a sparse mask). */
   def compactPositional(spark: SparkSession, store: MetaStore,
+                        pack: Boolean = false,
                         runId: String = s"posdel-compact-${System.currentTimeMillis()}"): (Long, Int, Long) =
   MetaStore.withCommitRetry() {
     import spark.implicits._
@@ -368,33 +419,53 @@ object Deletes {
     val dels = store.deleteEntries(snapId)
     val (posDels, eqDels) = dels.partition(d => isPositional(spark, d.path))
     if (posDels.isEmpty) return (snapId, 0, 0L)
-    val rowsBefore = posDels.map(_.rows).sum
     // live-path semi-join (not isInCollection: the live set is file-count
     // sized, 10^5-10^6 at scale — a join input, not an In-list literal)
     val liveDf = store.entries(snapId).map(_.path).toDF("file_path")
-    val kept = spark.read.parquet(posDels.map(_.path): _*)
-      .select(col("file_path"), col("pos").cast("long"))
-      .join(liveDf, Seq("file_path"), "left_semi")
-      .distinct()
+    val allPairs = positionPairs(spark, posDels)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = allPairs.count()
+    val kept = allPairs.join(liveDf, Seq("file_path"), "left_semi")
     val keptRows = kept.count()
-    if (posDels.size < 2 && keptRows == rowsBefore) return (snapId, 0, 0L)
+    val alreadyForm = posDels.forall(d => isVector(spark, d.path) == pack)
+    if (posDels.size < 2 && keptRows == total && alreadyForm) {
+      allPairs.unpersist()
+      return (snapId, 0, 0L)
+    }
     val maxSeq = posDels.map(_.seq).max
     val newDels: Seq[DataFile] =
       if (keptRows == 0) Nil
-      else {
+      else if (!pack) {
         val outDir = store.newDataDir("posdelete")
         kept.coalesce(1).write.mode("overwrite").parquet(outDir)
         store.collectStats(spark, outDir).filter(_.rows > 0)
           .map(_.copy(seq = maxSeq))
+      } else {
+        val enc = udf((ps: Seq[Long]) => DeleteVectors.encode(ps))
+        val grouped = kept.groupBy("file_path")
+          .agg(collect_list("pos").as("ps"))
+          .withColumn("maxp", array_max(col("ps")))
+        val dvOut = store.newDataDir("posdelete")
+        grouped.filter(col("maxp") <= DeleteVectors.MaxPackPos)
+          .select(col("file_path"), enc(col("ps")).as("dv"))
+          .coalesce(1).write.mode("overwrite").parquet(dvOut)
+        val pairOut = store.newDataDir("posdelete")
+        kept.join(grouped.filter(col("maxp") > DeleteVectors.MaxPackPos)
+            .select("file_path"), Seq("file_path"), "left_semi")
+          .coalesce(1).write.mode("overwrite").parquet(pairOut)
+        (store.collectStats(spark, dvOut) ++ store.collectStats(spark, pairOut))
+          .filter(_.rows > 0).map(_.copy(seq = maxSeq))
       }
+    allPairs.unpersist()
     val id = store.commitDelta("compact-deletes", Nil, summary = Map(
       "runId" -> runId,
       "posFilesMerged" -> posDels.size.toString,
-      "maskRowsDropped" -> (rowsBefore - keptRows).toString,
+      "maskRowsDropped" -> (total - keptRows).toString,
+      "packed" -> pack.toString,
       "deleteFiles" -> (eqDels.size + newDels.size).toString),
       deletes = Some(eqDels ++ newDels),
       expectedParent = Some(snapId))
-    (id, posDels.size, rowsBefore - keptRows)
+    (id, posDels.size, total - keptRows)
   }
 
   /**
@@ -471,7 +542,7 @@ object Deletes {
     val (posDels, eqDels) = dels.partition(d => isPositional(spark, d.path))
     val posTargets: Set[String] =
       if (posDels.isEmpty) Set.empty
-      else spark.read.parquet(posDels.map(_.path): _*)
+      else positionPairs(spark, posDels) // pair + vector forms uniformly
         .select("file_path").distinct().collect().map(_.getString(0)).toSet
     val coveredEq = entries.filter(f => eqDels.exists(_.seq > f.seq))
     val coveredPos = entries.filter(f => posTargets.contains(f.path))

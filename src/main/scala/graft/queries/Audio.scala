@@ -1545,6 +1545,52 @@ object Audio {
         runId = "q110-compact", singleJob = true)
       store.scanCurrent(s)
         .select("clip_id", "codec", "dur_ms", "sr_hz", "transcript")
+    }),
+
+    // -- DELETION VECTORS (ops/DeleteVectors.scala): position masks packed
+    //    as one per-file bitset row (Iceberg v3's form) — the read applies
+    //    them via a broadcast (path, dv) map and an O(1) bit test per row
+    //    instead of a per-deleted-row join input. The story: two appends ->
+    //    a predicate position delete (pair form) -> compactPositional(pack)
+    //    re-emits the masks as vectors -> the scan reads THROUGH the packed
+    //    representation. --
+    //    Oracle: DuckDB replays the masks from the ORIGINAL pair-form delete
+    //    parquet (still referenced by the pre-pack snapshot) against the raw
+    //    files via file_row_number — a cross-REPRESENTATION equivalence
+    //    proof: two engines AND two mask encodings, one answer. --
+    "q111_deletion_vectors" -> ((s, d) => {
+      import s.implicits._
+      val dir = OracleFixtures.freshDir("q111_store", d)
+      val store = MetaStore.forClips(dir)
+      val n = clipCount(d)
+      def synthRange(from: Long, until: Long, parts: Int) =
+        s.range(from, until, 1L, parts).map(i => ClipSynth.clip(i, 150)).toDF()
+      Append.run(s, store, synthRange(0, n / 2, 4))
+      Append.run(s, store, synthRange(n / 2, n, 4))
+      Deletes.deleteWhere(s, store, Seq(Pred.EqualTo("codec", Pcm.Pcm8)),
+        positional = true, runId = "q111-delete")
+      val pairFiles = store.deleteEntries(store.currentSnapshotId.get)
+      val rawFiles = store.entries(store.currentSnapshotId.get)
+      OracleFixtures.register("q111_deletion_vectors",
+        s"""WITH rows_all AS (
+           |  SELECT clip_id, codec, dur_ms, sr_hz, transcript,
+           |    filename AS fpath, file_row_number AS fpos
+           |  FROM read_parquet(${OracleFixtures.pathList(rawFiles.map(_.path))},
+           |    filename=true, file_row_number=true)),
+           |delk AS (SELECT file_path, pos
+           |  FROM read_parquet(${OracleFixtures.pathList(pairFiles.map(_.path))}))
+           |SELECT a.clip_id, a.codec, a.dur_ms, a.sr_hz, a.transcript
+           |FROM rows_all a LEFT JOIN delk
+           |  ON a.fpath = delk.file_path AND a.fpos = delk.pos
+           |WHERE delk.file_path IS NULL""".stripMargin)
+      val (_, merged, _) = Deletes.compactPositional(s, store, pack = true,
+        runId = "q111-pack")
+      val dels = store.deleteEntries(store.currentSnapshotId.get)
+      require(merged == pairFiles.size && dels.nonEmpty &&
+        dels.forall(e => Deletes.isVector(s, e.path)),
+        "q111 must read through the PACKED representation")
+      store.scanCurrent(s)
+        .select("clip_id", "codec", "dur_ms", "sr_hz", "transcript")
     })
   )
 

@@ -404,6 +404,85 @@ class DeleteSpec extends AnyFunSuite {
     assert(id3 == id2 && merged3 == 0, "no-op makes no commit")
   }
 
+  test("deletion vectors: bitset round-trip at byte/word boundaries") {
+    import graft.ops.DeleteVectors._
+    val ps = Seq(0L, 1L, 7L, 8L, 63L, 64L, 65L, 511L, 513L)
+    val dv = encode(ps)
+    assert(expand(dv) == ps.sorted)
+    ps.foreach(p => assert(contains(dv, p), s"bit $p"))
+    Seq(2L, 9L, 62L, 66L, 512L, 514L, 100000L).foreach(p =>
+      assert(!contains(dv, p), s"bit $p must be clear"))
+    assert(!contains(dv, -1L))
+    assert(!contains(null, 3L), "null vector masks nothing")
+    intercept[IllegalArgumentException] { encode(Seq(MaxPackPos + 1)) }
+  }
+
+  test("compactPositional(pack): masks re-emit as deletion vectors, visibility unchanged") {
+    val store = freshStore("dv")
+    seed(store)
+    val files = store.entries(store.currentSnapshotId.get)
+    // two pair-form commits over two different files
+    files.take(2).foreach { f =>
+      Deletes.runPositional(spark, store,
+        Seq((f.path, 0L), (f.path, 2L)).toDF("file_path", "pos"),
+        expectedSnapshot = store.currentSnapshotId.get)
+    }
+    val expect = visibleIds(store)
+    val (id1, merged, dropped) = Deletes.compactPositional(spark, store, pack = true)
+    assert(merged == 2 && dropped == 0)
+    val dels = store.deleteEntries(id1)
+    assert(dels.size == 1 && Deletes.isVector(spark, dels.head.path),
+      s"one packed vector file expected: $dels")
+    assert(dels.head.rows == 2, "one dv ROW per masked data file")
+    assert(visibleIds(store) == expect, "packing must not change visibility")
+    // the packed pairs expand to exactly the original masks
+    val pairs = Deletes.positionPairs(spark, dels)
+      .as[(String, Long)].collect().toSet
+    assert(pairs == files.take(2).flatMap(f =>
+      Seq((f.path, 0L), (f.path, 2L))).toSet)
+
+    // a NEW pair-form delete coexists with the live vector: both apply
+    val f3 = files(2)
+    val victim = spark.read.parquet(f3.path)
+      .limit(1).select("clip_id").as[String].collect().head
+    Deletes.runPositional(spark, store,
+      Seq((f3.path, 0L)).toDF("file_path", "pos"),
+      expectedSnapshot = store.currentSnapshotId.get)
+    assert(visibleIds(store) == expect - victim, "mixed dv + pair forms apply")
+
+    // packing again folds BOTH forms into one vector file
+    val (id2, m2, _) = Deletes.compactPositional(spark, store, pack = true)
+    val dels2 = store.deleteEntries(id2)
+    assert(m2 == 2 && dels2.size == 1 && Deletes.isVector(spark, dels2.head.path))
+    assert(dels2.head.rows == 3)
+    assert(visibleIds(store) == expect - victim)
+
+    // rewrites materialize vectors like pairs; dead vectors then retire
+    Compact.run(spark, store, targetBytes = 4L * 1024 * 1024)
+    assert(visibleIds(store) == expect - victim)
+    val (id3, _, dropped3) = Deletes.compactPositional(spark, store, pack = true)
+    assert(dropped3 == 5 && store.deleteEntries(id3).isEmpty,
+      "dead-path masks inside vectors are pruned")
+  }
+
+  test("CDC resolves deletion-vector masks back to keys") {
+    val store = freshStore("dvcdc")
+    seed(store)
+    val from = store.currentSnapshotId.get
+    val target = store.entries(from).head
+    val victims = spark.read.parquet(target.path)
+      .limit(2).select("clip_id").as[String].collect().toSet
+    Deletes.runPositional(spark, store,
+      Seq((target.path, 0L), (target.path, 1L)).toDF("file_path", "pos"),
+      expectedSnapshot = from)
+    Deletes.compactPositional(spark, store, pack = true)
+    val to = store.currentSnapshotId.get
+    val rows = Changes.rowChanges(spark, store, from, to)
+      .as[(String, String)].collect().toMap
+    assert(rows == victims.map(_ -> "delete").toMap,
+      s"dv-masked keys must emit delete rows: $rows")
+  }
+
   test("CDC classifies position deletes: delete rows, and re-insert as update") {
     val store = freshStore("poscdc")
     seed(store)
