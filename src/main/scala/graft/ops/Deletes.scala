@@ -160,13 +160,19 @@ object Deletes {
     if (dvs.isEmpty) pairApplied
     else {
       // deletion vectors: ONE row per masked file — broadcast the (path, dv)
-      // map, O(1) bit test per data row, no per-deleted-row join input
+      // map, O(1) bit test per data row, no per-deleted-row join input.
+      // Broadcast only while the vectors fit comfortably (delete-file bytes
+      // are in the manifest); a pathological mask set falls back to a
+      // shuffle join rather than OOMing the driver/executors.
       val dvDf = spark.read.parquet(dvs.map(_.path): _*)
         .select(col("file_path").as(PosPathCol), col("dv"))
         .dropDuplicates(PosPathCol)
+      val right =
+        if (dvs.map(_.sizeBytes).sum <= 256L * 1024 * 1024) broadcast(dvDf)
+        else dvDf
       val masked = udf((dv: Array[Byte], pos: Long) =>
         DeleteVectors.contains(dv, pos))
-      pairApplied.join(broadcast(dvDf), Seq(PosPathCol), "left_outer")
+      pairApplied.join(right, Seq(PosPathCol), "left_outer")
         .filter(col("dv").isNull || !masked(col("dv"), col(PosIdxCol)))
         .drop("dv")
     }
