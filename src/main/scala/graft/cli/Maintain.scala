@@ -73,7 +73,21 @@ object Maintain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val store = MetaStore.forClips(tableDir)
+    // a branch log dir must be opened THROUGH its parent (Branches.store):
+    // opening it as a plain table would root new data files inside the
+    // branch dir, where branch-drop deletes them — even after a fast-forward
+    // committed them to main
+    val store = {
+      val p = java.nio.file.Paths.get(tableDir).toAbsolutePath.normalize
+      val parent = Option(p.getParent).filter(_.getFileName != null)
+      if (parent.exists(_.getFileName.toString == "branches") &&
+          parent.map(_.getParent).exists(gp =>
+            java.nio.file.Files.exists(gp.resolve("meta").resolve("branches.json"))))
+        Branches.store(
+          MetaStore.forClips(parent.get.getParent.toString),
+          p.getFileName.toString)
+      else MetaStore.forClips(tableDir)
+    }
 
     op match {
       case "synth" =>
@@ -255,6 +269,27 @@ object Maintain {
         recs.foreach(r => println(s"${r.name}  rows=${r.entries.map(_.rows).sum} " +
           s"files=${r.entries.size} staged=${java.time.Instant.ofEpochMilli(r.createdMs)} " +
           s"audited=${if (r.auditedMs > 0) "yes" else "NO"}"))
+      case "branch" => // <name> [fromId] — zero-copy writable fork
+        val from = if (rest.length > 1) rest(1).toLong else -1L
+        val b = Branches.create(store, rest(0), from)
+        println(s"branch '${rest(0)}' at snapshot ${b.currentSnapshotId.get} " +
+          s"(log: ${b.tableDir})")
+      case "branches" =>
+        val recs = Branches.list(store)
+        if (recs.isEmpty) println("no branches")
+        recs.values.foreach { r =>
+          val head = Branches.store(store, r.name).currentSnapshotId.getOrElse(-1L)
+          println(s"${r.name}  fork=${r.forkSnapshot} head=$head " +
+            s"merged=${Branches.merged(store, r.name)}")
+        }
+      case "branch-ff" =>
+        val replayed = Branches.fastForward(store, rest(0))
+        if (replayed.isEmpty) println(s"'${rest(0)}': already up to date")
+        else println(s"fast-forwarded '${rest(0)}': replayed snapshots " +
+          replayed.mkString(", "))
+      case "branch-drop" =>
+        Branches.drop(store, rest(0), force = rest.contains("force"))
+        println(s"dropped branch '${rest(0)}'")
       case "compact-manifests" =>
         val (id, before, after) = store.compactManifests()
         println(s"snapshot $id: $before -> $after manifest shards")

@@ -1,0 +1,254 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+
+import graft.table.{Json, MetaStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** One branch record. Snapshot ids are strings for the same Jackson boxing
+ * reason as [[RefsFile]]. `evolutionCount` pins the schema era both sides
+ * must still be in at fast-forward time. */
+final case class BranchRec(
+    name: String,
+    forkSnapshot: String,
+    createdMs: Long,
+    evolutionCount: Int)
+
+final case class BranchesFile(branches: Map[String, BranchRec])
+
+/**
+ * Branches: a full writable fork of the table — its own snapshot log under
+ * `<table>/branches/<name>/meta`, seeded zero-copy at a fork snapshot
+ * ([[MetaStore.seedFork]]) — plus a git-style fast-forward merge that
+ * REPLAYS the branch's commits onto the main log id-for-id.
+ *
+ * This is the audit/staging-branch workflow for MAINTENANCE (the use case
+ * Iceberg documents for its branch refs): run compaction / clustering /
+ * MERGE INTO / deletes against the branch, verify scan-equality there in
+ * full isolation — main readers never see an intermediate state — then
+ * fast-forward when the result is blessed. [[Wap]] covers the single staged
+ * APPEND; a branch covers multi-commit rewrites, which WAP cannot (a staged
+ * batch has no snapshot log to chain rewrites on).
+ *
+ * Design notes, and where this deliberately differs from Iceberg's
+ * shared-log branch refs:
+ *
+ *  - **Separate per-branch log, one shared id/sequence space.** The main
+ *    log's cross-process safety hinges on same-parent racers contending on
+ *    the same `snap-<parent+1>.json` O_EXCL claim; interleaving branch
+ *    snapshots into that log would break the claim discipline (a branch
+ *    commit at `CURRENT+1` would livelock main writers). Instead each
+ *    branch gets its own log DIRECTORY with the same claim machinery,
+ *    seeded AT the fork id so branch commit ids stay strictly above every
+ *    carried data-sequence number (equality-delete coverage) and line up
+ *    id-for-id with a later replay.
+ *  - **Branch data files live in the MAIN table's `data/` directory**
+ *    (the branch store is constructed with a data-root override), so a
+ *    fast-forward is metadata-only — no file moves. Files reachable from
+ *    any branch snapshot are [[RemoveOrphans]] GC roots; fork snapshots are
+ *    [[ExpireSnapshots]] roots (like tags), pinning the shared history.
+ *  - **Fast-forward = ordered replay.** Requires main's head to still BE
+ *    the fork point (true fast-forward; anything else is a merge conflict —
+ *    re-branch and re-run). Each branch snapshot is re-committed onto main
+ *    with the same operation, entries, and delete set, CAS-chained with
+ *    `expectedParent`, stamped `ffFrom`/`ffSnap` — so a crash mid-replay
+ *    resumes idempotently, and ChangeFeed consumers see ordinary contiguous
+ *    commits. Because ids line up, carried sequence numbers keep exactly
+ *    the coverage semantics they had inside the branch.
+ *
+ * At 10^12-clip scale everything here is metadata-bounded: fork cost is
+ * O(manifest entries) of driver JSON (no data IO), replay is O(branch
+ * commits) commits of O(files) each.
+ */
+object Branches {
+
+  private def branchesPath(store: MetaStore) =
+    Paths.get(store.tableDir, "meta", "branches.json")
+
+  private def branchDir(store: MetaStore, name: String): JPath =
+    Paths.get(store.tableDir, "branches", name)
+
+  def list(store: MetaStore): Map[String, BranchRec] = {
+    val p = branchesPath(store)
+    if (!Files.exists(p)) Map.empty
+    else Json.mapper.readValue[BranchesFile](
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).branches
+  }
+
+  /** Temp + atomic rename — a torn branches.json would block GC (branches
+   * are GC roots) and every branch operation until repaired. */
+  private def write(store: MetaStore, b: Map[String, BranchRec]): Unit = {
+    val p = branchesPath(store)
+    val tmp = p.resolveSibling(
+      s"branches.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, Json.mapper.writeValueAsString(BranchesFile(b))
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def record(store: MetaStore, name: String): BranchRec =
+    list(store).getOrElse(name, sys.error(s"no branch named $name"))
+
+  /** Handle on an existing branch's store. Same stats/bloom configuration
+   * as the parent; data-root overridden to the parent's `data/`. */
+  def store(main: MetaStore, name: String): MetaStore = {
+    record(main, name) // existence check
+    val b = new MetaStore(branchDir(main, name).toString, main.statsColumns,
+      Some(Paths.get(main.tableDir, "data").toString))
+    b.bloomColumn = main.bloomColumn
+    b
+  }
+
+  /**
+   * Create branch `name` at `fromSnapshot` (default: current). Zero-copy:
+   * the branch's seed snapshot points at the parent's files under the SAME
+   * snapshot id ([[MetaStore.seedFork]]). The parent's partition spec and
+   * evolution log are copied so branch scans and writes resolve hidden
+   * partitions and per-era defaults exactly like the parent.
+   */
+  def create(main: MetaStore, name: String, fromSnapshot: Long = -1L): MetaStore = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name: $name")
+    require(!list(main).contains(name), s"branch '$name' already exists")
+    val fork = if (fromSnapshot >= 0) fromSnapshot
+      else main.currentSnapshotId.getOrElse(sys.error("branch: empty table"))
+    require(main.allSnapshotIds.contains(fork), s"branch: no snapshot $fork")
+    val b = new MetaStore(branchDir(main, name).toString, main.statsColumns,
+      Some(Paths.get(main.tableDir, "data").toString))
+    b.bloomColumn = main.bloomColumn
+    // schema-era + partition metadata travel with the fork (read-side deps)
+    val srcMeta = Paths.get(main.tableDir, "meta")
+    val dstMeta = Paths.get(b.tableDir, "meta")
+    Seq("partition-spec.json", "evolutions.json").foreach { f =>
+      val s = srcMeta.resolve(f)
+      if (Files.exists(s))
+        Files.copy(s, dstMeta.resolve(f), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val evoDir = srcMeta.resolve("evolutions")
+    if (Files.isDirectory(evoDir)) {
+      Files.createDirectories(dstMeta.resolve("evolutions"))
+      val stream = Files.list(evoDir)
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .foreach(p => Files.copy(p,
+          dstMeta.resolve("evolutions").resolve(p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING))
+      finally stream.close()
+    }
+    b.seedFork(main, fork)
+    // record AFTER the branch store exists: a crash in between leaves an
+    // unrecorded branch dir (re-creatable; never a dangling GC root)
+    write(main, list(main) + (name -> BranchRec(name, fork.toString,
+      System.currentTimeMillis(), Evolve.evolutions(main).size)))
+    b
+  }
+
+  /** Fork snapshot ids — [[ExpireSnapshots]] GC roots on the main log: a
+   * live branch pins its fork point (and thereby every parent file it
+   * carries) exactly like a tag. */
+  def forkRoots(main: MetaStore): Seq[Long] =
+    list(main).values.map(_.forkSnapshot.toLong).toSeq
+
+  /** Every data/delete-file path reachable from any branch snapshot —
+   * [[RemoveOrphans]] GC roots: branch-written files sit in the MAIN data
+   * directory but no main snapshot references them until fast-forward.
+   * Strict by design: a torn branch log blocks GC rather than risking it.
+   * (A branch DIRECTORY missing its record — a crashed [[drop]] — is not
+   * listed here: its files are already condemned.) */
+  def dataRoots(main: MetaStore): Set[String] =
+    list(main).keys.flatMap { name =>
+      val b = store(main, name)
+      b.allSnapshotIds.flatMap(id => b.entries(id) ++ b.deleteEntries(id))
+        .map(e => main.normalizePath(e.path))
+    }.toSet
+
+  /** True when `name`'s head commit has been replayed onto main. */
+  def merged(main: MetaStore, name: String): Boolean = {
+    val b = store(main, name)
+    val head = b.currentSnapshotId.getOrElse(-1L)
+    if (head <= record(main, name).forkSnapshot.toLong) return true // no work
+    main.allSnapshotIds.exists { id =>
+      val s = main.snapshot(id)
+      s.summary.get("ffFrom").contains(name) &&
+        s.summary.get("ffSnap").contains(head.toString)
+    }
+  }
+
+  /**
+   * Fast-forward main to the branch head: replay each branch commit after
+   * the fork onto the main log, in order, id-for-id. Returns the replayed
+   * main snapshot ids (empty when already up to date).
+   *
+   * Requirements (each raises with a precise message):
+   *  - main's head is the fork point, or a prefix of this branch's commits
+   *    already replayed by an interrupted fast-forward (idempotent resume);
+   *    anything else is a divergence — re-branch from the new head instead;
+   *  - neither side evolved the schema since the fork ([[Wap]]'s era rule:
+   *    replaying file lists across an era boundary would mis-default);
+   *  - the branch log is contiguous above the fork (don't expire branch
+   *    history you intend to merge).
+   */
+  def fastForward(main: MetaStore, name: String): Seq[Long] = {
+    val rec = record(main, name)
+    val fork = rec.forkSnapshot.toLong
+    val b = store(main, name)
+    val evoMain = Evolve.evolutions(main).size
+    val evoBranch = Evolve.evolutions(b).size
+    require(evoMain == rec.evolutionCount && evoBranch == rec.evolutionCount,
+      s"fast-forward '$name': schema era moved (fork era ${rec.evolutionCount}, " +
+        s"main $evoMain, branch $evoBranch); re-branch and re-run")
+    val bids = b.allSnapshotIds.filter(_ > fork).sorted
+    require(bids == (fork + 1 to fork + bids.size),
+      s"fast-forward '$name': branch log not contiguous above fork $fork " +
+        s"(have ${bids.mkString(",")}); branch history was expired")
+    val cur = main.currentSnapshotId.getOrElse(-1L)
+    require(cur >= fork,
+      s"fast-forward '$name': main head $cur below fork $fork")
+    // resume check: every main commit past the fork must be OUR replay
+    (fork + 1 to cur).foreach { id =>
+      val s = main.snapshot(id)
+      require(s.summary.get("ffFrom").contains(name) &&
+        s.summary.get("ffSnap").contains(id.toString),
+        s"fast-forward '$name': main diverged at snapshot $id " +
+          s"(${s.operation}); re-branch from the current head and re-run")
+    }
+    require(cur <= fork + bids.size,
+      s"fast-forward '$name': main already past branch head")
+    ((cur + 1) to (fork + bids.size)).map { id =>
+      val snap = b.snapshot(id)
+      val got = main.commit(snap.operation, b.entries(id),
+        snap.summary ++ Map("ffFrom" -> name, "ffSnap" -> id.toString),
+        deletes = Some(b.deleteEntries(id)),
+        expectedParent = Some(id - 1))
+      assert(got == id, s"fast-forward '$name': replay minted $got, expected $id")
+      got
+    }
+  }
+
+  /**
+   * Drop branch `name`: remove its record (releasing the GC roots), then
+   * its log directory. Branch-written data files that never fast-forwarded
+   * become orphans in the main data dir — [[RemoveOrphans]] collects them
+   * behind its age floor. Requires `force` when the branch has unmerged
+   * commits (the git `-D` rule).
+   */
+  def drop(main: MetaStore, name: String, force: Boolean = false): Unit = {
+    require(force || merged(main, name),
+      s"branch '$name' has unmerged commits; fast-forward first or force")
+    write(main, list(main) - name)
+    val d = branchDir(main, name)
+    if (Files.exists(d)) {
+      val stream = Files.walk(d)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally stream.close()
+    }
+  }
+
+  /** Read the branch head — snapshot isolation against main's churn. */
+  def scan(spark: SparkSession, main: MetaStore, name: String): DataFrame =
+    store(main, name).scanCurrent(spark)
+}

@@ -37,9 +37,12 @@ object ExpireSnapshots {
     // promised), and deleting it could kill a commit mid-publish. Debris is
     // RemoveOrphans' job (age-floored), not expiry's.
     val all = store.allSnapshotIds.filter(_ <= current)
-    // tags are GC roots: a tagged snapshot (and its files) survives expiry
-    // for as long as the tag exists (Refs.scala)
-    val tagged = Refs.tags(store).values.toSeq.filter(all.contains)
+    // tags and branch fork points are GC roots: a tagged snapshot (and its
+    // files) survives expiry for as long as the tag exists (Refs.scala), and
+    // a live branch pins the snapshot it forked from — every parent file a
+    // branch commit carries is reachable from that fork (Branches.scala)
+    val tagged = (Refs.tags(store).values.toSeq ++ Branches.forkRoots(store))
+      .filter(all.contains)
     val cutoff = System.currentTimeMillis() - minAgeMs
     val young =
       if (minAgeMs <= 0L) Seq.empty
@@ -63,9 +66,14 @@ object ExpireSnapshots {
 
     var dataDeleted = 0
     var manifestsDeleted = 0
-    (expiredData -- reachableData).foreach { p =>
-      if (Files.deleteIfExists(Paths.get(p))) dataDeleted += 1
-    }
+    // a branch store shares data files with its parent table: expiring
+    // branch HISTORY (snap/manifest JSONs, branch-local) is fine, but data
+    // files it can reach may also be reachable from parent snapshots this
+    // store cannot see — only the owning store may delete data
+    if (store.ownsData)
+      (expiredData -- reachableData).foreach { p =>
+        if (Files.deleteIfExists(Paths.get(p))) dataDeleted += 1
+      }
     (expiredManifests -- reachableManifests).foreach { m =>
       if (Files.deleteIfExists(Paths.get(store.tableDir, "meta", m)))
         manifestsDeleted += 1

@@ -47,13 +47,19 @@ object RemoveOrphans {
   /** @param minAgeMs only files older than this are deletable (default 1 h);
    *    must exceed the longest plausible write-to-commit window. */
   def run(store: MetaStore, minAgeMs: Long = 3600L * 1000): OrphanResult = {
+    require(store.ownsData,
+      s"${store.tableDir}: orphan GC must run on the owning table, not a " +
+        "branch store (branch data lives in the parent's data directory)")
     val reachable: Set[String] =
       store.allSnapshotIds.flatMap(id =>
         store.entries(id) ++ store.deleteEntries(id)).map(_.path).toSet ++
         checkpointRoots(store) ++
         // staged-but-unpublished WAP batches: no snapshot references them,
         // but they are pending work, not garbage
-        Wap.stagedRoots(store)
+        Wap.stagedRoots(store) ++
+        // branch-reachable files sit in THIS data dir but no main snapshot
+        // references them until fast-forward — pending work, not garbage
+        Branches.dataRoots(store)
     val dataDir = Paths.get(store.tableDir, "data")
     val cutoff = System.currentTimeMillis() - minAgeMs
     var scanned = 0

@@ -1027,6 +1027,62 @@ object Audio {
         .withColumn("audit_violations", lit(vRows))
     }),
 
+    // -- branch + fast-forward (ops/Branches): multi-commit maintenance is
+    //    staged on a writable zero-copy BRANCH — bin-pack compaction, an
+    //    append, and a DELETE WHERE land in the branch's own snapshot log
+    //    while main stays frozen at the fork — then fast-forward REPLAYS
+    //    the branch commits onto main id-for-id (the Iceberg audit-branch
+    //    workflow; [[Wap]]'s multi-commit sibling — WAP stages ONE append,
+    //    a branch stages chained rewrites). Isolation and replay-alignment
+    //    invariants are engine-checked with require(). --
+    //    Oracle: DuckDB recomputes the merged table from the exported base
+    //    files ∪ the exported branch batch under the same DELETE predicate
+    //    — if the replay lost a commit, mis-sequenced the delete (covering
+    //    the wrong era), or leaked an intermediate state, the content hash
+    //    diverges. --
+    "q112_branch_ff" -> ((s, d) => {
+      import s.implicits._
+      val fx = OracleFixtures.freshDir("q112_fx", d)
+      val store = MetaStore.forClips(s"$fx/table")
+      val n = clipCount(d)
+      Append.run(s, store,
+        s.range(0, n, 1L, 4).map(i => ClipSynth.clip(i, 150)).toDF())
+      val basePaths = store.entries(store.currentSnapshotId.get).map(_.path)
+      val fork = store.currentSnapshotId.get
+
+      val b = Branches.create(store, "maint")
+      Compact.run(s, b, targetBytes = 64L * 1024 * 1024, runId = "q112-compact")
+      val batch = s.range(n, n + n / 4, 1L, 2).map(i => ClipSynth.clip(i, 150))
+        .toDF().withColumn("transcript", concat(col("transcript"), lit(" branch")))
+      batch.coalesce(1).write.mode("overwrite").parquet(s"$fx/batch")
+      Append.run(s, b, s.read.parquet(s"$fx/batch"))
+      Deletes.deleteWhere(s, b, Seq(Pred.EqualTo("codec", "ulaw")))
+      require(store.currentSnapshotId.contains(fork) &&
+        store.scanCurrent(s).count() == n,
+        "main must stay frozen at the fork while the branch works")
+
+      val replayed = Branches.fastForward(store, "maint")
+      require(replayed.nonEmpty && store.currentSnapshotId.contains(replayed.last),
+        "fast-forward must move main to the branch head")
+      require(store.scanCurrent(s).count() == b.scanCurrent(s).count(),
+        "merged main must equal the branch head")
+      Branches.drop(store, "maint")
+
+      OracleFixtures.register("q112_branch_ff",
+        s"""WITH t AS (
+           |  SELECT clip_id, sr_hz, dur_ms, codec, transcript
+           |  FROM read_parquet(${OracleFixtures.pathList(basePaths)})
+           |  UNION ALL
+           |  SELECT clip_id, sr_hz, dur_ms, codec, transcript
+           |  FROM read_parquet('$fx/batch/*.parquet'))
+           |SELECT clip_id, sr_hz, dur_ms, codec, transcript,
+           |       ${replayed.size} AS replayed_commits
+           |FROM t WHERE codec <> 'ulaw'""".stripMargin)
+      store.scanCurrent(s)
+        .select("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+        .withColumn("replayed_commits", lit(replayed.size))
+    }),
+
     // -- energy-based voice-activity detection (Dsp.vadSegments): each clip's
     //    labeled tone is laid out as a 600 ms utterance with two PLANTED
     //    60 ms silence gaps (bursts 0-150 / 210-360 / 420-600 ms); VAD over

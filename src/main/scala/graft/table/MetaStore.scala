@@ -27,15 +27,24 @@ import org.apache.spark.sql.functions._
  * (snapshot isolation). This is the engine analog of the reference's
  * immutable/idempotent access doctrine (reference README.md:128-132).
  */
-class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
+class MetaStore(val tableDir: String, val statsColumns: Seq[String],
+                dataRootOverride: Option[String] = None) {
 
   /** Key column to build per-file bloom filters for (point-lookup pruning,
    * [[FileBloom]]); default = the leading stats column (the table key).
    * None disables bloom maintenance. */
   var bloomColumn: Option[String] = statsColumns.headOption
 
+  /** False when this store writes into ANOTHER table's data directory
+   * (a branch store, [[graft.ops.Branches]]): its snapshot log shares data
+   * files with the owning table, so GC actions must never delete data files
+   * through this handle — [[graft.ops.ExpireSnapshots]] skips file deletion
+   * and [[graft.ops.RemoveOrphans]] refuses outright. */
+  def ownsData: Boolean = dataRootOverride.isEmpty
+
   private val metaDir: JPath = Paths.get(tableDir, "meta")
-  private val dataDir: JPath = Paths.get(tableDir, "data")
+  private val dataDir: JPath =
+    dataRootOverride.map(Paths.get(_)).getOrElse(Paths.get(tableDir, "data"))
   Files.createDirectories(metaDir)
   Files.createDirectories(dataDir)
   Files.createDirectories(metaDir.resolve("lineage"))
@@ -522,6 +531,29 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String]) {
       Map("manifestsBefore" -> before.toString),
       expectedParent = Some(cur))
     (id, before, snapshot(id).manifests.size)
+  }
+
+  /** Seed an EMPTY store with `from`'s snapshot `snapshotId`, kept under the
+   * SAME id — the zero-copy branch fork ([[graft.ops.Branches]]): entries
+   * (and the equality-delete set) point at `from`'s files with their data
+   * sequence numbers carried verbatim. Preserving the id matters twice:
+   * every carried seq is ≤ `snapshotId`, so fork-local commits (minted at
+   * `snapshotId + 1`, `+2`, …) stay strictly above them — the invariant
+   * equality-delete coverage (`seq < delete.seq`) relies on — and a
+   * fast-forward replay onto the parent lines up id-for-id, keeping one
+   * coherent sequence space across both logs. */
+  def seedFork(from: MetaStore, snapshotId: Long): Long = synchronized {
+    require(currentSnapshotId.isEmpty, s"$tableDir: seedFork on a non-empty store")
+    val es = from.entries(snapshotId)
+    val shards = if (es.isEmpty) Seq(es) else es.grouped(manifestShardSize).toSeq
+    val names = shards.map(writeManifest(snapshotId, _))
+    val dels = from.deleteEntries(snapshotId)
+    publish("branch-fork", -1L, snapshotId, names, names,
+      deleteManifestNames(-1L, snapshotId, if (dels.isEmpty) None else Some(dels)),
+      dels.nonEmpty,
+      Map("forkOf" -> from.tableDir, "forkSnapshot" -> snapshotId.toString,
+        "files" -> es.size.toString, "rows" -> es.map(_.rows).sum.toString,
+        "bytes" -> es.map(_.sizeBytes).sum.toString))
   }
 
   private def readManifestEntries(name: String): Seq[DataFile] =

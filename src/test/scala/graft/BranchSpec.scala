@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ops.{Append, Branches, Compact, Deletes, ExpireSnapshots, RemoveOrphans}
+import graft.synth.ClipSynth
+import graft.table.MetaStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Branches: a writable zero-copy fork with its own snapshot log, merged back
+ * by an id-for-id fast-forward replay — the multi-commit maintenance-staging
+ * workflow (run compact/cluster/deletes on a branch, verify in isolation,
+ * fast-forward when blessed). GC on either side must never eat the other's
+ * files.
+ */
+class BranchSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def freshTable(n: Long, parts: Int = 4): MetaStore = {
+    val dir = Files.createTempDirectory("graft-branch-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, n, parts, maxDurMs = 120).toDF())
+    store
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select("clip_id").collect().map(_.getString(0)).toSet
+
+  test("branch isolates; maintenance + append on branch; fast-forward replays id-for-id") {
+    val store = freshTable(60)
+    val fork = store.currentSnapshotId.get
+    val b = Branches.create(store, "maint")
+
+    assert(b.currentSnapshotId.contains(fork), "fork keeps the snapshot id")
+    assert(b.scanCurrent(spark).count() == 60)
+
+    // maintenance + an append on the branch; main must see none of it
+    Compact.run(spark, b, targetBytes = 64L * 1024 * 1024, runId = "br-compact")
+    import spark.implicits._
+    Append.run(spark, b,
+      spark.range(60, 72).map(i => ClipSynth.clip(i, 120)).toDF())
+    assert(b.currentSnapshotId.contains(fork + 2), "branch ids chain above fork")
+    assert(b.scanCurrent(spark).count() == 72)
+    assert(store.scanCurrent(spark).count() == 60, "main isolated from branch")
+    assert(store.currentSnapshotId.contains(fork))
+
+    val replayed = Branches.fastForward(store, "maint")
+    assert(replayed == Seq(fork + 1, fork + 2))
+    assert(store.currentSnapshotId.contains(fork + 2))
+    assert(store.scanCurrent(spark).count() == 72)
+    assert(ids(store.scanCurrent(spark)) == ids(b.scanCurrent(spark)))
+    // replayed commits look like ordinary history (ChangeFeed contiguity)
+    assert(store.allSnapshotIds == (1L to fork + 2))
+    assert(store.snapshot(fork + 1).summary.get("ffFrom").contains("maint"))
+
+    assert(Branches.merged(store, "maint"))
+    Branches.drop(store, "maint")
+    assert(Branches.list(store).isEmpty)
+    assert(!Files.exists(Paths.get(store.tableDir, "branches", "maint")))
+    // dropped branch releases nothing main needs: full scan still green
+    assert(store.scanCurrent(spark).count() == 72)
+  }
+
+  test("equality-delete coverage survives the replay (carried seqs, re-insert rule)") {
+    val store = freshTable(40)
+    import spark.implicits._
+    // a PRE-fork delete: its entries ride into the branch via seedFork
+    Deletes.run(spark, store,
+      Seq(ClipSynth.clipId(38), ClipSynth.clipId(39)).toDF("clip_id"))
+    val fork = store.currentSnapshotId.get
+    val b = Branches.create(store, "del")
+
+    assert(b.scanCurrent(spark).count() == 38, "fork carries the delete set")
+    // on the branch: delete k0..k9, then RE-INSERT k5 (must stay visible —
+    // the seq < delete.seq rule, exercised across the fork boundary)
+    Deletes.run(spark, b,
+      (0 until 10).map(i => ClipSynth.clipId(i.toLong)).toDF("clip_id"))
+    Append.run(spark, b,
+      spark.range(5, 6).map(i => ClipSynth.clip(i, 120)).toDF()
+        .withColumn("transcript", lit("reinserted")))
+    assert(b.scanCurrent(spark).count() == 29)
+
+    Branches.fastForward(store, "del")
+    val main = store.scanCurrent(spark)
+    assert(main.count() == 29)
+    assert(main.filter(col("clip_id") === ClipSynth.clipId(5))
+      .select("transcript").head().getString(0) == "reinserted")
+    assert(main.filter(col("clip_id") === ClipSynth.clipId(0)).count() == 0)
+    // a delete committed on MAIN after the merge covers replayed files too
+    Deletes.run(spark, store, Seq(ClipSynth.clipId(5)).toDF("clip_id"))
+    assert(store.scanCurrent(spark).count() == 28)
+  }
+
+  test("GC respects branch roots; divergence refused; branch store cannot delete shared data") {
+    val store = freshTable(50)
+    val fork = store.currentSnapshotId.get
+    val b = Branches.create(store, "stage")
+    import spark.implicits._
+    Append.run(spark, b,
+      spark.range(50, 60).map(i => ClipSynth.clip(i, 120)).toDF())
+
+    // main diverges: a fast-forward must now refuse with a clear error
+    Append.run(spark, store,
+      spark.range(100, 110).map(i => ClipSynth.clip(i, 120)).toDF())
+    val ex = intercept[IllegalArgumentException] {
+      Branches.fastForward(store, "stage")
+    }
+    assert(ex.getMessage.contains("diverged"))
+
+    // expiry on main keeps the fork snapshot (branch root) and its files
+    val r = ExpireSnapshots.run(store, keepLast = 1)
+    assert(r.retainedSnapshots.contains(fork), "fork pinned like a tag")
+    assert(b.scanCurrent(spark).count() == 60, "branch fully readable after expiry")
+
+    // orphan GC on main must not eat branch-reachable files (age floor 0
+    // would otherwise delete every branch-only file immediately)
+    val o = RemoveOrphans.run(store, minAgeMs = 0L)
+    assert(b.scanCurrent(spark).count() == 60, s"branch survives orphan GC ($o)")
+
+    // GC through the branch handle: snapshots may expire, data may not
+    intercept[IllegalArgumentException] { RemoveOrphans.run(b, minAgeMs = 0L) }
+    Append.run(spark, b,
+      spark.range(60, 62).map(i => ClipSynth.clip(i, 120)).toDF())
+    val rb = ExpireSnapshots.run(b, keepLast = 1)
+    assert(rb.dataFilesDeleted == 0, "branch store never deletes data files")
+    assert(store.scanCurrent(spark).count() == 60, "main intact after branch expiry")
+
+    // unmerged drop needs force; afterwards branch-only files become orphans
+    intercept[IllegalArgumentException] { Branches.drop(store, "stage") }
+    Branches.drop(store, "stage", force = true)
+    val o2 = RemoveOrphans.run(store, minAgeMs = 0L)
+    assert(o2.orphansDeleted > 0, "dropped branch's own files are collectable")
+    assert(store.scanCurrent(spark).count() == 60, "main scan intact")
+  }
+
+  test("interrupted fast-forward resumes; repeated fast-forward is incremental") {
+    val store = freshTable(30)
+    val fork = store.currentSnapshotId.get
+    val b = Branches.create(store, "inc")
+    import spark.implicits._
+    Append.run(spark, b,
+      spark.range(30, 35).map(i => ClipSynth.clip(i, 120)).toDF())
+    assert(Branches.fastForward(store, "inc") == Seq(fork + 1))
+    assert(!Branches.merged(store, "inc") ||
+      b.currentSnapshotId.contains(fork + 1))
+
+    // more branch work after a completed ff — the next ff picks up only the
+    // delta (this is also exactly the crash-mid-replay resume path: main
+    // holds a verified prefix of the branch log)
+    Append.run(spark, b,
+      spark.range(35, 38).map(i => ClipSynth.clip(i, 120)).toDF())
+    assert(Branches.fastForward(store, "inc") == Seq(fork + 2))
+    assert(Branches.fastForward(store, "inc") == Seq.empty, "idempotent when caught up")
+    assert(store.scanCurrent(spark).count() == 38)
+    assert(Branches.merged(store, "inc"))
+    Branches.drop(store, "inc")
+  }
+}
