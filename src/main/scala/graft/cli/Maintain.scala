@@ -290,6 +290,9 @@ object Maintain {
       case "branch-drop" =>
         Branches.drop(store, rest(0), force = rest.contains("force"))
         println(s"dropped branch '${rest(0)}'")
+      case "branch-pick" => // <name> <branchSnapId> — append-only cherry-pick
+        val id = Branches.cherryPick(store, rest(0), rest(1).toLong)
+        println(s"cherry-picked '${rest(0)}' snapshot ${rest(1)} as main snapshot $id")
       case "compact-manifests" =>
         val (id, before, after) = store.compactManifests()
         println(s"snapshot $id: $before -> $after manifest shards")

@@ -229,6 +229,55 @@ object Branches {
   }
 
   /**
+   * Cherry-pick ONE branch commit onto main — the divergence escape hatch
+   * [[fastForward]] refuses: a pure-APPEND branch commit commutes with
+   * whatever main did since the fork, so its added files can be re-committed
+   * onto the current head as a fresh delta (Iceberg's `cherrypick_snapshot`,
+   * with the same append-only restriction: rewrites and delete-set changes
+   * are order-dependent and must be re-run, not replayed, against the new
+   * head). Added entries are re-stamped with the NEW main commit id, so
+   * main-side equality-delete coverage stays correct relative to main's own
+   * history. Idempotent: re-picking an already-picked commit returns the
+   * existing main snapshot.
+   */
+  def cherryPick(main: MetaStore, name: String, branchSnapshotId: Long): Long = {
+    val rec = record(main, name)
+    val b = store(main, name)
+    require(branchSnapshotId > rec.forkSnapshot.toLong,
+      s"cherry-pick: $branchSnapshotId is not a branch-local commit of '$name'")
+    require(b.allSnapshotIds.contains(branchSnapshotId),
+      s"cherry-pick: branch '$name' has no snapshot $branchSnapshotId")
+    val evoMain = Evolve.evolutions(main).size
+    require(evoMain == rec.evolutionCount,
+      s"cherry-pick '$name': main schema era moved (fork era " +
+        s"${rec.evolutionCount}, main $evoMain); files written under the old " +
+        "era would mis-default — re-run the work against the new head")
+    val parentPaths = b.entries(branchSnapshotId - 1).map(_.path).toSet
+    val es = b.entries(branchSnapshotId)
+    val added = es.filterNot(e => parentPaths.contains(e.path))
+    val removed = parentPaths -- es.map(_.path).toSet
+    def delKey(d: graft.table.DataFile) = (d.path, d.seq)
+    val delsEqual = b.deleteEntries(branchSnapshotId).map(delKey).toSet ==
+      b.deleteEntries(branchSnapshotId - 1).map(delKey).toSet
+    require(removed.isEmpty && delsEqual,
+      s"cherry-pick: branch snapshot $branchSnapshotId of '$name' is not a " +
+        "pure append (it rewrites files or changes the delete set); " +
+        "order-dependent commits cannot be cherry-picked — fast-forward, or " +
+        "re-run the operation on main")
+    MetaStore.withCommitRetry() {
+      // the snapshot log is the idempotency ledger (the Wap.publish trick)
+      main.allSnapshotIds.map(main.snapshot).find(s =>
+        s.summary.get("cherryPickFrom").contains(name) &&
+          s.summary.get("cherryPickSnap").contains(branchSnapshotId.toString))
+        .map(_.id).getOrElse {
+          main.commitDelta("cherry-pick", added.map(_.copy(seq = 0L)),
+            summary = Map("cherryPickFrom" -> name,
+              "cherryPickSnap" -> branchSnapshotId.toString))
+        }
+    }
+  }
+
+  /**
    * Drop branch `name`: remove its record (releasing the GC roots), then
    * its log directory. Branch-written data files that never fast-forwarded
    * become orphans in the main data dir — [[RemoveOrphans]] collects them

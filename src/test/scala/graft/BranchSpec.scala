@@ -137,6 +137,37 @@ class BranchSpec extends AnyFunSuite {
     assert(store.scanCurrent(spark).count() == 60, "main scan intact")
   }
 
+  test("cherry-pick lands a pure-append branch commit on a diverged main") {
+    val store = freshTable(40)
+    val fork = store.currentSnapshotId.get
+    val b = Branches.create(store, "pick")
+    import spark.implicits._
+    // branch: an append (pickable) then a compact (not pickable)
+    Append.run(spark, b,
+      spark.range(40, 50).map(i => ClipSynth.clip(i, 120)).toDF())
+    val appendSnap = b.currentSnapshotId.get
+    Compact.run(spark, b, targetBytes = 64L * 1024 * 1024, runId = "pick-compact")
+    val compactSnap = b.currentSnapshotId.get
+    // main diverges — fast-forward is off the table
+    Append.run(spark, store,
+      spark.range(200, 205).map(i => ClipSynth.clip(i, 120)).toDF())
+    intercept[IllegalArgumentException] { Branches.fastForward(store, "pick") }
+
+    val picked = Branches.cherryPick(store, "pick", appendSnap)
+    assert(store.scanCurrent(spark).count() == 55, "base 40 + diverged 5 + picked 10")
+    assert(Branches.cherryPick(store, "pick", appendSnap) == picked, "idempotent")
+    assert(store.scanCurrent(spark).count() == 55)
+    // picked files carry MAIN-side seqs: a later main delete covers them
+    Deletes.run(spark, store, Seq(ClipSynth.clipId(45)).toDF("clip_id"))
+    assert(store.scanCurrent(spark).count() == 54)
+    // rewrites are order-dependent: refused with the append-only message
+    val ex = intercept[IllegalArgumentException] {
+      Branches.cherryPick(store, "pick", compactSnap)
+    }
+    assert(ex.getMessage.contains("pure append"))
+    Branches.drop(store, "pick", force = true)
+  }
+
   test("interrupted fast-forward resumes; repeated fast-forward is incremental") {
     val store = freshTable(30)
     val fork = store.currentSnapshotId.get
