@@ -137,6 +137,46 @@ class BranchSpec extends AnyFunSuite {
     assert(store.scanCurrent(spark).count() == 60, "main scan intact")
   }
 
+  test("streaming ingest into a branch: exactly-once ledger survives the fast-forward") {
+    import graft.streaming.{ClipStream, StreamAppend}
+    val sf = "/root/testdata/sf0.001"
+    val srcDir = Files.createTempDirectory("graft-bring-src-").toString
+    val ckpt = Files.createTempDirectory("graft-bring-ckpt-").toString
+    val tableDir = Files.createTempDirectory("graft-bring-table-").toString
+    val store = MetaStore.forClips(tableDir)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.limit(100).write.mode("overwrite").parquet(srcDir)
+    val q = StreamAppend.start(store,
+      spark.readStream.schema(ClipStream.eventSchema).parquet(srcDir),
+      ckpt, "bring_q")
+    try q.processAllAvailable() finally q.stop()
+    assert(store.scanCurrent(spark).count() == 100)
+    val fork = store.currentSnapshotId.get
+
+    // new micro-batches land on a BRANCH — main readers stay at the fork
+    // until the ingest window is blessed (the audit-branch ingest pattern)
+    val b = Branches.create(store, "ingest")
+    ev.orderBy(col("event_id").desc).limit(50)
+      .write.mode("append").parquet(srcDir)
+    val q2 = StreamAppend.start(b,
+      spark.readStream.schema(ClipStream.eventSchema).parquet(srcDir),
+      ckpt, "bring_q2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(b.scanCurrent(spark).count() == 150)
+    assert(store.scanCurrent(spark).count() == 100, "main frozen during ingest")
+    val branchBatches = StreamAppend.committedBatchIds(b)
+
+    Branches.fastForward(store, "ingest")
+    assert(store.scanCurrent(spark).count() == 150)
+    // the replay copies snapshot summaries, so the ingest ledger carries
+    // over: an at-least-once replay against MAIN is still a no-op
+    assert(branchBatches.subsetOf(StreamAppend.committedBatchIds(store)))
+    val snapsBefore = store.allSnapshotIds.size
+    StreamAppend.commitBatch(store, ev.limit(100), branchBatches.max)
+    assert(store.allSnapshotIds.size == snapsBefore, "ledger dedupes post-merge")
+    Branches.drop(store, "ingest")
+  }
+
   test("cherry-pick lands a pure-append branch commit on a diverged main") {
     val store = freshTable(40)
     val fork = store.currentSnapshotId.get
