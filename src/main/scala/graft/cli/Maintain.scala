@@ -82,7 +82,8 @@ object Maintain {
       val parent = Option(p.getParent).filter(_.getFileName != null)
       if (parent.exists(_.getFileName.toString == "branches") &&
           parent.map(_.getParent).exists(gp =>
-            java.nio.file.Files.exists(gp.resolve("meta").resolve("branches.json"))))
+            java.nio.file.Files.exists(gp.resolve("meta").resolve("branchrefs")
+              .resolve(p.getFileName.toString + ".json"))))
         Branches.store(
           MetaStore.forClips(parent.get.getParent.toString),
           p.getFileName.toString)

@@ -218,7 +218,10 @@ object AutoMaintain {
           store.currentSnapshotId.getOrElse(-1L) // side-table only, no commit
         case "expire" =>
           ExpireSnapshots.run(store, policy.expireKeepLast, policy.expireMinAgeMs)
-          RemoveOrphans.run(store, policy.orphanMinAgeMs)
+          // orphan GC must run through the OWNING table's handle: a branch
+          // store's data lives in the parent's data dir (RemoveOrphans
+          // refuses it outright)
+          if (store.ownsData) RemoveOrphans.run(store, policy.orphanMinAgeMs)
           store.currentSnapshotId.get
     }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path => JPath, Paths, StandardCopyOption}
 
 import graft.table.{Json, MetaStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -10,20 +10,23 @@ import scala.jdk.CollectionConverters._
 
 /** One branch record. Snapshot ids are strings for the same Jackson boxing
  * reason as [[RefsFile]]. `evolutionCount` pins the schema era both sides
- * must still be in at fast-forward time. */
+ * must still be in at fast-forward / cherry-pick time. `mergedHead` is the
+ * highest branch snapshot a COMPLETED fast-forward replayed — recorded so
+ * [[Branches.merged]] stays true after expiry drops the replayed main
+ * snapshots themselves. */
 final case class BranchRec(
     name: String,
     forkSnapshot: String,
     createdMs: Long,
-    evolutionCount: Int)
-
-final case class BranchesFile(branches: Map[String, BranchRec])
+    evolutionCount: Int,
+    mergedHead: String = "-1")
 
 /**
  * Branches: a full writable fork of the table — its own snapshot log under
  * `<table>/branches/<name>/meta`, seeded zero-copy at a fork snapshot
  * ([[MetaStore.seedFork]]) — plus a git-style fast-forward merge that
- * REPLAYS the branch's commits onto the main log id-for-id.
+ * REPLAYS the branch's commits onto the main log id-for-id, and an
+ * append-only cherry-pick for diverged mains.
  *
  * This is the audit/staging-branch workflow for MAINTENANCE (the use case
  * Iceberg documents for its branch refs): run compaction / clustering /
@@ -48,16 +51,22 @@ final case class BranchesFile(branches: Map[String, BranchRec])
  *  - **Branch data files live in the MAIN table's `data/` directory**
  *    (the branch store is constructed with a data-root override), so a
  *    fast-forward is metadata-only — no file moves. Files reachable from
- *    any branch snapshot are [[RemoveOrphans]] GC roots; fork snapshots are
- *    [[ExpireSnapshots]] roots (like tags), pinning the shared history.
+ *    any branch snapshot are GC roots on the main side (both for
+ *    [[RemoveOrphans]] and for [[ExpireSnapshots]]' file deletion); fork
+ *    snapshots are expiry roots like tags.
+ *  - **Branch records are one file per name** (`meta/branchrefs/<name>
+ *    .json`), claimed by temp-write + no-replace ATOMIC_MOVE — there is no
+ *    shared read-modify-write file, so concurrent create/drop of DIFFERENT
+ *    branches cannot lose each other's records (a lost record would strip
+ *    GC roots and let maintenance delete live branch data).
  *  - **Fast-forward = ordered replay.** Requires main's head to still BE
  *    the fork point (true fast-forward; anything else is a merge conflict —
- *    re-branch and re-run). Each branch snapshot is re-committed onto main
- *    with the same operation, entries, and delete set, CAS-chained with
- *    `expectedParent`, stamped `ffFrom`/`ffSnap` — so a crash mid-replay
- *    resumes idempotently, and ChangeFeed consumers see ordinary contiguous
- *    commits. Because ids line up, carried sequence numbers keep exactly
- *    the coverage semantics they had inside the branch.
+ *    cherry-pick appends, or re-branch and re-run). Each branch snapshot is
+ *    re-committed onto main with the same operation, entries, and delete
+ *    set, CAS-chained with `expectedParent`, stamped `ffFrom`/`ffSnap` — so
+ *    a crash mid-replay resumes idempotently, and ChangeFeed consumers see
+ *    ordinary contiguous commits. Because ids line up, carried sequence
+ *    numbers keep exactly the coverage semantics they had in the branch.
  *
  * At 10^12-clip scale everything here is metadata-bounded: fork cost is
  * O(manifest entries) of driver JSON (no data IO), replay is O(branch
@@ -65,37 +74,74 @@ final case class BranchesFile(branches: Map[String, BranchRec])
  */
 object Branches {
 
-  private def branchesPath(store: MetaStore) =
-    Paths.get(store.tableDir, "meta", "branches.json")
+  private def refsDir(store: MetaStore): JPath = {
+    val d = Paths.get(store.tableDir, "meta", "branchrefs")
+    Files.createDirectories(d)
+    d
+  }
+
+  private def recordPath(store: MetaStore, name: String): JPath =
+    refsDir(store).resolve(s"$name.json")
 
   private def branchDir(store: MetaStore, name: String): JPath =
     Paths.get(store.tableDir, "branches", name)
 
+  private def readRecord(p: JPath): BranchRec =
+    Json.mapper.readValue[BranchRec](
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+
   def list(store: MetaStore): Map[String, BranchRec] = {
-    val p = branchesPath(store)
-    if (!Files.exists(p)) Map.empty
-    else Json.mapper.readValue[BranchesFile](
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).branches
+    val d = refsDir(store)
+    val stream = Files.list(d)
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(readRecord)
+      .map(r => r.name -> r)
+      .toMap
+    finally stream.close()
   }
 
-  /** Temp + atomic rename — a torn branches.json would block GC (branches
-   * are GC roots) and every branch operation until repaired. */
-  private def write(store: MetaStore, b: Map[String, BranchRec]): Unit = {
-    val p = branchesPath(store)
+  def record(store: MetaStore, name: String): BranchRec = {
+    val p = recordPath(store, name)
+    require(Files.exists(p), s"no branch named $name")
+    readRecord(p)
+  }
+
+  /** Atomic no-replace claim: two concurrent creates of the same name see
+   * exactly one winner (the loser's move throws). */
+  private def claimRecord(store: MetaStore, rec: BranchRec): Unit = {
+    val p = recordPath(store, rec.name)
     val tmp = p.resolveSibling(
-      s"branches.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, Json.mapper.writeValueAsString(BranchesFile(b))
+      s"${rec.name}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, Json.mapper.writeValueAsString(rec)
+      .getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalArgumentException(
+          s"branch '${rec.name}' already exists", e)
+    }
+  }
+
+  /** Replace-mode update (mergedHead stamp): torn-write-safe via the same
+   * temp + atomic rename pattern as CURRENT. */
+  private def updateRecord(store: MetaStore, rec: BranchRec): Unit = {
+    val p = recordPath(store, rec.name)
+    if (!Files.exists(p)) return // branch dropped concurrently — nothing to stamp
+    val tmp = p.resolveSibling(
+      s"${rec.name}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, Json.mapper.writeValueAsString(rec)
       .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def record(store: MetaStore, name: String): BranchRec =
-    list(store).getOrElse(name, sys.error(s"no branch named $name"))
-
   /** Handle on an existing branch's store. Same stats/bloom configuration
    * as the parent; data-root overridden to the parent's `data/`. */
   def store(main: MetaStore, name: String): MetaStore = {
+    require(main.ownsData, s"${main.tableDir}: branches nest only under the " +
+      "owning table (open the branch through the root table)")
     record(main, name) // existence check
     val b = new MetaStore(branchDir(main, name).toString, main.statsColumns,
       Some(Paths.get(main.tableDir, "data").toString))
@@ -109,16 +155,27 @@ object Branches {
    * snapshot id ([[MetaStore.seedFork]]). The parent's partition spec and
    * evolution log are copied so branch scans and writes resolve hidden
    * partitions and per-era defaults exactly like the parent.
+   *
+   * Crash windows: the record is claimed LAST, so a branch dir without a
+   * record (crash mid-create, or mid-[[drop]] after the record went) is
+   * condemned debris — a retried create of the same name clears it and
+   * starts over; GC never treats it as a root.
    */
   def create(main: MetaStore, name: String, fromSnapshot: Long = -1L): MetaStore = {
+    require(main.ownsData, s"${main.tableDir}: cannot branch a branch — " +
+      "fork the owning table instead (nested data roots would be deleted " +
+      "by the outer branch's drop)")
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name: $name")
-    require(!list(main).contains(name), s"branch '$name' already exists")
+    require(!Files.exists(recordPath(main, name)),
+      s"branch '$name' already exists")
+    val dir = branchDir(main, name)
+    if (Files.exists(dir)) deleteTree(dir) // unrecorded leftover: condemned
+    val b = new MetaStore(dir.toString, main.statsColumns,
+      Some(Paths.get(main.tableDir, "data").toString))
+    b.bloomColumn = main.bloomColumn
     val fork = if (fromSnapshot >= 0) fromSnapshot
       else main.currentSnapshotId.getOrElse(sys.error("branch: empty table"))
     require(main.allSnapshotIds.contains(fork), s"branch: no snapshot $fork")
-    val b = new MetaStore(branchDir(main, name).toString, main.statsColumns,
-      Some(Paths.get(main.tableDir, "data").toString))
-    b.bloomColumn = main.bloomColumn
     // schema-era + partition metadata travel with the fork (read-side deps)
     val srcMeta = Paths.get(main.tableDir, "meta")
     val dstMeta = Paths.get(b.tableDir, "meta")
@@ -139,10 +196,8 @@ object Branches {
       finally stream.close()
     }
     b.seedFork(main, fork)
-    // record AFTER the branch store exists: a crash in between leaves an
-    // unrecorded branch dir (re-creatable; never a dangling GC root)
-    write(main, list(main) + (name -> BranchRec(name, fork.toString,
-      System.currentTimeMillis(), Evolve.evolutions(main).size)))
+    claimRecord(main, BranchRec(name, fork.toString,
+      System.currentTimeMillis(), Evolve.evolutions(main).size))
     b
   }
 
@@ -153,11 +208,13 @@ object Branches {
     list(main).values.map(_.forkSnapshot.toLong).toSeq
 
   /** Every data/delete-file path reachable from any branch snapshot —
-   * [[RemoveOrphans]] GC roots: branch-written files sit in the MAIN data
-   * directory but no main snapshot references them until fast-forward.
+   * GC roots on the main side: branch files sit in the MAIN data directory
+   * but main snapshots may not reference them (pre-merge work), and a main
+   * snapshot that DID reference them may expire while the branch log still
+   * needs them. Consulted by both [[RemoveOrphans]] and [[ExpireSnapshots]].
    * Strict by design: a torn branch log blocks GC rather than risking it.
-   * (A branch DIRECTORY missing its record — a crashed [[drop]] — is not
-   * listed here: its files are already condemned.) */
+   * (A branch DIRECTORY missing its record — a crashed [[drop]] or
+   * [[create]] — is not listed here: its files are already condemned.) */
   def dataRoots(main: MetaStore): Set[String] =
     list(main).keys.flatMap { name =>
       val b = store(main, name)
@@ -165,11 +222,23 @@ object Branches {
         .map(e => main.normalizePath(e.path))
     }.toSet
 
-  /** True when `name`'s head commit has been replayed onto main. */
+  /** In-flight (not-yet-committed) work staged THROUGH branch stores: WAP
+   * batches and checkpointed run outputs recorded in a branch's meta but
+   * writing into the main data dir — [[RemoveOrphans]] roots. */
+  def pendingRoots(main: MetaStore): Set[String] =
+    list(main).keys.flatMap { name =>
+      Wap.stagedRoots(store(main, name))
+    }.toSet
+
+  /** True when `name`'s head commit has been replayed onto main — durable
+   * across expiry of the replayed main snapshots via the record's
+   * `mergedHead` stamp, with the snapshot-log summaries as fallback. */
   def merged(main: MetaStore, name: String): Boolean = {
+    val rec = record(main, name)
     val b = store(main, name)
     val head = b.currentSnapshotId.getOrElse(-1L)
-    if (head <= record(main, name).forkSnapshot.toLong) return true // no work
+    if (head <= rec.forkSnapshot.toLong) return true // no branch-local work
+    if (rec.mergedHead.toLong >= head) return true
     main.allSnapshotIds.exists { id =>
       val s = main.snapshot(id)
       s.summary.get("ffFrom").contains(name) &&
@@ -184,8 +253,9 @@ object Branches {
    *
    * Requirements (each raises with a precise message):
    *  - main's head is the fork point, or a prefix of this branch's commits
-   *    already replayed by an interrupted fast-forward (idempotent resume);
-   *    anything else is a divergence — re-branch from the new head instead;
+   *    already replayed by an earlier/interrupted fast-forward (idempotent
+   *    resume); anything else is a divergence — [[cherryPick]] appends, or
+   *    re-branch from the new head;
    *  - neither side evolved the schema since the fork ([[Wap]]'s era rule:
    *    replaying file lists across an era boundary would mis-default);
    *  - the branch log is contiguous above the fork (don't expire branch
@@ -207,17 +277,25 @@ object Branches {
     val cur = main.currentSnapshotId.getOrElse(-1L)
     require(cur >= fork,
       s"fast-forward '$name': main head $cur below fork $fork")
-    // resume check: every main commit past the fork must be OUR replay
+    // resume check: every main commit past the fork must be OUR replay.
+    // Replayed snapshots that expiry already dropped can no longer prove
+    // anything either way — skip them; the surviving ones (always including
+    // CURRENT, which expiry retains) must all carry our stamp.
     (fork + 1 to cur).foreach { id =>
-      val s = main.snapshot(id)
-      require(s.summary.get("ffFrom").contains(name) &&
-        s.summary.get("ffSnap").contains(id.toString),
-        s"fast-forward '$name': main diverged at snapshot $id " +
-          s"(${s.operation}); re-branch from the current head and re-run")
+      val sOpt =
+        try Some(main.snapshot(id))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      sOpt.foreach { s =>
+        require(s.summary.get("ffFrom").contains(name) &&
+          s.summary.get("ffSnap").contains(id.toString),
+          s"fast-forward '$name': main diverged at snapshot $id " +
+            s"(${s.operation}); cherry-pick appends, or re-branch from the " +
+            "current head and re-run")
+      }
     }
     require(cur <= fork + bids.size,
       s"fast-forward '$name': main already past branch head")
-    ((cur + 1) to (fork + bids.size)).map { id =>
+    val replayed = ((cur + 1) to (fork + bids.size)).map { id =>
       val snap = b.snapshot(id)
       val got = main.commit(snap.operation, b.entries(id),
         snap.summary ++ Map("ffFrom" -> name, "ffSnap" -> id.toString),
@@ -226,6 +304,10 @@ object Branches {
       assert(got == id, s"fast-forward '$name': replay minted $got, expected $id")
       got
     }
+    if (bids.nonEmpty)
+      updateRecord(main, record(main, name)
+        .copy(mergedHead = (fork + bids.size).toString))
+    replayed
   }
 
   /**
@@ -237,8 +319,10 @@ object Branches {
    * are order-dependent and must be re-run, not replayed, against the new
    * head). Added entries are re-stamped with the NEW main commit id, so
    * main-side equality-delete coverage stays correct relative to main's own
-   * history. Idempotent: re-picking an already-picked commit returns the
-   * existing main snapshot.
+   * history. Idempotent AND race-safe: the already-picked probe re-runs
+   * under the commit CAS ([[Wap.publish]]'s probe-and-commit discipline —
+   * without the `expectedParent` pin, two concurrent picks would both pass
+   * the probe and double-commit the same files).
    */
   def cherryPick(main: MetaStore, name: String, branchSnapshotId: Long): Long = {
     val rec = record(main, name)
@@ -247,11 +331,16 @@ object Branches {
       s"cherry-pick: $branchSnapshotId is not a branch-local commit of '$name'")
     require(b.allSnapshotIds.contains(branchSnapshotId),
       s"cherry-pick: branch '$name' has no snapshot $branchSnapshotId")
+    // BOTH eras must sit at the fork era: a main-side evolution would
+    // mis-default old-era files, and a branch-side evolution means the
+    // picked files were materialized under a schema main doesn't have
     val evoMain = Evolve.evolutions(main).size
-    require(evoMain == rec.evolutionCount,
-      s"cherry-pick '$name': main schema era moved (fork era " +
-        s"${rec.evolutionCount}, main $evoMain); files written under the old " +
-        "era would mis-default — re-run the work against the new head")
+    val evoBranch = Evolve.evolutions(b).size
+    require(evoMain == rec.evolutionCount && evoBranch == rec.evolutionCount,
+      s"cherry-pick '$name': schema era moved (fork era " +
+        s"${rec.evolutionCount}, main $evoMain, branch $evoBranch); files " +
+        "written under another era would mis-default — re-run the work " +
+        "against the new head")
     val parentPaths = b.entries(branchSnapshotId - 1).map(_.path).toSet
     val es = b.entries(branchSnapshotId)
     val added = es.filterNot(e => parentPaths.contains(e.path))
@@ -265,14 +354,17 @@ object Branches {
         "order-dependent commits cannot be cherry-picked — fast-forward, or " +
         "re-run the operation on main")
     MetaStore.withCommitRetry() {
-      // the snapshot log is the idempotency ledger (the Wap.publish trick)
+      // probe-and-commit under the CAS: the snapshot log is the idempotency
+      // ledger, and expectedParent pins the snapshot the probe ran against
       main.allSnapshotIds.map(main.snapshot).find(s =>
         s.summary.get("cherryPickFrom").contains(name) &&
           s.summary.get("cherryPickSnap").contains(branchSnapshotId.toString))
         .map(_.id).getOrElse {
+          val parent = main.currentSnapshotId.getOrElse(-1L)
           main.commitDelta("cherry-pick", added.map(_.copy(seq = 0L)),
             summary = Map("cherryPickFrom" -> name,
-              "cherryPickSnap" -> branchSnapshotId.toString))
+              "cherryPickSnap" -> branchSnapshotId.toString),
+            expectedParent = Some(parent))
         }
     }
   }
@@ -287,14 +379,16 @@ object Branches {
   def drop(main: MetaStore, name: String, force: Boolean = false): Unit = {
     require(force || merged(main, name),
       s"branch '$name' has unmerged commits; fast-forward first or force")
-    write(main, list(main) - name)
-    val d = branchDir(main, name)
-    if (Files.exists(d)) {
-      val stream = Files.walk(d)
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally stream.close()
-    }
+    Files.deleteIfExists(recordPath(main, name))
+    deleteTree(branchDir(main, name))
+  }
+
+  private def deleteTree(d: JPath): Unit = {
+    if (!Files.exists(d)) return
+    val stream = Files.walk(d)
+    try stream.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally stream.close()
   }
 
   /** Read the branch head — snapshot isolation against main's churn. */

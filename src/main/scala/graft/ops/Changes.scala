@@ -67,7 +67,7 @@ object Changes {
     val ops = operationsBetween(store, fromId, toId)
     // same pure-row-addition set ChangeFeed.poll uses: a WAP publish is an
     // append that took the audit detour (adds files, removes none)
-    val appendOps = Set("append", "wap-publish")
+    val appendOps = Set("append", "wap-publish", "cherry-pick")
     require(ops.forall(appendOps.contains),
       s"appendedRows needs an append-only range, saw: ${ops.mkString(",")}; " +
         "use rowChanges for ranges crossing rewrites")

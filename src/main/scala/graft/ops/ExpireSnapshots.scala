@@ -69,11 +69,17 @@ object ExpireSnapshots {
     // a branch store shares data files with its parent table: expiring
     // branch HISTORY (snap/manifest JSONs, branch-local) is fine, but data
     // files it can reach may also be reachable from parent snapshots this
-    // store cannot see — only the owning store may delete data
-    if (store.ownsData)
+    // store cannot see — only the owning store may delete data. On the
+    // owning side, files reachable from any LIVE BRANCH's log are pinned
+    // even when every main snapshot referencing them expires (a replayed
+    // intermediate can expire while the branch still needs its files).
+    if (store.ownsData) {
+      val branchPinned = Branches.dataRoots(store)
       (expiredData -- reachableData).foreach { p =>
-        if (Files.deleteIfExists(Paths.get(p))) dataDeleted += 1
+        if (!branchPinned.contains(store.normalizePath(p)) &&
+            Files.deleteIfExists(Paths.get(p))) dataDeleted += 1
       }
+    }
     (expiredManifests -- reachableManifests).foreach { m =>
       if (Files.deleteIfExists(Paths.get(store.tableDir, "meta", m)))
         manifestsDeleted += 1

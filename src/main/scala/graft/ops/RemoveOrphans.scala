@@ -58,8 +58,14 @@ object RemoveOrphans {
         // but they are pending work, not garbage
         Wap.stagedRoots(store) ++
         // branch-reachable files sit in THIS data dir but no main snapshot
-        // references them until fast-forward — pending work, not garbage
-        Branches.dataRoots(store)
+        // references them until fast-forward — pending work, not garbage;
+        // likewise work staged THROUGH a branch store (WAP batches,
+        // checkpointed run outputs) is recorded in the branch's meta while
+        // its files live here
+        Branches.dataRoots(store) ++
+        Branches.pendingRoots(store) ++
+        Branches.list(store).keys.flatMap(n =>
+          checkpointRoots(Branches.store(store, n)))
     val dataDir = Paths.get(store.tableDir, "data")
     val cutoff = System.currentTimeMillis() - minAgeMs
     var scanned = 0

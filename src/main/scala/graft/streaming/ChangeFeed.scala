@@ -59,7 +59,7 @@ object ChangeFeed {
     // its commit adds files, removes none, and touches no deletes). Rewrites
     // and upserts (compact / cluster / merge / merge-mor / rollback) stay
     // invisible: the feed contract is APPENDED rows.
-    val appendOps = Set("append", "wap-publish")
+    val appendOps = Set("append", "wap-publish", "cherry-pick")
     val appendSnaps = store.allSnapshotIds
       .filter(id => id > sinceSnapshot && id <= cur)
       .map(store.snapshot)

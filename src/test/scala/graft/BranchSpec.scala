@@ -208,6 +208,59 @@ class BranchSpec extends AnyFunSuite {
     Branches.drop(store, "pick", force = true)
   }
 
+  test("review regressions: expiry pins branch files, merged survives expiry, ff resumes past expired replays, staged WAP via branch is GC-rooted, nested branch refused, feed sees cherry-picks") {
+    import graft.ops.Wap
+    import graft.streaming.ChangeFeed
+    val store = freshTable(40)
+    val fork = store.currentSnapshotId.get
+    val b = Branches.create(store, "reg")
+    import spark.implicits._
+    // branch: append X (fork+1), then compact it away (fork+2) — after the
+    // ff, main expiry must NOT delete X while the branch log can reach it
+    Append.run(spark, b,
+      spark.range(40, 50).map(i => ClipSynth.clip(i, 120)).toDF())
+    Compact.run(spark, b, targetBytes = 64L * 1024 * 1024, runId = "reg-compact")
+    // WAP staged THROUGH the branch store: files live in main's data dir,
+    // record in branch meta — must be an orphan-GC root on the main side
+    Wap.stage(spark, b,
+      spark.range(500, 510).map(i => ClipSynth.clip(i, 120)).toDF(), "pend")
+    Branches.fastForward(store, "reg")
+
+    val r = ExpireSnapshots.run(store, keepLast = 1)
+    assert(r.retainedSnapshots.contains(fork))
+    // every branch snapshot (incl. the pre-compact one) still fully scans
+    (fork to fork + 2).foreach { id =>
+      assert(b.scan(spark, id).count() == (if (id == fork) 40 else 50),
+        s"branch snapshot $id readable after main expiry")
+    }
+    RemoveOrphans.run(store, minAgeMs = 0L)
+    assert(Wap.scanStaged(spark, b, "pend").count() == 10,
+      "branch-staged WAP batch survives orphan GC")
+    assert(Branches.merged(store, "reg"),
+      "merged() durable after the replayed snapshots expired")
+
+    // incremental ff still works though earlier replays were expired
+    Append.run(spark, b,
+      spark.range(50, 55).map(i => ClipSynth.clip(i, 120)).toDF())
+    assert(Branches.fastForward(store, "reg") == Seq(fork + 3))
+    assert(store.scanCurrent(spark).count() == 55)
+
+    // nesting refused: a branch's data root belongs to the parent
+    intercept[IllegalArgumentException] { Branches.create(b, "nested") }
+
+    // a cherry-pick is feed-visible like any other pure append
+    val cur = store.currentSnapshotId.get
+    Append.run(spark, b,
+      spark.range(60, 63).map(i => ClipSynth.clip(i, 120)).toDF())
+    Append.run(spark, store,
+      spark.range(300, 302).map(i => ClipSynth.clip(i, 120)).toDF()) // diverge
+    Branches.cherryPick(store, "reg", fork + 4)
+    val feed = ChangeFeed.poll(spark, store, cur)
+    assert(feed.df.count() == 5, "feed delivers diverged append + cherry-pick")
+    Wap.discard(b, "pend")
+    Branches.drop(store, "reg", force = true)
+  }
+
   test("interrupted fast-forward resumes; repeated fast-forward is incremental") {
     val store = freshTable(30)
     val fork = store.currentSnapshotId.get
