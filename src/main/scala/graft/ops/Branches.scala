@@ -295,10 +295,23 @@ object Branches {
     }
     require(cur <= fork + bids.size,
       s"fast-forward '$name': main already past branch head")
+    // O(churn) replay: each branch commit lands as a DELTA against the one
+    // before it (manifest-reuse discipline — a full commit() here would pay
+    // O(table files) of driver JSON per replayed commit, ruinous at the
+    // 10^5-10^6-file regime). The diff is taken between consecutive BRANCH
+    // snapshots; it applies cleanly to main because the replay keeps the
+    // logs identical below each step (entries are immutable per path, so
+    // path-diff == entry-diff). The delete set is replayed wholesale —
+    // replace-mode — which is exact and typically tiny.
     val replayed = ((cur + 1) to (fork + bids.size)).map { id =>
       val snap = b.snapshot(id)
-      val got = main.commit(snap.operation, b.entries(id),
-        snap.summary ++ Map("ffFrom" -> name, "ffSnap" -> id.toString),
+      val prevByPath = b.entries(id - 1).map(e => e.path -> e).toMap
+      val es = b.entries(id)
+      val added = es.filterNot(e => prevByPath.contains(e.path))
+      val removed = prevByPath.keySet -- es.map(_.path).toSet
+      val got = main.commitDelta(snap.operation, added,
+        removedPaths = removed,
+        summary = snap.summary ++ Map("ffFrom" -> name, "ffSnap" -> id.toString),
         deletes = Some(b.deleteEntries(id)),
         expectedParent = Some(id - 1))
       assert(got == id, s"fast-forward '$name': replay minted $got, expected $id")
