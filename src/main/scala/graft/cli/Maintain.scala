@@ -294,6 +294,12 @@ object Maintain {
       case "branch-pick" => // <name> <branchSnapId> — append-only cherry-pick
         val id = Branches.cherryPick(store, rest(0), rest(1).toLong)
         println(s"cherry-picked '${rest(0)}' snapshot ${rest(1)} as main snapshot $id")
+      case "branch-audit" => // <name> [allow-deletes] — fork->head scan equality
+        val rep = Branches.audit(spark, store, rest(0),
+          allowDeletes = rest.contains("allow-deletes"))
+        println(s"audit '${rest(0)}': rows=${rep.rows} failed=${rep.failed} " +
+          s"minSnr=${rep.minSnrDb} passRate=${rep.passRate}" +
+          (if (rep.allPass) " (blessed - safe to branch-ff)" else " (NOT blessed)"))
       case "compact-manifests" =>
         val (id, before, after) = store.compactManifests()
         println(s"snapshot $id: $before -> $after manifest shards")

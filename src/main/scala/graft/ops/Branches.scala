@@ -324,6 +324,33 @@ object Branches {
   }
 
   /**
+   * Maintenance audit of the branch window — the blessing gate before
+   * [[fastForward]]: every clip present at the FORK must reach the branch
+   * HEAD bit-identically (md5 digest fast path — the shuffle is ~50 B/row,
+   * not payload bytes) with exact transcript + metadata equality. This is
+   * the north-rule scan-equality invariant applied to the whole staged
+   * window at once, however many compaction/cluster/merge commits it spans.
+   *
+   * Branch-APPENDED rows have no pre-image and are excluded — gate those
+   * with [[Constraints]] (the WAP audit path). Branch-DELETED rows fail the
+   * audit unless `allowDeletes` (a maintenance branch should not lose rows;
+   * a curation branch deletes on purpose). A row REWRITTEN with different
+   * content fails either way — that is precisely what the gate is for.
+   */
+  def audit(spark: SparkSession, main: MetaStore, name: String,
+            allowDeletes: Boolean = false): graft.verify.VerifyReport = {
+    import org.apache.spark.sql.functions.col
+    val rec = record(main, name)
+    val b = store(main, name)
+    val rows = graft.verify.ScanEquality.compare(spark,
+      b.scan(spark, rec.forkSnapshot.toLong), b.scanCurrent(spark),
+      checkSynth = false)
+      .filter(col("in_pre"))
+    graft.verify.ScanEquality.report(
+      if (allowDeletes) rows.filter(col("in_post")) else rows)
+  }
+
+  /**
    * Cherry-pick ONE branch commit onto main — the divergence escape hatch
    * [[fastForward]] refuses: a pure-APPEND branch commit commutes with
    * whatever main did since the fork, so its added files can be re-committed

@@ -48,6 +48,11 @@ class BranchSpec extends AnyFunSuite {
     assert(store.scanCurrent(spark).count() == 60, "main isolated from branch")
     assert(store.currentSnapshotId.contains(fork))
 
+    // the blessing gate: every fork row reached the head bit-identically
+    // (appended rows are excluded — they have no pre-image)
+    val rep = Branches.audit(spark, store, "maint")
+    assert(rep.rows == 60 && rep.allPass, s"maintenance audit blesses: $rep")
+
     val replayed = Branches.fastForward(store, "maint")
     assert(replayed == Seq(fork + 1, fork + 2))
     assert(store.currentSnapshotId.contains(fork + 2))
@@ -83,6 +88,12 @@ class BranchSpec extends AnyFunSuite {
       spark.range(5, 6).map(i => ClipSynth.clip(i, 120)).toDF()
         .withColumn("transcript", lit("reinserted")))
     assert(b.scanCurrent(spark).count() == 29)
+
+    // maintenance audit flags the curation: 10 deletes fail it outright;
+    // with deletes allowed, exactly the REWRITTEN re-insert still fails
+    assert(!Branches.audit(spark, store, "del").allPass)
+    val repDel = Branches.audit(spark, store, "del", allowDeletes = true)
+    assert(repDel.failed == 1, s"only the rewritten re-insert flags: $repDel")
 
     Branches.fastForward(store, "del")
     val main = store.scanCurrent(spark)
