@@ -99,6 +99,17 @@ object MetaScale {
       val (_, tAsOf) = time(store.snapshotAsOf(System.currentTimeMillis()))
       val (_, tFullRewrite) = time(store.compactManifests())
 
+      // branch layer at the same regime: fork is one manifest round-trip of
+      // all K entries (the one-time O(K) cost), a branch delta commit must
+      // stay O(churn) like main's, and a 1-commit fast-forward replay must
+      // stay O(churn) too (delta replay; parent shards reused by name)
+      val (_, tBranchFork) = time(graft.ops.Branches.create(store, "bench"))
+      val bstore = graft.ops.Branches.store(store, "bench")
+      val addB = (k + 200L until k + 210L).map(synthEntry(_, 0L))
+      val (_, tBranchDelta) = time(bstore.commitDelta("append", addB))
+      val (ffIds, tFf) = time(graft.ops.Branches.fastForward(store, "bench"))
+      require(ffIds.size == 1, s"expected 1 replayed commit, got $ffIds")
+
       println(
         f"""{"metric":"meta-scale","files":$k,"shards":${(k + store.manifestShardSize - 1) / store.manifestShardSize},""" +
         f""""commit_full_ms":$tCommitFull%.1f,"snapshot_load_ms":$tLoad%.1f,""" +
@@ -107,7 +118,9 @@ object MetaScale {
         f""""prune_point_ms":$tPoint%.1f,"point_kept":${pointKept.size},""" +
         f""""append_delta_ms":$tAppendDelta%.1f,"manifests_reused":$reused,""" +
         f""""partial_rewrite_ms":$tPartialRewrite%.1f,"manifests_rewritten":$rewritten,""" +
-        f""""asof_ms":$tAsOf%.1f,"manifest_compact_ms":$tFullRewrite%.1f}""")
+        f""""asof_ms":$tAsOf%.1f,"manifest_compact_ms":$tFullRewrite%.1f,""" +
+        f""""branch_fork_ms":$tBranchFork%.1f,"branch_delta_ms":$tBranchDelta%.1f,""" +
+        f""""branch_ff_1commit_ms":$tFf%.1f}""")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       ()

@@ -305,12 +305,9 @@ object Branches {
     // replace-mode — which is exact and typically tiny.
     val replayed = ((cur + 1) to (fork + bids.size)).map { id =>
       val snap = b.snapshot(id)
-      val prevByPath = b.entries(id - 1).map(e => e.path -> e).toMap
-      val es = b.entries(id)
-      val added = es.filterNot(e => prevByPath.contains(e.path))
-      val removed = prevByPath.keySet -- es.map(_.path).toSet
-      val got = main.commitDelta(snap.operation, added,
-        removedPaths = removed,
+      val d = Changes.fileDiff(b, id - 1, id) // manifest-name diff: O(churn)
+      val got = main.commitDelta(snap.operation, d.added,
+        removedPaths = d.removed.map(_.path).toSet,
         summary = snap.summary ++ Map("ffFrom" -> name, "ffSnap" -> id.toString),
         deletes = Some(b.deleteEntries(id)),
         expectedParent = Some(id - 1))

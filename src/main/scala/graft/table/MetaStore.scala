@@ -556,7 +556,7 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
         "bytes" -> es.map(_.sizeBytes).sum.toString))
   }
 
-  private def readManifestEntries(name: String): Seq[DataFile] =
+  private[graft] def readManifestEntries(name: String): Seq[DataFile] =
     Json.readManifest(new String(
       Files.readAllBytes(metaDir.resolve(name)), StandardCharsets.UTF_8)).entries
 
