@@ -22,7 +22,9 @@ import org.apache.spark.sql.SparkSession
  *     verify <preSnap> <postSnap>   scan-equality gate
  *     lineage                       dump the metrics side-table
  *     snapshots                     list the snapshot log
- *     tag <name> [snapId]           pin a snapshot as a named GC root
+ *     tag <name> [snapId] [maxAgeMs] pin a snapshot as a named GC root
+ *                                   (maxAgeMs > 0: ref retention — expiry
+ *                                   drops the tag once it ages out)
  *     tags                          list named refs
  *     rollback <snapId|tagName>     metadata-only rollback
  *     changes <from> <to>           row-level CDC between snapshots
@@ -145,11 +147,16 @@ object Maintain {
             s"rows=${s.summary.getOrElse("rows", "?")}")
         }
       case "tag" =>
-        val id = Refs.tag(store, rest(0), rest.lift(1).map(_.toLong).getOrElse(-1L))
+        val id = Refs.tag(store, rest(0), rest.lift(1).map(_.toLong).getOrElse(-1L),
+          rest.lift(2).map(_.toLong).getOrElse(0L))
         println(s"tag ${rest(0)} -> snapshot $id")
       case "tags" =>
-        Refs.tags(store).toSeq.sortBy(_._1)
-          .foreach { case (n, id) => println(s"$n -> $id") }
+        val ret = Refs.retention(store)
+        Refs.tags(store).toSeq.sortBy(_._1).foreach { case (n, id) =>
+          val suffix = ret.get(n).map { case (c, a) =>
+            s" (expires ${java.time.Instant.ofEpochMilli(c + a)})" }.getOrElse("")
+          println(s"$n -> $id$suffix")
+        }
       case "rollback" =>
         val target = rest(0).toLongOption.getOrElse(Refs.snapshotFor(store, rest(0)))
         val id = Refs.rollback(store, target)

@@ -46,6 +46,15 @@ final case class MaintenancePolicy(
     clusterHashCols: Seq[String] = Seq.empty,
     maxOverlapDepth: Double = 4.0,
     minFilesForCluster: Int = 4,
+    /** Incremental-vs-full cluster crossover: when the files needing a
+     * rewrite (the chain-overlap groups of size >= 2 on the leading range
+     * column, [[Cluster.overlapGroups]]) hold at most this fraction of the
+     * table's bytes, run the O(churn) [[Cluster.incremental]] instead of
+     * the full rewrite — the post-append common case at 10^5-10^6 files,
+     * where decay is local to the appended key ranges. Past the crossover
+     * the whole table is interleaved anyway and one global rewrite beats
+     * group-by-group passes that would each re-shuffle most of the data. */
+    incrementalClusterMaxFrac: Double = 0.5,
     maxManifestShards: Int = 32,
     expireKeepLast: Int = 5,
     expireMinAgeMs: Long = 0L,
@@ -141,10 +150,25 @@ object AutoMaintain {
         val files = groups.map(_.filesWithStats).sum
         if (files > 0) {
           val avg = groups.map(r => r.avgDepth * r.filesWithStats).sum / files
-          if (avg > policy.maxOverlapDepth)
-            out += Decision("cluster",
+          if (avg > policy.maxOverlapDepth) {
+            // scope the fix to the decay: when the interleaved groups hold
+            // a minority of the table's bytes, rewrite only them (O(churn));
+            // only a globally decayed layout justifies the O(table) pass
+            val rewriteBytes = Cluster.overlapGroups(entries, c)
+              .filter(_.size >= 2).flatten.map(_.sizeBytes).sum
+            val totalBytes = math.max(entries.map(_.sizeBytes).sum, 1L)
+            val frac = rewriteBytes.toDouble / totalBytes
+            val reason =
               f"$c within-tuple overlap depth $avg%.1f exceeds ${policy.maxOverlapDepth}%.1f " +
-                f"(expected files opened per tuple-pruned probe)")
+                f"(expected files opened per tuple-pruned probe)"
+            if (frac <= policy.incrementalClusterMaxFrac)
+              out += Decision("cluster-incremental",
+                f"$reason; overlap groups hold $frac%.2f of table bytes " +
+                  f"(<= ${policy.incrementalClusterMaxFrac}%.2f) -> O(churn) group rewrite")
+            else
+              out += Decision("cluster",
+                f"$reason; overlap groups hold $frac%.2f of table bytes -> full rewrite")
+          }
         }
       }
 
@@ -207,6 +231,10 @@ object AutoMaintain {
         case "cluster" =>
           Cluster.run(spark, store, ZOrderCurve, policy.targetBytes,
             runId = s"$runId-cluster", hashCols = policy.clusterHashCols,
+            rangeCols = policy.clusterRangeCols).snapshotId
+        case "cluster-incremental" =>
+          Cluster.incremental(spark, store, ZOrderCurve, policy.targetBytes,
+            runId = s"$runId-cluster-inc", hashCols = policy.clusterHashCols,
             rangeCols = policy.clusterRangeCols).snapshotId
         case "compact-manifests" =>
           store.compactManifests()._1

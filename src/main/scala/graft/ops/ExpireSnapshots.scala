@@ -8,7 +8,8 @@ final case class ExpireResult(
     expiredSnapshots: Seq[Long],
     retainedSnapshots: Seq[Long],
     dataFilesDeleted: Int,
-    manifestsDeleted: Int)
+    manifestsDeleted: Int,
+    tagsExpired: Seq[String] = Nil)
 
 /**
  * Snapshot expiry with reachability GC: drop all snapshots except the most
@@ -37,6 +38,10 @@ object ExpireSnapshots {
     // promised), and deleting it could kill a commit mid-publish. Debris is
     // RemoveOrphans' job (age-floored), not expiry's.
     val all = store.allSnapshotIds.filter(_ <= current)
+    // per-ref retention first: a tag past its declared maxRefAgeMs stops
+    // being a GC root NOW, in the same pass — otherwise an aged-out nightly
+    // tag pins its snapshot for one extra expiry cycle
+    val droppedTags = Refs.expireTags(store)
     // tags and branch fork points are GC roots: a tagged snapshot (and its
     // files) survives expiry for as long as the tag exists (Refs.scala), and
     // a live branch pins the snapshot it forked from — every parent file a
@@ -87,6 +92,6 @@ object ExpireSnapshots {
     expired.foreach { id =>
       Files.deleteIfExists(Paths.get(store.tableDir, "meta", s"snap-$id.json"))
     }
-    ExpireResult(expired, retained, dataDeleted, manifestsDeleted)
+    ExpireResult(expired, retained, dataDeleted, manifestsDeleted, droppedTags)
   }
 }

@@ -7,8 +7,12 @@ import graft.table.{Json, MetaStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Snapshot ids are stored as strings: Jackson erases Map[String, Long] to
- * boxed Integers on read, which blows up at the first unboxing access. */
-final case class RefsFile(tags: Map[String, String])
+ * boxed Integers on read, which blows up at the first unboxing access.
+ * `retention` (optional, absent in files written before it existed) maps a
+ * tag name to "createdAtMs,maxRefAgeMs" — the Iceberg per-ref retention
+ * pair; a tag without an entry is permanent. */
+final case class RefsFile(tags: Map[String, String],
+                          retention: Map[String, String] = Map.empty)
 
 /**
  * Named snapshot refs (tags) + rollback over the snapshot log — the
@@ -24,41 +28,81 @@ object Refs {
   private def refsPath(store: MetaStore) =
     Paths.get(store.tableDir, "meta", "refs.json")
 
-  def tags(store: MetaStore): Map[String, Long] = {
+  private def readFile(store: MetaStore): RefsFile = {
     val p = refsPath(store)
-    if (!Files.exists(p)) Map.empty
-    else Json.mapper.readValue[RefsFile](
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      .tags.map { case (k, v) => k -> v.toLong }
+    if (!Files.exists(p)) RefsFile(Map.empty)
+    else {
+      val f = Json.mapper.readValue[RefsFile](
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      // files written before retention existed deserialize it as null
+      if (f.retention == null) f.copy(retention = Map.empty) else f
+    }
   }
+
+  def tags(store: MetaStore): Map[String, Long] =
+    readFile(store).tags.map { case (k, v) => k -> v.toLong }
+
+  /** Per-tag retention: name -> (createdAtMs, maxRefAgeMs). Tags without an
+   * entry are permanent. */
+  def retention(store: MetaStore): Map[String, (Long, Long)] =
+    readFile(store).retention.flatMap { case (k, v) =>
+      v.split(",") match {
+        case Array(c, a) => Some(k -> (c.toLong, a.toLong))
+        case _ => None
+      }
+    }
 
   /** Temp + atomic rename (the CURRENT / evolutions.json pattern): a torn
    * refs.json would make [[tags]] throw, which blocks ExpireSnapshots (tags
    * are GC roots) and every tag/rollback/publish-by-tag until repaired. */
-  private def write(store: MetaStore, t: Map[String, Long]): Unit = {
+  private def write(store: MetaStore, f: RefsFile): Unit = {
     val p = refsPath(store)
     val tmp = p.resolveSibling(
       s"refs.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp,
-      Json.mapper.writeValueAsString(RefsFile(t.map { case (k, v) => k -> v.toString }))
-        .getBytes(StandardCharsets.UTF_8))
+      Json.mapper.writeValueAsString(f).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Tag `snapshotId` (default: current) as `name`; overwrites an existing
-   * tag of the same name. */
-  def tag(store: MetaStore, name: String, snapshotId: Long = -1L): Long = {
+   * tag of the same name. `maxRefAgeMs > 0` gives the tag an Iceberg-style
+   * ref retention: once the tag is older than this, [[expireTags]] (run
+   * automatically at the start of every [[ExpireSnapshots]] pass) drops it,
+   * un-pinning its snapshot — so a "keep the nightly export for 30 days"
+   * tag cannot quietly pin 10^5 files forever. 0 = permanent. */
+  def tag(store: MetaStore, name: String, snapshotId: Long = -1L,
+          maxRefAgeMs: Long = 0L): Long = {
     val id = if (snapshotId >= 0) snapshotId
       else store.currentSnapshotId.getOrElse(sys.error("tag: empty table"))
     require(store.allSnapshotIds.contains(id), s"tag: no snapshot $id")
-    write(store, tags(store) + (name -> id))
+    val f = readFile(store)
+    val ret =
+      if (maxRefAgeMs > 0L)
+        f.retention + (name -> s"${System.currentTimeMillis()},$maxRefAgeMs")
+      else f.retention - name
+    write(store, RefsFile(f.tags + (name -> id.toString), ret))
     id
   }
 
-  def deleteTag(store: MetaStore, name: String): Unit =
-    write(store, tags(store) - name)
+  def deleteTag(store: MetaStore, name: String): Unit = {
+    val f = readFile(store)
+    write(store, RefsFile(f.tags - name, f.retention - name))
+  }
+
+  /** Drop every tag whose age exceeds its declared maxRefAgeMs; returns the
+   * dropped names. Permanent tags (no retention entry) never expire. */
+  def expireTags(store: MetaStore,
+                 nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val f = readFile(store)
+    val expired = retention(store).collect {
+      case (name, (created, maxAge)) if nowMs - created > maxAge => name
+    }.toSeq.sorted
+    if (expired.nonEmpty)
+      write(store, RefsFile(f.tags -- expired, f.retention -- expired))
+    expired
+  }
 
   def snapshotFor(store: MetaStore, name: String): Long =
     tags(store).getOrElse(name, sys.error(s"no tag named $name"))

@@ -240,6 +240,74 @@ object Audio {
           col("snr_db"), col("pass"))
     }),
 
+    // -- O(churn) incremental recluster: clustered base + one NARROW append
+    //    (dur_ms band) -> Cluster.incremental rewrites ONLY the interleaved
+    //    overlap group, every disjoint file rides untouched via manifest
+    //    reuse — the only affordable recluster shape at 10^12 rows.
+    //    Returns a per-clip verdict: `pass` (row survived the rewrite with
+    //    identical payload/meta) and `rewritten` (row lives in a file the
+    //    pass wrote, vs a carried file). Oracle: DuckDB full-outer-joins the
+    //    PRE and POST snapshots' raw data files and re-derives BOTH columns
+    //    independently — `rewritten` from the post row's actual filename
+    //    against the added-path list, so a row that silently moved (kept
+    //    file rewritten) or failed to move (group file carried) diverges
+    //    the engines, not just a lost/mutated row. --
+    "q113_incremental_cluster" -> ((s, d) => {
+      val dir = OracleFixtures.freshDir("q113_store", d)
+      val store = MetaStore.forClips(dir)
+      val n = clipCount(d)
+      Append.run(s, store, ClipSynth.dataset(s, n, 8, maxDurMs = 400).toDF())
+      Cluster.run(s, store, ZOrderCurve, targetBytes = 1L * 1024 * 1024,
+        runId = "q113-base", hashCols = Nil, rangeCols = Seq("dur_ms"))
+      import s.implicits._
+      val narrow = s.range(n, 2 * n, 1, 4)
+        .map(i => ClipSynth.clip(i, maxDurMs = 400)).toDF()
+        .filter(col("dur_ms").between(150, 249)).coalesce(1)
+      Append.run(s, store, narrow)
+      val pre = store.currentSnapshotId.get
+      val inc = Cluster.incremental(s, store, ZOrderCurve,
+        targetBytes = 1L * 1024 * 1024, runId = "q113-inc",
+        hashCols = Nil, rangeCols = Seq("dur_ms"))
+      require(inc.filesRewritten > 0 && inc.filesKept > 0,
+        s"q113 must exercise a PARTIAL rewrite, got $inc")
+      val prePaths = store.entries(pre).map(_.path).toSet
+      val addedNames = store.entries(inc.snapshotId).map(_.path)
+        .filterNot(prePaths).map(p => p.substring(p.lastIndexOf('/') + 1))
+      def files(id: Long) = OracleFixtures.pathList(store.entries(id).map(_.path))
+      val nameList = addedNames.map(b => s"'$b'").mkString("(", ", ", ")")
+      OracleFixtures.register("q113_incremental_cluster",
+        s"""WITH o AS (SELECT * FROM read_parquet(${files(pre)})),
+           |n AS (SELECT *, regexp_extract(filename, '[^/]+$$') AS fn
+           |      FROM read_parquet(${files(inc.snapshotId)}, filename=true)),
+           |j AS (
+           |  SELECT coalesce(o.clip_id, n.clip_id) AS clip_id,
+           |    o.clip_id IS NOT NULL AND n.clip_id IS NOT NULL AS inboth,
+           |    (o.transcript IS NOT DISTINCT FROM n.transcript
+           |     AND o.bytes IS NOT DISTINCT FROM n.bytes
+           |     AND o.sr_hz IS NOT DISTINCT FROM n.sr_hz
+           |     AND o.dur_ms IS NOT DISTINCT FROM n.dur_ms
+           |     AND o.codec IS NOT DISTINCT FROM n.codec) AS eq,
+           |    coalesce(n.fn IN $nameList, false) AS rewritten
+           |  FROM o FULL OUTER JOIN n ON o.clip_id = n.clip_id)
+           |SELECT clip_id, (inboth AND eq) AS pass, rewritten FROM j""".stripMargin)
+      val addedSet = addedNames.toSet
+      val inAdded = udf((fn: String) =>
+        addedSet.contains(fn.substring(fn.lastIndexOf('/') + 1)))
+      val o = store.scan(s, pre)
+      val nn = store.scan(s, inc.snapshotId).withColumn("fn", input_file_name())
+      o.as("o").join(nn.as("nn"), o("clip_id") === nn("clip_id"), "full_outer")
+        .select(
+          coalesce($"o.clip_id", $"nn.clip_id").as("clip_id"),
+          ($"o.clip_id".isNotNull && $"nn.clip_id".isNotNull &&
+            $"o.transcript" <=> $"nn.transcript" &&
+            $"o.bytes" <=> $"nn.bytes" &&
+            $"o.sr_hz" <=> $"nn.sr_hz" &&
+            $"o.dur_ms" <=> $"nn.dur_ms" &&
+            $"o.codec" <=> $"nn.codec").as("pass"),
+          when($"nn.fn".isNull, lit(false))
+            .otherwise(inAdded($"nn.fn")).as("rewritten"))
+    }),
+
     // -- resample + loudness-normalize pipeline (decode → linear-interp
     //    resample to a canonical 16 kHz → peak normalize), scored against the
     //    ANALYTIC reference tone regenerated at the target rate — the

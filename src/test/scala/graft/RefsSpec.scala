@@ -106,6 +106,38 @@ class RefsSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(dest, "_PUBLISHED.json")))
   }
 
+  test("per-ref retention: an aged-out tag stops pinning, a permanent one never does") {
+    val dir = Files.createTempDirectory("graft-refs-age-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 40, 2, maxDurMs = 120).toDF())
+    val v1 = store.currentSnapshotId.get
+    val v1Paths = store.entries(v1).map(_.path)
+    Refs.tag(store, "nightly", maxRefAgeMs = 1L)       // aged out immediately
+    Refs.tag(store, "release", maxRefAgeMs = 0L)       // permanent
+    assert(Refs.retention(store).keySet == Set("nightly"))
+
+    // a full rewrite leaves v1's files reachable only through the tags
+    Compact.run(spark, store, targetBytes = 64L * 1024 * 1024, runId = "refs-age-compact")
+    Thread.sleep(5)
+    val r = ExpireSnapshots.run(store, keepLast = 1)
+    assert(r.tagsExpired == Seq("nightly"), s"got $r")
+    assert(Refs.tags(store).keySet == Set("release"))
+    // the permanent tag still pins v1 and its files
+    assert(r.retainedSnapshots.contains(v1))
+    assert(v1Paths.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(Refs.scanTag(spark, store, "release").count() == 40)
+
+    // drop the permanent tag too: next expiry releases v1's files
+    Refs.deleteTag(store, "release")
+    val r2 = ExpireSnapshots.run(store, keepLast = 1)
+    assert(!r2.retainedSnapshots.contains(v1))
+    assert(v1Paths.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "untagged expired files must be GC'd")
+    // re-tagging the same name fresh resets retention cleanly
+    Refs.tag(store, "nightly", maxRefAgeMs = 3600L * 1000)
+    assert(Refs.expireTags(store).isEmpty)
+  }
+
   test("age-based retention: fresh snapshots are not expirable") {
     val dir = Files.createTempDirectory("graft-age-").toString
     val store = MetaStore.forClips(dir)
