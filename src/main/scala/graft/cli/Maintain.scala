@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
  *     synth <nClips> <files>        append a deterministic synthetic batch
  *     compact [targetMB]            bin-pack small files
  *     cluster [zorder|hilbert] [targetMB] [batches]
+ *                                   (no curve given: the declared sort
+ *                                   order picks curve + key columns)
+ *     cluster-inc [targetMB]        O(churn) incremental recluster of the
+ *                                   interleaved overlap groups only
+ *     sort-order [curve range,cols [hash,cols]]
+ *                                   declare (or show) the table sort order
  *     merge-synth <lo> <hi>         upsert resynthesized clips lo..hi
  *     expire [keepLast] [minAgeH]   snapshot expiry + GC (age floor in hours)
  *     verify <preSnap> <postSnap>   scan-equality gate
@@ -26,6 +32,7 @@ import org.apache.spark.sql.SparkSession
  *                                   (maxAgeMs > 0: ref retention — expiry
  *                                   drops the tag once it ages out)
  *     tags                          list named refs
+ *     refs                          tags AND branches as one metadata table
  *     rollback <snapId|tagName>     metadata-only rollback
  *     changes <from> <to>           row-level CDC between snapshots
  *     feed <sinceSnap>              poll appended rows since a cursor
@@ -116,17 +123,57 @@ object Maintain {
           (if (scope.nonEmpty) s", scoped ${scopeArgs.mkString(" ")}" else "") + ")")
       case "cluster" =>
         // the curve name is optional per the usage header — 'cluster 256'
-        // must honor the 256, not silently drop it to the positional default
-        val (curve, numArgs) = rest.headOption match {
-          case Some("hilbert") => (HilbertCurve, rest.drop(1))
-          case Some("zorder")  => (ZOrderCurve, rest.drop(1))
-          case _               => (ZOrderCurve, rest)
+        // must honor the 256, not silently drop it to the positional
+        // default. With no explicit curve, the table's DECLARED sort order
+        // (sort-order op) picks curve AND key columns.
+        val declared = store.sortOrder
+        val (curve, cols, numArgs) = rest.headOption match {
+          case Some("hilbert") => (HilbertCurve, None, rest.drop(1))
+          case Some("zorder")  => (ZOrderCurve, None, rest.drop(1))
+          case _ =>
+            (declared.map(o => if (o.curve == "hilbert") HilbertCurve
+              else ZOrderCurve).getOrElse(ZOrderCurve),
+              declared.map(o => (o.hashCols, o.rangeCols)), rest)
         }
         val mb = numArgs.lift(0).map(_.toLong).getOrElse(128L)
         val batches = numArgs.lift(1).map(_.toInt).getOrElse(1)
-        val r = Cluster.run(spark, store, curve, targetBytes = mb * 1024 * 1024,
-          batches = batches)
+        val r = cols match {
+          case Some((h, rc)) =>
+            Cluster.run(spark, store, curve, targetBytes = mb * 1024 * 1024,
+              batches = batches, hashCols = h, rangeCols = rc)
+          case None =>
+            Cluster.run(spark, store, curve, targetBytes = mb * 1024 * 1024,
+              batches = batches)
+        }
         println(s"snapshot ${r.snapshotId}: clustered ${r.rows} rows into ${r.filesAfter} files ($curve)")
+      case "cluster-inc" =>
+        val declared = store.sortOrder
+        val mb = rest.lift(0).map(_.toLong).getOrElse(128L)
+        val r = Cluster.incremental(spark, store,
+          declared.map(o => if (o.curve == "hilbert") HilbertCurve
+            else ZOrderCurve: CurveKind).getOrElse(ZOrderCurve),
+          targetBytes = mb * 1024 * 1024,
+          hashCols = declared.map(_.hashCols).getOrElse(Seq("clip_id")),
+          rangeCols = declared.map(_.rangeCols).getOrElse(Seq("sr_hz", "dur_ms")))
+        println(s"snapshot ${r.snapshotId}: rewrote ${r.groupsRewritten} overlap groups " +
+          s"(${r.filesRewritten} files -> ${r.filesAdded}), kept ${r.filesKept} untouched")
+      case "sort-order" =>
+        rest.toSeq match {
+          case Seq() => store.sortOrder match {
+            case Some(o) => println(s"${o.curve} hash=${o.hashCols.mkString(",")} " +
+              s"range=${o.rangeCols.mkString(",")}")
+            case None => println("(none declared)")
+          }
+          case Seq(curve, rangeCsv) =>
+            store.setSortOrder(graft.table.SortOrder(curve, Nil,
+              rangeCsv.split(",").toSeq))
+            println(s"sort order declared: $curve range=$rangeCsv")
+          case Seq(curve, rangeCsv, hashCsv) =>
+            store.setSortOrder(graft.table.SortOrder(curve,
+              hashCsv.split(",").toSeq, rangeCsv.split(",").toSeq))
+            println(s"sort order declared: $curve range=$rangeCsv hash=$hashCsv")
+          case other => sys.error(s"usage: sort-order [curve rangeCols,csv [hashCols,csv]]; got $other")
+        }
       case "merge-synth" =>
         val lo = rest(0).toLong
         val hi = rest(1).toLong
@@ -156,6 +203,11 @@ object Maintain {
           val suffix = ret.get(n).map { case (c, a) =>
             s" (expires ${java.time.Instant.ofEpochMilli(c + a)})" }.getOrElse("")
           println(s"$n -> $id$suffix")
+        }
+      case "refs" =>
+        Refs.refsTable(spark, store).collect().foreach { r =>
+          val age = if (r.getLong(4) >= 0) s" maxAgeMs=${r.getLong(4)}" else ""
+          println(s"${r.getString(1)} ${r.getString(0)} -> ${r.getLong(2)}$age")
         }
       case "rollback" =>
         val target = rest(0).toLongOption.getOrElse(Refs.snapshotFor(store, rest(0)))
@@ -277,9 +329,10 @@ object Maintain {
         recs.foreach(r => println(s"${r.name}  rows=${r.entries.map(_.rows).sum} " +
           s"files=${r.entries.size} staged=${java.time.Instant.ofEpochMilli(r.createdMs)} " +
           s"audited=${if (r.auditedMs > 0) "yes" else "NO"}"))
-      case "branch" => // <name> [fromId] — zero-copy writable fork
+      case "branch" => // <name> [fromId] [maxAgeMs] — zero-copy writable fork
         val from = if (rest.length > 1) rest(1).toLong else -1L
-        val b = Branches.create(store, rest(0), from)
+        val b = Branches.create(store, rest(0), from,
+          maxRefAgeMs = rest.lift(2).map(_.toLong).getOrElse(0L))
         println(s"branch '${rest(0)}' at snapshot ${b.currentSnapshotId.get} " +
           s"(log: ${b.tableDir})")
       case "branches" =>

@@ -137,8 +137,21 @@ object AutoMaintain {
         out += Decision("expire-deletes", "delete files outrun by every data file")
     }
 
-    if (entries.size >= policy.minFilesForCluster)
-      policy.clusterRangeCols.headOption.foreach { c =>
+    // convergence guard: if the CURRENT snapshot is itself a cluster pass,
+    // the measured depth IS this policy's fixed point — a multi-dim curve
+    // key cannot always drive the lead column's interval depth below an
+    // aggressive bar, and re-triggering on an unchanged layout would make
+    // the maintenance daemon rewrite the same groups every loop forever.
+    // Any later commit (append/delete/merge) re-arms the trigger.
+    val justClustered =
+      Set("cluster", "cluster-incremental")(store.snapshot(snapId).operation)
+    // the table's DECLARED sort order (meta/sort-order.json) wins over the
+    // policy's cluster columns: the decay trigger must measure the same
+    // column the rewrite will sort, or the loop chases the wrong metric
+    val clusterRangeCols =
+      store.sortOrder.map(_.rangeCols).getOrElse(policy.clusterRangeCols)
+    if (!justClustered && entries.size >= policy.minFilesForCluster)
+      clusterRangeCols.headOption.foreach { c =>
         // measure WITHIN partition tuples: tuple pruning runs before
         // zonemaps, so a probe never opens files across tuples it excludes
         // — and the cluster rewrite's per-tuple fanout means GLOBAL depth
@@ -213,6 +226,17 @@ object AutoMaintain {
       }
     }
 
+  /** Curve + key columns for a cluster pass: the table's declared sort
+   * order when present, else the policy's (curve defaults to Z-order). */
+  private def clusterSpec(store: MetaStore, policy: MaintenancePolicy)
+      : (CurveKind, Seq[String], Seq[String]) =
+    store.sortOrder match {
+      case Some(o) =>
+        (if (o.curve == "hilbert") HilbertCurve else ZOrderCurve,
+          o.hashCols, o.rangeCols)
+      case None => (ZOrderCurve, policy.clusterHashCols, policy.clusterRangeCols)
+    }
+
   private def applyOne(spark: SparkSession, store: MetaStore,
                        policy: MaintenancePolicy, runId: String,
                        d: Decision): Long =
@@ -229,13 +253,15 @@ object AutoMaintain {
           Deletes.compactPositional(spark, store,
             runId = s"$runId-posdel-compact")._1
         case "cluster" =>
-          Cluster.run(spark, store, ZOrderCurve, policy.targetBytes,
-            runId = s"$runId-cluster", hashCols = policy.clusterHashCols,
-            rangeCols = policy.clusterRangeCols).snapshotId
+          val (curve, hashC, rangeC) = clusterSpec(store, policy)
+          Cluster.run(spark, store, curve, policy.targetBytes,
+            runId = s"$runId-cluster", hashCols = hashC,
+            rangeCols = rangeC).snapshotId
         case "cluster-incremental" =>
-          Cluster.incremental(spark, store, ZOrderCurve, policy.targetBytes,
-            runId = s"$runId-cluster-inc", hashCols = policy.clusterHashCols,
-            rangeCols = policy.clusterRangeCols).snapshotId
+          val (curve, hashC, rangeC) = clusterSpec(store, policy)
+          Cluster.incremental(spark, store, curve, policy.targetBytes,
+            runId = s"$runId-cluster-inc", hashCols = hashC,
+            rangeCols = rangeC).snapshotId
         case "compact-manifests" =>
           store.compactManifests()._1
         case "compact-blooms" =>

@@ -19,7 +19,14 @@ final case class BranchRec(
     forkSnapshot: String,
     createdMs: Long,
     evolutionCount: Int,
-    mergedHead: String = "-1")
+    mergedHead: String = "-1",
+    /** Iceberg branch ref-retention: > 0 means [[Branches.expireAged]]
+     * (run by every [[ExpireSnapshots]] pass) force-drops the branch once
+     * it is older than this — a staging branch left behind by a dead
+     * pipeline must not pin the fork snapshot's files forever. 0 (also
+     * what records written before the field existed read back as) =
+     * permanent. */
+    maxRefAgeMs: Long = 0L)
 
 /**
  * Branches: a full writable fork of the table — its own snapshot log under
@@ -161,7 +168,8 @@ object Branches {
    * condemned debris — a retried create of the same name clears it and
    * starts over; GC never treats it as a root.
    */
-  def create(main: MetaStore, name: String, fromSnapshot: Long = -1L): MetaStore = {
+  def create(main: MetaStore, name: String, fromSnapshot: Long = -1L,
+             maxRefAgeMs: Long = 0L): MetaStore = {
     require(main.ownsData, s"${main.tableDir}: cannot branch a branch — " +
       "fork the owning table instead (nested data roots would be deleted " +
       "by the outer branch's drop)")
@@ -197,7 +205,8 @@ object Branches {
     }
     b.seedFork(main, fork)
     claimRecord(main, BranchRec(name, fork.toString,
-      System.currentTimeMillis(), Evolve.evolutions(main).size))
+      System.currentTimeMillis(), Evolve.evolutions(main).size,
+      maxRefAgeMs = maxRefAgeMs))
     b
   }
 
@@ -427,6 +436,19 @@ object Branches {
       .iterator().asScala.foreach(Files.deleteIfExists(_))
     finally stream.close()
   }
+
+  /** Force-drop every branch whose age exceeds its declared maxRefAgeMs
+   * (the Iceberg branch-retention rule); returns the dropped names. An
+   * aged-out staging branch is abandoned by definition — its unmerged
+   * commits go with it, which is exactly what the declaration opted into.
+   * Branches without the declaration never expire. */
+  def expireAged(main: MetaStore,
+                 nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    if (!main.ownsData) Nil
+    else list(main).collect {
+      case (n, rec) if rec.maxRefAgeMs > 0L &&
+        nowMs - rec.createdMs > rec.maxRefAgeMs => n
+    }.toSeq.sorted.map { n => drop(main, n, force = true); n }
 
   /** Read the branch head — snapshot isolation against main's churn. */
   def scan(spark: SparkSession, main: MetaStore, name: String): DataFrame =

@@ -9,7 +9,8 @@ final case class ExpireResult(
     retainedSnapshots: Seq[Long],
     dataFilesDeleted: Int,
     manifestsDeleted: Int,
-    tagsExpired: Seq[String] = Nil)
+    tagsExpired: Seq[String] = Nil,
+    branchesExpired: Seq[String] = Nil)
 
 /**
  * Snapshot expiry with reachability GC: drop all snapshots except the most
@@ -42,6 +43,9 @@ object ExpireSnapshots {
     // being a GC root NOW, in the same pass — otherwise an aged-out nightly
     // tag pins its snapshot for one extra expiry cycle
     val droppedTags = Refs.expireTags(store)
+    // same rule for branches that declared maxRefAgeMs at create time: an
+    // aged-out staging branch stops pinning its fork point and data roots
+    val droppedBranches = Branches.expireAged(store)
     // tags and branch fork points are GC roots: a tagged snapshot (and its
     // files) survives expiry for as long as the tag exists (Refs.scala), and
     // a live branch pins the snapshot it forked from — every parent file a
@@ -92,6 +96,7 @@ object ExpireSnapshots {
     expired.foreach { id =>
       Files.deleteIfExists(Paths.get(store.tableDir, "meta", s"snap-$id.json"))
     }
-    ExpireResult(expired, retained, dataDeleted, manifestsDeleted, droppedTags)
+    ExpireResult(expired, retained, dataDeleted, manifestsDeleted,
+      droppedTags, droppedBranches)
   }
 }

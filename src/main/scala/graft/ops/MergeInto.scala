@@ -127,12 +127,19 @@ object MergeInto {
     val dataCols = base.columns.filter(_ != keyCol)
     // standard WHEN MATCHED THEN UPDATE semantics: a matched row takes the
     // update side's value VERBATIM (an explicit NULL overwrites) — keyed off
-    // a match marker, not coalesce, which would silently keep the old value
+    // a match marker, not coalesce, which would silently keep the old value.
+    // A NARROW batch (missing some target columns — the runEvolving /
+    // partial-update shape) KEEPS the target's value for the absent columns
+    // on matched rows, same rule Delta applies to unreferenced columns; on
+    // inserts the absent columns are NULL.
+    val updCols = updates.columns.toSet
     val merged0 = base.alias("t")
       .join(updates.withColumn("_upd", lit(true)).alias("u"),
         Seq(keyCol), "full_outer")
       .select(col(keyCol) +: dataCols.map(c =>
-        when(col("u._upd"), col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+        (if (updCols.contains(c))
+          when(col("u._upd"), col(s"u.$c")).otherwise(col(s"t.$c"))
+        else col(s"t.$c")).as(c)): _*)
     val merged = allDeleteKeys match {
       case Some(dk) =>
         val keys = dk.select(col(keyCol)).distinct()
@@ -332,5 +339,46 @@ object MergeInto {
     else
       run(spark, store, updates, keyCol, runId = runId,
         deleteKeys = deleteKeys, extraSummary = extraSummary ++ tag)
+  }
+
+  /**
+   * MERGE with AUTOMATIC SCHEMA EVOLUTION (Delta's `mergeSchema` / Iceberg
+   * add-missing-columns): every column the update batch carries that the
+   * target schema lacks is first added METADATA-ONLY with a NULL default
+   * ([[Evolve.addColumn]] — rows the merge never touches read NULL, the
+   * widening itself rewrites zero files), then the merge proceeds against
+   * the widened target with cost-based COW/MOR selection ([[auto]]).
+   *
+   * A same-name column of a DIFFERENT type is refused, not coerced —
+   * silent type drift in a daily merge is how a training table rots;
+   * widen explicitly first ([[Evolve.widenColumn]]).
+   */
+  def runEvolving(spark: SparkSession, store: MetaStore, updates: DataFrame,
+                  keyCol: String = "clip_id",
+                  runId: String = s"merge-${System.currentTimeMillis()}",
+                  deleteKeys: Option[DataFrame] = None): MergeResult = {
+    val target = store.scanCurrent(spark).schema
+    val byName = target.fields.map(f => f.name -> f.dataType).toMap
+    updates.schema.fields.foreach { f =>
+      byName.get(f.name) match {
+        case Some(t) => require(t == f.dataType,
+          s"merge evolve: column '${f.name}' is $t in the target but " +
+            s"${f.dataType} in the batch — widen the target explicitly first")
+        case None =>
+          Evolve.addColumn(spark, store, f.name, f.dataType.sql,
+            s"CAST(NULL AS ${f.dataType.sql})")
+          System.err.println(
+            s"[merge] schema-evolved target: added ${f.name} ${f.dataType.sql}")
+      }
+    }
+    // a NARROW batch (missing target columns) must merge copy-on-write:
+    // COW's projection keeps the target's value for absent columns, while
+    // merge-on-read replaces matched rows WHOLESALE with the appended row —
+    // it cannot express partial-column keep semantics
+    val narrow = target.fields.exists(f => !updates.columns.contains(f.name))
+    if (narrow)
+      run(spark, store, updates, keyCol, runId = runId, deleteKeys = deleteKeys)
+    else
+      auto(spark, store, updates, keyCol, runId = runId, deleteKeys = deleteKeys)
   }
 }

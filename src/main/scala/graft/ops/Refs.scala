@@ -116,6 +116,27 @@ object Refs {
   def scanTag(spark: SparkSession, store: MetaStore, name: String): DataFrame =
     store.scan(spark, snapshotFor(store, name))
 
+  /** One row per named ref — tags AND branches — as a DataFrame (the
+   * Iceberg `table$refs` metadata-table analog): name, type, the snapshot
+   * it points at (a branch's current head), creation time and max ref age
+   * where declared (-1 = permanent / unknown). Answered from metadata
+   * alone; zero data IO. */
+  def refsTable(spark: SparkSession, store: MetaStore): DataFrame = {
+    import spark.implicits._
+    val ret = retention(store)
+    val tagRows = tags(store).toSeq.map { case (n, id) =>
+      val (c, a) = ret.getOrElse(n, (-1L, -1L))
+      (n, "tag", id, c, a)
+    }
+    val branchRows = Branches.list(store).toSeq.map { case (n, rec) =>
+      val head = Branches.store(store, n).currentSnapshotId.getOrElse(-1L)
+      (n, "branch", head, rec.createdMs,
+        if (rec.maxRefAgeMs > 0L) rec.maxRefAgeMs else -1L)
+    }
+    (tagRows ++ branchRows).sortBy(r => (r._2, r._1))
+      .toDF("name", "type", "snapshot_id", "created_at_ms", "max_age_ms")
+  }
+
   /**
    * Roll the table back to `toSnapshotId`: commits that snapshot's exact
    * file list as a NEW snapshot (operation "rollback"). Metadata-only and

@@ -55,6 +55,17 @@ final case class ManifestFile(entries: Seq[DataFile])
  *   A data row is visible iff no delete file with a higher seq contains its
  *   key — applied read-side ([[graft.ops.Deletes]], merge-on-read) and
  *   materialized by every rewrite (compact/cluster/merge). */
+/** Declared cluster order (the Iceberg sort-order metadata analog):
+ * `curve` is "zorder" | "hilbert"; `rangeCols` must be non-empty — its
+ * leading column doubles as the layout-decay trigger column
+ * ([[graft.ops.AutoMaintain]]). Stored in meta/sort-order.json so the
+ * table is self-describing: maintenance reclusters by the table's own
+ * declaration, not caller-side defaults. */
+final case class SortOrder(
+    curve: String,
+    hashCols: Seq[String],
+    rangeCols: Seq[String])
+
 final case class Snapshot(
     id: Long,
     parentId: Long, // -1 = none

@@ -232,6 +232,30 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
     case None => df.write.mode("overwrite").parquet(dir)
   }
 
+  // ---- declared sort order ----
+  private def sortOrderPath = metaDir.resolve("sort-order.json")
+
+  /** The table's declared cluster order, if any ([[SortOrder]]). */
+  def sortOrder: Option[SortOrder] =
+    if (Files.exists(sortOrderPath))
+      Some(Json.mapper.readValue[SortOrder](
+        new String(Files.readAllBytes(sortOrderPath), StandardCharsets.UTF_8)))
+    else None
+
+  /** Declare (or replace — unlike partition fields, a sort order carries no
+   * per-file state, so redeclaring is always safe: the next cluster pass
+   * simply rewrites toward the new order) the table's cluster order. */
+  def setSortOrder(order: SortOrder): Unit = {
+    require(order.rangeCols.nonEmpty,
+      "sort order needs at least one range column (it is also the decay-trigger column)")
+    require(Set("zorder", "hilbert")(order.curve),
+      s"unknown curve '${order.curve}' (zorder|hilbert)")
+    val tmp = metaDir.resolve(s"sort-order.tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, Json.write(order).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, sortOrderPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   // ---- metadata tables (Iceberg's table$files / table$snapshots analog) ----
 
   /** One row per data file of `snapshotId`: path, rows, size, sequence

@@ -294,4 +294,23 @@ class BranchSpec extends AnyFunSuite {
     assert(Branches.merged(store, "inc"))
     Branches.drop(store, "inc")
   }
+
+  test("branch maxRefAge: aged-out staging branch is dropped by expiry, permanent survives") {
+    val store = freshTable(40)
+    val fork = store.currentSnapshotId.get
+    val stale = Branches.create(store, "stale-stage", maxRefAgeMs = 1L)
+    Append.run(spark, stale, ClipSynth.dataset(spark, 10, 1, maxDurMs = 80).toDF())
+    Branches.create(store, "keep-stage")
+    Thread.sleep(5)
+    val r = ExpireSnapshots.run(store, keepLast = 100)
+    assert(r.branchesExpired == Seq("stale-stage"), s"got $r")
+    assert(Branches.list(store).keySet == Set("keep-stage"))
+    // main untouched: fork snapshot and every row still readable
+    assert(store.scanCurrent(spark).count() == 40)
+    assert(store.scan(spark, fork).count() == 40)
+    // refs metadata table agrees (only the surviving branch remains)
+    val refs = graft.ops.Refs.refsTable(spark, store).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs == Set(("keep-stage", "branch")), s"got $refs")
+  }
 }

@@ -126,6 +126,49 @@ class IncrementalClusterSpec extends AnyFunSuite {
     assert(rep.allPass, s"scan equality failed across delete-aware rewrite: $rep")
   }
 
+  test("declared sort order drives the maintenance cluster pass") {
+    val dir = Files.createTempDirectory("graft-so-").toString
+    val store = MetaStore.forClips(dir)
+    // 4 appends each spanning the full dur range: global decay
+    (0 until 4).foreach { k =>
+      import spark.implicits._
+      Append.run(spark, store,
+        spark.range(k * 200L, k * 200L + 200L, 1L, 1)
+          .map(i => ClipSynth.clip(i, Int.MaxValue)).toDF())
+    }
+    store.setSortOrder(graft.table.SortOrder("hilbert", Nil, Seq("dur_ms")))
+    // policy says sr_hz — the DECLARED order must win (trigger col + curve)
+    val policy = MaintenancePolicy(
+      clusterRangeCols = Seq("sr_hz"), clusterHashCols = Seq("clip_id"),
+      maxOverlapDepth = 1.5, minFilesForCluster = 2,
+      maxSmallFiles = 1000, expireKeepLast = 1000, maxManifestShards = 1000)
+    val plan = AutoMaintain.plan(store, policy)
+    val clusterD = plan.find(_.op.startsWith("cluster"))
+      .getOrElse(fail(s"no cluster decision in $plan"))
+    assert(clusterD.reason.contains("dur_ms"),
+      s"trigger must measure the declared lead column: $clusterD")
+    AutoMaintain.run(spark, store, policy, runId = "so-auto")
+    val snap = store.snapshot(store.currentSnapshotId.get)
+    assert(snap.operation.startsWith("cluster"), s"got ${snap.operation}")
+    assert(snap.summary.get("curve").contains("HilbertCurve"),
+      s"declared hilbert curve must be used: ${snap.summary}")
+  }
+
+  test("cluster trigger does not re-fire on an unchanged just-clustered layout") {
+    val (_, store) = freshClusteredStore()
+    // unreachably aggressive bar: avg depth is always >= 1.0, so without the
+    // convergence guard the daemon would rewrite the same layout every loop
+    val policy = MaintenancePolicy(
+      clusterRangeCols = Seq("dur_ms"), clusterHashCols = Nil,
+      maxOverlapDepth = 0.1, minFilesForCluster = 1,
+      maxSmallFiles = 1000, expireKeepLast = 1000, maxManifestShards = 1000)
+    assert(!AutoMaintain.plan(store, policy).exists(_.op.startsWith("cluster")),
+      "just-clustered layout must not re-trigger the pass that produced it")
+    Append.run(spark, store, narrowBatch(700, 799))
+    assert(AutoMaintain.plan(store, policy).exists(_.op.startsWith("cluster")),
+      "a new commit must re-arm the trigger")
+  }
+
   test("auto-maintain picks the incremental pass for local decay and converges") {
     val (_, store) = freshClusteredStore()
     Append.run(spark, store, narrowBatch(500, 599))

@@ -228,4 +228,40 @@ class MergeMorSpec extends AnyFunSuite {
       (60L until 65L).map(ClipSynth.clipId).toSet)
     assert(ch.getOrElse("delete", Set.empty) == Set(ClipSynth.clipId(25)))
   }
+
+  test("runEvolving: batch-only columns evolve the target metadata-only, types never coerce") {
+    val store = freshStore("evolve")
+    seed(store)
+    val filesBefore = store.entries(store.currentSnapshotId.get).map(_.path).toSet
+    val upd = ClipSynth.dataset(spark, 5, 1, maxDurMs = 40).toDF()
+      .withColumn("transcript", concat(col("transcript"), lit(" scored")))
+      .withColumn("quality_score", lit(0.9))
+    MergeInto.runEvolving(spark, store, upd, runId = "mor-evolve-1")
+    val cur = store.scanCurrent(spark)
+    assert(cur.schema.fieldNames.contains("quality_score"))
+    assert(cur.filter(col("quality_score") === 0.9).count() === 5)
+    // every row the merge did not touch reads the NULL default — the
+    // widening itself rewrote nothing (old files still live)
+    assert(cur.filter(col("quality_score").isNull).count() === 55)
+    val filesNow = store.entries(store.currentSnapshotId.get).map(_.path).toSet
+    assert((filesBefore -- filesNow).size <= 1,
+      "widening + small merge must not rewrite the whole table")
+
+    // same-name different-type batch is refused, not coerced
+    val bad = ClipSynth.dataset(spark, 1, 1, maxDurMs = 40).toDF()
+      .withColumn("quality_score", lit("high"))
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.runEvolving(spark, store, bad, runId = "mor-evolve-2")
+    }
+    assert(e.getMessage.contains("quality_score"))
+
+    // a narrow batch (no score column) still merges against the wide target
+    val narrow = ClipSynth.dataset(spark, 1, 1, maxDurMs = 40).toDF()
+      .withColumn("transcript", lit("narrow"))
+    MergeInto.runEvolving(spark, store, narrow, runId = "mor-evolve-3")
+    val row0 = store.scanCurrent(spark)
+      .filter(col("clip_id") === ClipSynth.clipId(0))
+      .select("transcript", "quality_score").head()
+    assert(row0.getString(0) == "narrow")
+  }
 }

@@ -136,6 +136,13 @@ class RefsSpec extends AnyFunSuite {
     // re-tagging the same name fresh resets retention cleanly
     Refs.tag(store, "nightly", maxRefAgeMs = 3600L * 1000)
     assert(Refs.expireTags(store).isEmpty)
+
+    // refs metadata table: the live tag with its retention, zero data IO
+    val refs = Refs.refsTable(spark, store).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(refs.toSeq == Seq(
+      ("nightly", "tag", store.currentSnapshotId.get, 3600L * 1000)),
+      s"got ${refs.toSeq}")
   }
 
   test("age-based retention: fresh snapshots are not expirable") {
