@@ -223,6 +223,20 @@ object MergeInto {
              extraSummary: Map[String, String] = Map.empty): MergeResult = {
     val t0 = System.nanoTime()
 
+    // a MOR batch must carry the FULL target schema: the appended row
+    // replaces its matched row WHOLESALE (equality delete + higher seq), so
+    // an absent column cannot "keep" the target's value — and committing a
+    // physically narrower file would poison every later mixed-schema scan.
+    // Narrow batches belong to run()/runEvolving (copy-on-write keeps
+    // absent columns per row).
+    store.currentSnapshotId.foreach { _ =>
+      val missing = store.scanCurrent(spark).schema.fieldNames
+        .filterNot(updates.columns.contains)
+      require(missing.isEmpty,
+        s"merge-mor: batch lacks target column(s) ${missing.mkString(", ")} — " +
+          "use run()/runEvolving (copy-on-write keeps absent columns)")
+    }
+
     // appended data files (written once; reused verbatim across commit
     // retries). A key in BOTH updates and deleteKeys must end up deleted —
     // copy-on-write applies the delete after the update ([[run]]) — so the
@@ -357,6 +371,9 @@ object MergeInto {
                   keyCol: String = "clip_id",
                   runId: String = s"merge-${System.currentTimeMillis()}",
                   deleteKeys: Option[DataFrame] = None): MergeResult = {
+    if (store.currentSnapshotId.isEmpty) // empty table: nothing to evolve
+      return auto(spark, store, updates, keyCol, runId = runId,
+        deleteKeys = deleteKeys)
     val target = store.scanCurrent(spark).schema
     val byName = target.fields.map(f => f.name -> f.dataType).toMap
     updates.schema.fields.foreach { f =>

@@ -255,6 +255,15 @@ class MergeMorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("quality_score"))
 
+    // a narrow batch aimed at MOR is refused loudly (wholesale row
+    // replacement cannot keep absent columns; a narrower file would poison
+    // later scans)
+    val narrowMor = ClipSynth.dataset(spark, 1, 1, maxDurMs = 40).toDF()
+    val e2 = intercept[IllegalArgumentException] {
+      MergeInto.runMor(spark, store, narrowMor, runId = "mor-evolve-narrow")
+    }
+    assert(e2.getMessage.contains("quality_score"))
+
     // a narrow batch (no score column) still merges against the wide target
     val narrow = ClipSynth.dataset(spark, 1, 1, maxDurMs = 40).toDF()
       .withColumn("transcript", lit("narrow"))
