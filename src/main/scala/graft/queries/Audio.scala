@@ -1038,6 +1038,65 @@ object Audio {
         .withColumn("mor_rewrites", lit(r1.filesTouched + r2.filesTouched))
     }),
 
+    // -- MERGE with AUTOMATIC SCHEMA EVOLUTION (MergeInto.runEvolving):
+    //    batch 1 carries a NEW quality_score column -> the target evolves
+    //    metadata-only (untouched rows read the NULL default, zero files
+    //    rewritten by the widening); batch 2 is NARROW (no score column) ->
+    //    matched rows take its values but KEEP their score (Delta's
+    //    unreferenced-column rule, forced copy-on-write). Oracle: DuckDB
+    //    replays both merges relationally over the exported seed/batch
+    //    parquets — full replace for batch 1, column-wise keep-join for
+    //    batch 2 — so a score lost to the narrow merge, a default leaking
+    //    into merged rows, or a dropped insert all diverge the engines. --
+    "q114_merge_schema_evolve" -> ((s, d) => {
+      import s.implicits._
+      val fx = OracleFixtures.freshDir("q114_fx", d)
+      val store = MetaStore.forClips(s"$fx/table")
+      val n = clipCount(d)
+      def synthRange(from: Long, until: Long, parts: Int) =
+        s.range(from, until, 1L, parts).map(i => ClipSynth.clip(i, 150)).toDF()
+      Append.run(s, store, synthRange(0, n, 4))
+      val seedPaths = store.entries(store.currentSnapshotId.get).map(_.path)
+      // batch 1: full schema + the new column (update low quarter + inserts)
+      val b1 = synthRange(0, n / 4, 2).unionByName(synthRange(n, n + n / 10, 1))
+        .withColumn("transcript", concat(col("transcript"), lit(" v2")))
+        .withColumn("quality_score", (col("dur_ms") % 100).cast("double") / 100.0)
+      b1.coalesce(1).write.mode("overwrite").parquet(s"$fx/b1")
+      MergeInto.runEvolving(s, store, s.read.parquet(s"$fx/b1"), runId = "q114-m1")
+      // batch 2: NARROW — overlaps half of b1's update range (their scores
+      // must survive) and touches fresh seed keys (score stays NULL)
+      val b2 = synthRange(n / 8, n / 4 + n / 8, 2)
+        .withColumn("transcript", concat(col("transcript"), lit(" v3")))
+      b2.coalesce(1).write.mode("overwrite").parquet(s"$fx/b2")
+      MergeInto.runEvolving(s, store, s.read.parquet(s"$fx/b2"), runId = "q114-m2")
+      OracleFixtures.register("q114_merge_schema_evolve",
+        s"""WITH seed AS (
+           |  SELECT clip_id, sr_hz, dur_ms, codec, transcript,
+           |         CAST(NULL AS DOUBLE) AS quality_score
+           |  FROM read_parquet(${OracleFixtures.pathList(seedPaths)})),
+           |b1 AS (SELECT clip_id, sr_hz, dur_ms, codec, transcript, quality_score
+           |       FROM read_parquet('$fx/b1/*.parquet')),
+           |s1 AS (SELECT * FROM b1
+           |       UNION ALL
+           |       SELECT * FROM seed
+           |       WHERE clip_id NOT IN (SELECT clip_id FROM b1)),
+           |b2 AS (SELECT clip_id, sr_hz, dur_ms, codec, transcript
+           |       FROM read_parquet('$fx/b2/*.parquet')),
+           |s2 AS (SELECT b2.clip_id, b2.sr_hz, b2.dur_ms, b2.codec,
+           |              b2.transcript, s1.quality_score
+           |       FROM b2 LEFT JOIN s1 USING (clip_id)
+           |       UNION ALL
+           |       SELECT * FROM s1
+           |       WHERE clip_id NOT IN (SELECT clip_id FROM b2))
+           |SELECT clip_id, sr_hz, dur_ms, codec, transcript,
+           |       coalesce(quality_score, -1.0) AS quality_score
+           |FROM s2""".stripMargin)
+      store.scanCurrent(s)
+        .select(col("clip_id"), col("sr_hz"), col("dur_ms"), col("codec"),
+          col("transcript"),
+          coalesce(col("quality_score"), lit(-1.0)).as("quality_score"))
+    }),
+
     // -- write-audit-publish (ops/Wap): a good batch is STAGED outside the
     //    snapshot log (readers see nothing), audited in isolation against
     //    the clip constraints, and atomically published as an O(batch)
