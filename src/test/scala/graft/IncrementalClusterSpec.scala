@@ -126,6 +126,37 @@ class IncrementalClusterSpec extends AnyFunSuite {
     assert(rep.allPass, s"scan equality failed across delete-aware rewrite: $rep")
   }
 
+  test("partitioned table: groups never cross tuples, rewrite keeps pruning exact") {
+    val dir = Files.createTempDirectory("graft-incp-").toString
+    val store = MetaStore.forClips(dir)
+    store.setPartitionSpec(graft.table.PartitionSpec(Seq(
+      graft.table.Partitioning.identity("codec"))))
+    Append.run(spark, store, ClipSynth.dataset(spark, nBase, 4).toDF())
+    Cluster.run(spark, store, ZOrderCurve, targetBytes = 512L * 1024,
+      runId = "incp-base", hashCols = Nil, rangeCols = Seq("dur_ms"))
+    Append.run(spark, store, narrowBatch(400, 499))
+    val entries = store.entries(store.currentSnapshotId.get)
+    // every overlap group lives inside ONE partition tuple — a merged file
+    // must stay single-tuple or its path segment would lie to the pruner
+    Cluster.overlapGroups(entries, "dur_ms").foreach { g =>
+      assert(g.map(_.partition).distinct.size == 1,
+        s"group crosses tuples: ${g.map(_.partition).distinct}")
+    }
+    val res = Cluster.incremental(spark, store, ZOrderCurve,
+      targetBytes = 512L * 1024, runId = "incp-inc",
+      hashCols = Nil, rangeCols = Seq("dur_ms"))
+    assert(res.filesRewritten > 0 && res.filesKept > 0, s"partial rewrite: $res")
+    // rewrite output re-derives tuples: codec pruning stays EXACT
+    val post = store.entries(res.snapshotId)
+    assert(post.forall(_.partition.contains("codec")),
+      "every post-rewrite file must carry its partition tuple")
+    val probe = store.scanCurrentPruned(spark,
+      Seq(graft.table.Pred.EqualTo("codec", "ulaw")))
+    assert(probe.filesKeptPartition < probe.filesTotal, s"pruning lost: $probe")
+    assert(probe.df.filter(col("codec") === "ulaw").count() ===
+      store.scanCurrent(spark).filter(col("codec") === "ulaw").count())
+  }
+
   test("declared sort order drives the maintenance cluster pass") {
     val dir = Files.createTempDirectory("graft-so-").toString
     val store = MetaStore.forClips(dir)
