@@ -99,6 +99,11 @@ object ScalingBench {
     val dir = Files.createTempDirectory(Paths.get(benchRoot), s"run-$cores-").toString
     pendingCleanup += dir
     val store = MetaStore.forClips(dir)
+    // A/B attribution knob (r3 verdict: the bloom side-table pass landed
+    // without re-baselining and showed up as a cluster-phase regression):
+    // GRAFT_BENCH_BLOOM=0 turns write-time blooms off so the bloom cost is
+    // measurable as the delta between paired runs
+    if (sys.env.get("GRAFT_BENCH_BLOOM").contains("0")) store.bloomColumn = None
     // synth: FIXED input file count so both parallelism levels maintain the
     // identical physical layout (input fairness)
     val (_, synthSec) = timed {

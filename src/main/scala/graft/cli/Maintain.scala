@@ -195,7 +195,7 @@ object Maintain {
         }
       case "tag" =>
         val id = Refs.tag(store, rest(0), rest.lift(1).map(_.toLong).getOrElse(-1L),
-          rest.lift(2).map(_.toLong).getOrElse(0L))
+          rest.lift(2).map(_.toLong).getOrElse(-1L)) // -1: keep existing retention
         println(s"tag ${rest(0)} -> snapshot $id")
       case "tags" =>
         val ret = Refs.retention(store)

@@ -439,16 +439,26 @@ object Branches {
 
   /** Force-drop every branch whose age exceeds its declared maxRefAgeMs
    * (the Iceberg branch-retention rule); returns the dropped names. An
-   * aged-out staging branch is abandoned by definition — its unmerged
-   * commits go with it, which is exactly what the declaration opted into.
+   * aged-out staging branch is ABANDONED by definition, so age is measured
+   * from the branch's last activity — the HEAD snapshot's commit timestamp
+   * (floored at createdMs: a fresh fork's head is a snapshot inherited from
+   * main, whose timestamp predates the branch) — matching Iceberg's
+   * max-ref-age-ms. Aging from createdMs alone destroyed actively-committed
+   * branches together with their recent unmerged work (ADVICE r3).
    * Branches without the declaration never expire. */
   def expireAged(main: MetaStore,
                  nowMs: Long = System.currentTimeMillis()): Seq[String] =
     if (!main.ownsData) Nil
-    else list(main).collect {
-      case (n, rec) if rec.maxRefAgeMs > 0L &&
-        nowMs - rec.createdMs > rec.maxRefAgeMs => n
-    }.toSeq.sorted.map { n => drop(main, n, force = true); n }
+    else list(main).toSeq.flatMap { case (n, rec) =>
+      if (rec.maxRefAgeMs <= 0L) None
+      else {
+        val bs = store(main, n)
+        val headMs = bs.currentSnapshotId
+          .map(id => bs.snapshot(id).timestampMs).getOrElse(rec.createdMs)
+        val lastActiveMs = math.max(headMs, rec.createdMs)
+        if (nowMs - lastActiveMs > rec.maxRefAgeMs) Some(n) else None
+      }
+    }.sorted.map { n => drop(main, n, force = true); n }
 
   /** Read the branch head — snapshot isolation against main's churn. */
   def scan(spark: SparkSession, main: MetaStore, name: String): DataFrame =

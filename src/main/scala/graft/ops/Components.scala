@@ -24,11 +24,20 @@ object Components {
    * DRIVER with union-find instead of iterating Spark jobs — the same
    * small-side escape hatch as a broadcast join. A near-dup edge set is
    * usually tiny relative to its corpus (dup groups are rare and small), so
-   * a 100 TB dedup often lands here; 2M edges ≈ tens of MB collected, and
-   * union-find is O(E α(E)) vs diameter× (join+groupBy+checkpoint+count)
-   * jobs whose per-iteration fixed cost dominates at small sizes
-   * (measured: the loop costs ~1 s/iteration on a 2k-edge graph). */
+   * a 100 TB dedup often lands here, and union-find is O(E α(E)) vs
+   * diameter× (join+groupBy+checkpoint+count) jobs whose per-iteration
+   * fixed cost dominates at small sizes (measured: the loop costs
+   * ~1 s/iteration on a 2k-edge graph). */
   var localSolveMaxEdges: Long = 2000000L
+
+  /** BYTE bound on the same escape hatch: edge ids can be arbitrarily wide
+   * strings (urls, content hashes), so an edge-count bound alone could
+   * collect gigabytes of driver objects on a SHARED driver. The estimate
+   * charges each edge its string payload (×2: JVM chars) plus ~96 B of
+   * boxed-key + HashMap-entry overhead; either bound failing routes to the
+   * distributed loop. 64 MB default ≈ a comfortable slice of a 1-4 GB
+   * driver heap. */
+  var localSolveMaxBytes: Long = 64L * 1024 * 1024
 
   /** Label every node of the undirected edge list with the minimum node id
    * of its component. Returns (id, cluster_id); only nodes that appear in
@@ -39,7 +48,20 @@ object Components {
     // symmetric union — both union branches read the checkpointed rows
     // instead of re-running the upstream plan per branch
     val e0 = edges.select(col(a).as("src"), col(b).as("dst")).localCheckpoint()
-    if (e0.count() <= localSolveMaxEdges) return localSolve(e0)
+    val nEdges = e0.count()
+    if (nEdges <= localSolveMaxEdges && nEdges > 0) {
+      // one cheap aggregate over the checkpointed rows (no rescan of the
+      // upstream pipeline) sizes the would-be driver copy before collecting
+      val payload = e0.select(
+        sum(coalesce(length(col("src").cast("string")), lit(0)) +
+            coalesce(length(col("dst").cast("string")), lit(0)))
+          .cast("long").as("chars")).first().getLong(0)
+      val estBytes = payload * 2 + nEdges * 96L
+      if (estBytes <= localSolveMaxBytes) return localSolve(e0)
+      System.err.println(s"[components] $nEdges edges ≈ $estBytes B " +
+        s"> localSolveMaxBytes=$localSolveMaxBytes; using distributed loop")
+    }
+    if (nEdges == 0) return localSolve(e0)
     val sym = e0
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()

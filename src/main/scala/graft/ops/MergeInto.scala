@@ -132,12 +132,18 @@ object MergeInto {
     // partial-update shape) KEEPS the target's value for the absent columns
     // on matched rows, same rule Delta applies to unreferenced columns; on
     // inserts the absent columns are NULL.
-    val updCols = updates.columns.toSet
+    // membership via the session RESOLVER, not string equality: Spark
+    // resolves columns case-insensitively by default, so a batch column
+    // differing only in case IS the target column — a case-sensitive set
+    // test treated it as absent and matched rows silently kept their old
+    // values (ADVICE r3)
+    val resolver = spark.sessionState.conf.resolver
+    val updCols = updates.columns
     val merged0 = base.alias("t")
       .join(updates.withColumn("_upd", lit(true)).alias("u"),
         Seq(keyCol), "full_outer")
       .select(col(keyCol) +: dataCols.map(c =>
-        (if (updCols.contains(c))
+        (if (updCols.exists(u => resolver(u, c)))
           when(col("u._upd"), col(s"u.$c")).otherwise(col(s"t.$c"))
         else col(s"t.$c")).as(c)): _*)
     val merged = allDeleteKeys match {
@@ -229,12 +235,26 @@ object MergeInto {
     // physically narrower file would poison every later mixed-schema scan.
     // Narrow batches belong to run()/runEvolving (copy-on-write keeps
     // absent columns per row).
-    store.currentSnapshotId.foreach { _ =>
-      val missing = store.scanCurrent(spark).schema.fieldNames
-        .filterNot(updates.columns.contains)
-      require(missing.isEmpty,
-        s"merge-mor: batch lacks target column(s) ${missing.mkString(", ")} — " +
-          "use run()/runEvolving (copy-on-write keeps absent columns)")
+    // resolver-aware guard + case ALIGNMENT: Spark resolves batch columns
+    // case-insensitively, but runMor writes the batch PHYSICALLY — a file
+    // whose parquet schema carries "SR_HZ" next to target files carrying
+    // "sr_hz" poisons later mixed-schema scans, so batch columns matching a
+    // target column only case-insensitively are renamed to the target's
+    // exact spelling before the guard and the write
+    val resolver = spark.sessionState.conf.resolver
+    val updatesAligned = store.currentSnapshotId match {
+      case Some(_) =>
+        val targetCols = store.scanCurrent(spark).schema.fieldNames
+        val missing = targetCols.filterNot(t =>
+          updates.columns.exists(u => resolver(u, t)))
+        require(missing.isEmpty,
+          s"merge-mor: batch lacks target column(s) ${missing.mkString(", ")} — " +
+            "use run()/runEvolving (copy-on-write keeps absent columns)")
+        updates.columns.foldLeft(updates) { (df, u) =>
+          targetCols.find(t => resolver(u, t) && t != u)
+            .map(t => df.withColumnRenamed(u, t)).getOrElse(df)
+        }
+      case None => updates
     }
 
     // appended data files (written once; reused verbatim across commit
@@ -243,9 +263,9 @@ object MergeInto {
     // delete keys are excluded from the batch (their appended rows would
     // otherwise share the delete's seq and outlive it).
     val batch0 = deleteKeys match {
-      case Some(dk) => updates.join(
+      case Some(dk) => updatesAligned.join(
         broadcast(dk.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
-      case None => updates
+      case None => updatesAligned
     }
     val batch = if (outputFiles > 0) batch0.coalesce(outputFiles) else batch0
     val outDir = store.newDataDir("merge-mor")
@@ -253,7 +273,7 @@ object MergeInto {
     val addedRaw = store.collectStats(spark, outDir)
 
     // one equality-delete key file: update keys ∪ delete keys
-    val allKeys = deleteKeys.foldLeft(updates.select(col(keyCol)))(
+    val allKeys = deleteKeys.foldLeft(updatesAligned.select(col(keyCol)))(
       (u, dk) => u.unionByName(dk.select(col(keyCol)))).distinct()
     val delDir = store.newDataDir("delete")
     allKeys.coalesce(1).write.mode("overwrite").parquet(delDir)
@@ -375,27 +395,64 @@ object MergeInto {
       return auto(spark, store, updates, keyCol, runId = runId,
         deleteKeys = deleteKeys)
     val target = store.scanCurrent(spark).schema
-    val byName = target.fields.map(f => f.name -> f.dataType).toMap
-    updates.schema.fields.foreach { f =>
-      byName.get(f.name) match {
-        case Some(t) => require(t == f.dataType,
-          s"merge evolve: column '${f.name}' is $t in the target but " +
-            s"${f.dataType} in the batch — widen the target explicitly first")
-        case None =>
-          Evolve.addColumn(spark, store, f.name, f.dataType.sql,
-            s"CAST(NULL AS ${f.dataType.sql})")
-          System.err.println(
-            s"[merge] schema-evolved target: added ${f.name} ${f.dataType.sql}")
+    val resolver = spark.sessionState.conf.resolver
+    // nullability-INSENSITIVE type equality: frames assembled from case
+    // classes or unions routinely differ from the stored schema only in
+    // (nested) nullability/containsNull, which is value-compatible — only
+    // a genuine type difference is drift worth refusing
+    def sameType(a: org.apache.spark.sql.types.DataType,
+                 b: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      (a, b) match {
+        case (x: ArrayType, y: ArrayType) =>
+          sameType(x.elementType, y.elementType)
+        case (x: MapType, y: MapType) =>
+          sameType(x.keyType, y.keyType) && sameType(x.valueType, y.valueType)
+        case (x: StructType, y: StructType) =>
+          x.fields.length == y.fields.length &&
+            x.fields.zip(y.fields).forall { case (fa, fb) =>
+              resolver(fa.name, fb.name) && sameType(fa.dataType, fb.dataType)
+            }
+        case _ => a == b
       }
     }
-    // a NARROW batch (missing target columns) must merge copy-on-write:
-    // COW's projection keeps the target's value for absent columns, while
-    // merge-on-read replaces matched rows WHOLESALE with the appended row —
-    // it cannot express partial-column keep semantics
-    val narrow = target.fields.exists(f => !updates.columns.contains(f.name))
-    if (narrow)
-      run(spark, store, updates, keyCol, runId = runId, deleteKeys = deleteKeys)
-    else
-      auto(spark, store, updates, keyCol, runId = runId, deleteKeys = deleteKeys)
+    val added = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      updates.schema.fields.foreach { f =>
+        target.fields.find(t => resolver(t.name, f.name)) match {
+          case Some(t) => require(sameType(t.dataType, f.dataType),
+            s"merge evolve: column '${f.name}' is ${t.dataType} in the target " +
+              s"but ${f.dataType} in the batch — widen the target explicitly first")
+          case None =>
+            Evolve.addColumn(spark, store, f.name, f.dataType.sql,
+              s"CAST(NULL AS ${f.dataType.sql})")
+            added += f.name
+            System.err.println(
+              s"[merge] schema-evolved target: added ${f.name} ${f.dataType.sql}")
+        }
+      }
+      // a NARROW batch (missing target columns) must merge copy-on-write:
+      // COW's projection keeps the target's value for absent columns, while
+      // merge-on-read replaces matched rows WHOLESALE with the appended row —
+      // it cannot express partial-column keep semantics
+      val narrow = target.fields.exists(f =>
+        !updates.columns.exists(u => resolver(u, f.name)))
+      if (narrow)
+        run(spark, store, updates, keyCol, runId = runId, deleteKeys = deleteKeys)
+      else
+        auto(spark, store, updates, keyCol, runId = runId, deleteKeys = deleteKeys)
+    } catch {
+      case e: Throwable =>
+        // evolve+merge lands as (evolution commit, merge commit) rather than
+        // one atomic commit; if the merge half fails (constraint, CAS
+        // exhaustion), un-widen so the evolution is not left durable without
+        // the data that justified it. Each drop is metadata-only; a failure
+        // while un-widening is suppressed in favor of the merge's error.
+        added.reverse.foreach { c =>
+          try Evolve.dropColumn(spark, store, c)
+          catch { case re: Throwable => e.addSuppressed(re) }
+        }
+        throw e
+    }
   }
 }

@@ -52,6 +52,35 @@ object Refs {
       }
     }
 
+  /**
+   * Serialize every refs.json read-modify-write (tag / deleteTag /
+   * expireTags) with an O_EXCL lock file next to refs.json — the same
+   * cross-process primitive as the snapshot commit claim. Without it a
+   * concurrent `tag()` landing between an expiry pass's read and its
+   * atomic-rename write was silently lost, and the snapshot that tag pinned
+   * could be GC'd by the SAME expiry pass (data deletion, not just a lost
+   * ref). A crashed holder's stale lock is stolen after 30 s — refs
+   * mutations are sub-millisecond, so a live holder can never look stale.
+   */
+  private def withRefsLock[A](store: MetaStore)(body: => A): A = {
+    val lock = Paths.get(store.tableDir, "meta", "refs.lock")
+    Files.createDirectories(lock.getParent)
+    val deadlineNs = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+    var held = false
+    while (!held) {
+      try {
+        Files.write(lock, Array.emptyByteArray,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (System.nanoTime() > deadlineNs) Files.deleteIfExists(lock)
+          else Thread.sleep(2)
+      }
+    }
+    try body finally { Files.deleteIfExists(lock); () }
+  }
+
   /** Temp + atomic rename (the CURRENT / evolutions.json pattern): a torn
    * refs.json would make [[tags]] throw, which blocks ExpireSnapshots (tags
    * are GC roots) and every tag/rollback/publish-by-tag until repaired. */
@@ -71,38 +100,50 @@ object Refs {
    * ref retention: once the tag is older than this, [[expireTags]] (run
    * automatically at the start of every [[ExpireSnapshots]] pass) drops it,
    * un-pinning its snapshot — so a "keep the nightly export for 30 days"
-   * tag cannot quietly pin 10^5 files forever. 0 = permanent. */
+   * tag cannot quietly pin 10^5 files forever. `0` makes the tag
+   * EXPLICITLY permanent (drops any existing retention); the default `-1`
+   * keeps whatever retention the name already carries — so re-pointing a
+   * retained nightly tag does not silently convert it into a permanent GC
+   * root (ADVICE r3). */
   def tag(store: MetaStore, name: String, snapshotId: Long = -1L,
-          maxRefAgeMs: Long = 0L): Long = {
+          maxRefAgeMs: Long = -1L): Long = {
     val id = if (snapshotId >= 0) snapshotId
       else store.currentSnapshotId.getOrElse(sys.error("tag: empty table"))
     require(store.allSnapshotIds.contains(id), s"tag: no snapshot $id")
-    val f = readFile(store)
-    val ret =
-      if (maxRefAgeMs > 0L)
-        f.retention + (name -> s"${System.currentTimeMillis()},$maxRefAgeMs")
-      else f.retention - name
-    write(store, RefsFile(f.tags + (name -> id.toString), ret))
+    withRefsLock(store) {
+      val f = readFile(store)
+      val ret =
+        if (maxRefAgeMs > 0L)
+          f.retention + (name -> s"${System.currentTimeMillis()},$maxRefAgeMs")
+        else if (maxRefAgeMs == 0L) f.retention - name
+        else f.retention // keep-existing sentinel
+      write(store, RefsFile(f.tags + (name -> id.toString), ret))
+    }
     id
   }
 
-  def deleteTag(store: MetaStore, name: String): Unit = {
-    val f = readFile(store)
-    write(store, RefsFile(f.tags - name, f.retention - name))
-  }
+  def deleteTag(store: MetaStore, name: String): Unit =
+    withRefsLock(store) {
+      val f = readFile(store)
+      write(store, RefsFile(f.tags - name, f.retention - name))
+    }
 
   /** Drop every tag whose age exceeds its declared maxRefAgeMs; returns the
    * dropped names. Permanent tags (no retention entry) never expire. */
   def expireTags(store: MetaStore,
-                 nowMs: Long = System.currentTimeMillis()): Seq[String] = {
-    val f = readFile(store)
-    val expired = retention(store).collect {
-      case (name, (created, maxAge)) if nowMs - created > maxAge => name
-    }.toSeq.sorted
-    if (expired.nonEmpty)
-      write(store, RefsFile(f.tags -- expired, f.retention -- expired))
-    expired
-  }
+                 nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    withRefsLock(store) {
+      val f = readFile(store)
+      val expired = f.retention.flatMap { case (k, v) =>
+        v.split(",") match {
+          case Array(c, a) if nowMs - c.toLong > a.toLong => Some(k)
+          case _ => None
+        }
+      }.toSeq.sorted
+      if (expired.nonEmpty)
+        write(store, RefsFile(f.tags -- expired, f.retention -- expired))
+      expired
+    }
 
   def snapshotFor(store: MetaStore, name: String): Long =
     tags(store).getOrElse(name, sys.error(s"no tag named $name"))

@@ -39,17 +39,29 @@ object VecIndex {
       .map("%02x".format(_)).mkString
 
   /**
+   * Root for raw-source indexes: `GRAFT_INDEX_ROOT` when set (on a real
+   * cluster this must be shared storage every driver/executor mounts —
+   * e.g. the warehouse filesystem), else `<user.dir>/target/graft-vecindex`.
+   * NEVER `java.io.tmpdir`: tmp cleaners wiped era files out from under a
+   * fingerprint-valid `_COMPLETE` marker (observed r3), and a tmpdir is
+   * driver-local — invisible to any other process that needs the index.
+   */
+  def indexRoot: Path =
+    sys.env.get("GRAFT_INDEX_ROOT").map(Paths.get(_)).getOrElse(
+      Paths.get(System.getProperty("user.dir"), "target", "graft-vecindex"))
+
+  /**
    * Index location for a PLAIN parquet source path (no metastore): keyed by
    * the full SHA-256 of the path (r2's 32-bit `String.hashCode` was
-   * collision-prone). This variant is a single-process convenience for
-   * loose parquet directories the caller cannot write next to — on a real
-   * cluster the local dir is invisible to other drivers, so MetaStore-backed
-   * tables should use [[ensureForStore]], which persists the index INSIDE
-   * the table's own `meta/` keyed by snapshot id.
+   * collision-prone). The source dirs themselves (e.g. the read-only
+   * testdata mounts) cannot be written next to, so the index lives under
+   * [[indexRoot]]. MetaStore-backed tables should use [[ensureForStore]],
+   * which persists the index INSIDE the table's own `meta/` keyed by
+   * snapshot id.
    */
   def dirFor(sourcePath: String): String = {
     val h = sha256Hex(sourcePath).take(32)
-    Paths.get(System.getProperty("java.io.tmpdir"), s"graft-vecindex-$h").toString
+    indexRoot.resolve(s"graft-vecindex-$h").toString
   }
 
   /** Index location for a snapshot of a MetaStore table: inside the table's
@@ -138,11 +150,26 @@ object VecIndex {
       sourceFingerprint.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** The `_COMPLETE` fingerprint alone is not enough: a cleaner (or partial
+   * delete) can remove era parquet files while leaving the marker, and a
+   * fingerprint-valid-but-file-missing index crashes every reader
+   * (reproduced r3). Completeness therefore also requires at least one
+   * bucket parquet file to actually exist. */
+  private def hasEraData(indexDir: String): Boolean = {
+    val eras = Paths.get(indexDir, "eras")
+    if (!Files.isDirectory(eras)) return false
+    val w = Files.walk(eras)
+    try w.anyMatch { p =>
+      val s = p.toString
+      s.endsWith(".parquet") && s.contains("/buckets/")
+    } finally w.close()
+  }
+
   private def isComplete(indexDir: String, fp: String): Boolean = {
     val marker = Paths.get(indexDir, "_COMPLETE")
     Files.exists(marker) &&
       new String(Files.readAllBytes(marker), StandardCharsets.UTF_8) == fp &&
-      Files.isDirectory(Paths.get(indexDir, "eras")) // pre-era layouts rebuild
+      hasEraData(indexDir)
   }
 
   /**

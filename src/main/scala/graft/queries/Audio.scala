@@ -155,10 +155,10 @@ object Audio {
            |  CASE WHEN len(pcm) = 0 THEN 0 ELSE CAST(floor(sqrt(
            |    list_aggregate(list_transform(pcm, x -> CAST(x AS DOUBLE) * x), 'sum')
            |    / len(pcm)) + 0.5) AS BIGINT) END AS rms_rounded,
-           |  CASE WHEN len(pcm) <= 1 THEN 0 ELSE coalesce(list_sum(
+           |  CAST(CASE WHEN len(pcm) <= 1 THEN 0 ELSE coalesce(list_sum(
            |    list_transform(generate_series(2, len(pcm)),
            |      i -> CASE WHEN (pcm[i-1] < 0) <> (pcm[i] < 0) THEN 1 ELSE 0 END)), 0)
-           |  END AS zero_crossings
+           |  END AS BIGINT) AS zero_crossings
            |FROM read_parquet('$fx/*.parquet')""".stripMargin)
         .select("clip_id", "codec", "sr_hz", "dur_ms", "pcm")
         .as[(String, String, Int, Int, Array[Int])]
@@ -414,8 +414,8 @@ object Audio {
            |SELECT clip_id, sr_hz, n AS n_samples, n + 2 * padn AS n_padded,
            |  n_trimmed,
            |  len(rmsl) AS n_frames,
-           |  coalesce(list_sum(list_transform(rmsl,
-           |    x -> CASE WHEN x > 1000.0 THEN 1 ELSE 0 END)), 0) AS n_active,
+           |  CAST(coalesce(list_sum(list_transform(rmsl,
+           |    x -> CASE WHEN x > 1000.0 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_active,
            |  CAST(floor(coalesce(list_max(rmsl), 0.0) + 0.5) AS BIGINT) AS max_frame_rms
            |FROM r""".stripMargin)
         .select("clip_id", "sr_hz", "pcm")
@@ -1277,7 +1277,7 @@ object Audio {
            |SELECT p.clip_id, p.sr_hz,
            |  coalesce(per.n_segments, 0) AS n_segments,
            |  coalesce(per.segments_ms, '') AS segments_ms,
-           |  coalesce(per.active_ms, 0) AS active_ms,
+           |  CAST(coalesce(per.active_ms, 0) AS BIGINT) AS active_ms,
            |  coalesce(per.vad_ok, false) AS vad_ok
            |FROM p LEFT JOIN per ON p.clip_id = per.clip_id""".stripMargin)
         .select("clip_id", "sr_hz", "pcm")
@@ -1471,7 +1471,11 @@ object Audio {
     //    range, codec whitelist, payload length) with plain SQL aggregates. --
     "q93_write_gates" -> ((s, d) => {
       import s.implicits._
-      val good = ClipSynth.dataset(s, clipCount(d), 8, maxDurMs = 150).toDF()
+      // cache: `bad` fans the synth lineage into five union branches, and
+      // Append + the fixture export + Constraints.check each execute it —
+      // uncached that re-synthesized the 3000-clip batch ~13x (the r3
+      // bench's worst entry, 12.2 s)
+      val good = ClipSynth.dataset(s, clipCount(d), 8, maxDurMs = 150).toDF().cache()
       val bad = good
         .unionByName(good.limit(5).withColumn("clip_id", lit(null).cast("string")))
         .unionByName(good.limit(7))
@@ -1483,10 +1487,13 @@ object Audio {
       val rejected =
         try { Append.run(s, store, bad, constraints = Constraint.clipDefaults); false }
         catch { case _: ConstraintViolationException => true }
-      val fx = OracleFixtures.freshDir("q93_batch", d)
-      bad.write.mode("overwrite").parquet(fx)
       val tableRows = store.scanCurrent(s).count()
-      OracleFixtures.register("q93_write_gates",
+      // the batch export exists only so DuckDB can recount the violations —
+      // verification scaffolding, skipped by the bench like every stage()
+      if (OracleFixtures.exportEnabled) {
+        val fx = OracleFixtures.freshDir("q93_batch", d)
+        bad.write.mode("overwrite").parquet(fx)
+        OracleFixtures.register("q93_write_gates",
         s"""WITH b AS (SELECT * FROM read_parquet('$fx/*.parquet')),
            |v AS (
            |  SELECT 'not_null(clip_id)' AS c,
@@ -1508,10 +1515,13 @@ object Audio {
            |SELECT c AS "constraint", n AS violating_rows,
            |  TRUE AS append_rejected, $tableRows AS table_rows
            |FROM v WHERE n > 0""".stripMargin)
-      Constraints.check(bad, Constraint.clipDefaults)
+      }
+      val out = Constraints.check(bad, Constraint.clipDefaults)
         .map(v => (v.constraint, v.rows)).toDF("constraint", "violating_rows")
         .withColumn("append_rejected", lit(rejected))
         .withColumn("table_rows", lit(tableRows))
+      good.unpersist()
+      out
     }),
 
     // -- tags + rollback (ops/Refs.scala): tag the clean snapshot, poison a

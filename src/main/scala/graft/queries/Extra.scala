@@ -130,12 +130,40 @@ object Extra {
           count(lit(1)).as("n"))
     }),
 
-    // -- HLL approx distinct (no cross-engine oracle; rows-only) --
-    "q38_approx_distinct" -> ((s, d) =>
-      t(s, d, "events")
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))),
+    // -- HLL approx distinct, ORACLE-EXACT by construction: the sketch is
+    //    re-derived relationally — register = first md5 word mod 64, rank =
+    //    33 - bitlength(second md5 word) — so DuckDB recomputes the SAME
+    //    registers from the same hashes, and the register sum Σ2^-M_j is a
+    //    sum of dyadic rationals (common denominator 2^33, numerators
+    //    < 2^39 << 2^53) that is EXACT in IEEE double regardless of
+    //    summation order; every remaining op is a deterministic IEEE
+    //    single-op chain, so both engines produce bit-identical estimates.
+    //    No small-range linear-counting branch: it needs ln(), whose libm
+    //    rounding differs across engines (the raw estimator's small-n bias
+    //    is the price of a bit-exact cross-engine oracle; the exact count
+    //    rides along for callers who need truth at small n). --
+    "q38_approx_distinct" -> ((s, d) => {
+      val hashed = t(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"),
+          expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)")
+            .cast("long").as("hr"),
+          expr("conv(substring(md5(cast(user_id as string)), 9, 8), 16, 10)")
+            .cast("long").as("hw"))
+      val regs = hashed
+        .select(col("event_type"), (col("hr") % 64).as("reg"),
+          when(col("hw") === 0, lit(33))
+            .otherwise(lit(33) - length(expr("bin(hw)"))).as("rnk"))
+        .groupBy("event_type", "reg").agg(max("rnk").as("mreg"))
+      val est = regs.groupBy("event_type")
+        .agg((sum(pow(lit(2.0), -col("mreg"))) +
+          (lit(64) - count(lit(1))).cast("double")).as("sum_inv"))
+        .select(col("event_type"),
+          floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) *
+            lit(4096.0) / col("sum_inv")).cast("long").as("approx_users"))
+      est.join(t(s, d, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users")), "event_type")
+    }),
 
     // -- as-of join (absent in the reference; SURVEY §2.3 notes it comes
     //    free on Spark): each error event picks up the most recent prior
@@ -310,10 +338,16 @@ object Extra {
     // -- non-ISO chronology calendar blowout (reference JvmCal
     //    dateWiseCategories covers Iso/ThaiBuddhist/Minguo/Japanese,
     //    cursors/calendar/JvmCal.kt:22-104; Hijrah beyond it); needs
-    //    java.time.chrono, so a typed map rather than SQL -- rows-only --
+    //    java.time.chrono, so a typed map rather than SQL. Oracle: every
+    //    arithmetically-derivable column (ISO/Thai/Minguo years, Japanese
+    //    era from the public era start dates, ISO day-of-week) is re-derived
+    //    relationally in DuckDB; the Hijrah year — a TABLE-based calendar
+    //    (Umm al-Qura), not arithmetically derivable — is checked against a
+    //    golden fixture exported by DRIVER-side java.time.chrono, a
+    //    different code path from the executor map the query runs. --
     "q65_calendar_chrono" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "orders")
+      val out = t(s, d, "orders")
         .select(to_date(col("o_orderdate")).as("dt")).distinct()
         .as[java.sql.Date]
         .map { sd =>
@@ -331,6 +365,39 @@ object Extra {
         }
         .toDF("d", "iso_year", "thai_year", "minguo_year",
           "jp_era", "jp_year_of_era", "hijrah_year", "iso_dow")
+      if (OracleFixtures.exportEnabled) {
+        val golden = t(s, d, "orders")
+          .select(to_date(col("o_orderdate")).as("dt")).distinct()
+          .as[java.sql.Date].collect().toSeq
+          .map { sd =>
+            (sd.toString, java.time.chrono.HijrahDate.from(sd.toLocalDate)
+              .get(java.time.temporal.ChronoField.YEAR))
+          }.toDF("d", "g_hijrah_year")
+        val fx = OracleFixtures.freshDir("q65_golden", d)
+        golden.coalesce(1).write.mode("overwrite").parquet(fx)
+        OracleFixtures.register("q65_calendar_chrono",
+          s"""WITH g AS (SELECT d, g_hijrah_year
+             |  FROM read_parquet('$fx/*.parquet')),
+             |dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
+             |SELECT CAST(dd.dt AS VARCHAR) AS d,
+             |  year(dd.dt) AS iso_year,
+             |  year(dd.dt) + 543 AS thai_year,
+             |  year(dd.dt) - 1911 AS minguo_year,
+             |  CASE WHEN dd.dt >= DATE '2019-05-01' THEN 'Reiwa'
+             |       WHEN dd.dt >= DATE '1989-01-08' THEN 'Heisei'
+             |       WHEN dd.dt >= DATE '1926-12-25' THEN 'Showa'
+             |       WHEN dd.dt >= DATE '1912-07-30' THEN 'Taisho'
+             |       ELSE 'Meiji' END AS jp_era,
+             |  CASE WHEN dd.dt >= DATE '2019-05-01' THEN year(dd.dt) - 2018
+             |       WHEN dd.dt >= DATE '1989-01-08' THEN year(dd.dt) - 1988
+             |       WHEN dd.dt >= DATE '1926-12-25' THEN year(dd.dt) - 1925
+             |       WHEN dd.dt >= DATE '1912-07-30' THEN year(dd.dt) - 1911
+             |       ELSE year(dd.dt) - 1867 END AS jp_year_of_era,
+             |  g.g_hijrah_year AS hijrah_year,
+             |  isodow(dd.dt) AS iso_dow
+             |FROM dd JOIN g ON CAST(dd.dt AS VARCHAR) = g.d""".stripMargin)
+      }
+      out
     }),
 
     // -- headline multi-join analytics, TPC-H Q5 shape: revenue per nation
@@ -401,6 +468,37 @@ object Extra {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors q38's relational HLL exactly: same md5-derived registers, the
+    // dyadic register sum is order-independent-exact in double, and the
+    // estimate chain is the same IEEE op sequence — see the query comment
+    "q38_approx_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(CAST('0x' || substring(hh, 1, 8) AS UBIGINT) AS BIGINT) % 64 AS reg,
+        |    CAST(CAST('0x' || substring(hh, 9, 8) AS UBIGINT) AS BIGINT) AS hw
+        |  FROM h),
+        |r AS (
+        |  SELECT event_type, reg,
+        |    max(CASE WHEN hw = 0 THEN 33 ELSE 33 - length(bin(hw)) END) AS mreg
+        |  FROM b GROUP BY event_type, reg),
+        |s AS (
+        |  SELECT event_type,
+        |    sum(power(CAST(2.0 AS DOUBLE), -mreg)) +
+        |      CAST(64 - count(*) AS DOUBLE) AS sum_inv
+        |  FROM r GROUP BY event_type),
+        |x AS (
+        |  SELECT event_type,
+        |    CAST(floor(CAST(0.7213 AS DOUBLE) /
+        |      (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)) *
+        |      CAST(4096.0 AS DOUBLE) / sum_inv) AS BIGINT) AS approx_users
+        |  FROM s)
+        |SELECT x.event_type, x.approx_users, ex.exact_users
+        |FROM x JOIN (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type) ex USING (event_type)""".stripMargin,
     "q108_unpivot" ->
       """WITH p AS (
         |  SELECT l_returnflag,

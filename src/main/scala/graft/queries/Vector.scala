@@ -86,16 +86,25 @@ object Vector {
     //    bucket from the embeddings with its own hyperplane expression. --
     "q57_ann_index_persisted" -> ((s, d) => {
       val indexDir = VecIndex.ensure(s, s"$d/embeddings.parquet")
-      OracleFixtures.register("q57_ann_index_persisted",
+      // snapshot-PIN the oracle's view of the index: the live index dir is
+      // mutable shared state (q53/q54 call ensure on the same source; a tmp
+      // cleaner can touch it), and the driver's DuckDB reads the oracle
+      // AFTER all queries ran — so both engines consume a fixture copy of
+      // the bucket table frozen at this query's execution. The integer sum
+      // is CAST to BIGINT: DuckDB's sum() over integers yields HUGEINT,
+      // which pandas renders as float ("59.0") and the driver's hash then
+      // diverges from Spark's int64 even when every value matches.
+      val idx = OracleFixtures.stage(s, "q57_ann_index_persisted", "q57_idx",
+        d, VecIndex.buckets(s, indexDir))(fx =>
         s"""WITH idx AS (SELECT vec_id, bkt
-           |  FROM read_parquet('$indexDir/eras/*/buckets/*.parquet')),
+           |  FROM read_parquet('$fx/*.parquet')),
            |fresh AS (SELECT vec_id, ${VecExprs.bucketDuck} AS bkt_fresh
            |  FROM embeddings)
            |SELECT idx.bkt, count(*) AS n_vecs,
-           |  sum(CASE WHEN idx.bkt = fresh.bkt_fresh THEN 0 ELSE 1 END) AS n_stale
+           |  CAST(sum(CASE WHEN idx.bkt = fresh.bkt_fresh THEN 0 ELSE 1 END)
+           |    AS BIGINT) AS n_stale
            |FROM idx JOIN fresh USING (vec_id)
            |GROUP BY idx.bkt""".stripMargin)
-      val idx = VecIndex.buckets(s, indexDir)
       val fresh = emb(s, d)
         .select(col("vec_id"), expr(VecExprs.bucketSpark).as("bkt_fresh"))
       idx.join(fresh, "vec_id")

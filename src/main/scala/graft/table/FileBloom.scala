@@ -90,27 +90,29 @@ object FileBloom {
   private def bloomRoot(store: MetaStore): java.nio.file.Path =
     java.nio.file.Paths.get(store.tableDir, "meta", "blooms")
 
+  /** Aggregation column building one bloom per file group — composed into
+   * [[MetaStore.collectStats]]'s single grouped pass so a maintenance
+   * output is scanned ONCE for stats + blooms (the r3 separate
+   * `FileBloom.write` pass re-read every output and cost the scaling
+   * bench's cluster phase ~1.6x). */
+  def aggColumn(keyCol: org.apache.spark.sql.Column,
+                nBits: Int = DefaultBits): org.apache.spark.sql.Column =
+    udaf(new BloomAgg(nBits)).apply(keyCol.cast("string")).as("_bloom")
+
   /**
-   * Build and persist per-file blooms of `keyCol` for every parquet file
-   * under `dir` (one maintenance pass's output). Called from
-   * [[MetaStore.collectStats]]; a unique subdir per call keeps concurrent
-   * compaction bins from racing one committer directory.
+   * Persist one shard of per-file blooms from an already-aggregated frame
+   * of (`_file` = raw input_file_name, `_bloom`) rows. A unique subdir per
+   * call keeps concurrent compaction bins from racing one committer
+   * directory.
    */
-  def write(spark: SparkSession, store: MetaStore, dir: String,
-            keyCol: String, nBits: Int = DefaultBits): Unit = {
-    val df = spark.read.parquet(dir)
-    if (!df.columns.contains(keyCol)) return
+  def writeShard(store: MetaStore, grouped: DataFrame): Unit = {
     val out = bloomRoot(store).resolve(
       java.util.UUID.randomUUID().toString.take(12))
-    val agg = udaf(new BloomAgg(nBits))
     // decode the URI-encoded input_file_name to the filesystem form the
     // manifests store (static function: no MetaStore instance captured);
     // runs once per FILE-group row, not per data row
     val norm = udf((p: String) => MetaStore.decodePath(p)).apply(col("_file"))
-    df.select(input_file_name().as("_file"), col(keyCol).cast("string").as("k"))
-      .groupBy("_file")
-      .agg(agg(col("k")).as("bloom"))
-      .select(norm.as("path"), col("bloom"))
+    grouped.select(norm.as("path"), col("_bloom").as("bloom"))
       .write.mode("overwrite").parquet(out.toString)
   }
 

@@ -326,25 +326,41 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
       try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
     }
     if (!hasParquet) return Seq.empty
-    // bloom maintenance rides the same write path: every maintenance output
-    // dir gets per-file key blooms in the meta/blooms side-table (one small
-    // distributed pass over the key column; see FileBloom)
-    bloomColumn.foreach(c => FileBloom.write(spark, this, dir, c))
     val df = spark.read.parquet(dir)
     val present = statsColumns.filter(df.columns.contains)
     val numeric = present.filter { c =>
       df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     }.toSet
+    // bloom maintenance rides the SAME grouped pass as the stats: the
+    // output dir is scanned once, with the per-file key bloom as one more
+    // aggregate column (an r3 separate bloom pass re-read every maintenance
+    // output and cost the scaling bench's cluster phase ~1.6x)
+    val bloomKey = bloomColumn.filter(df.columns.contains)
     val aggs = present.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"min_$c"),
           max(col(c)).cast("string").as(s"max_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-    } :+ count(lit(1)).as("_rows")
-    val rows = df
+    } ++ Seq(count(lit(1)).as("_rows")) ++
+      bloomKey.map(c => FileBloom.aggColumn(col(c))).toSeq
+    val grouped = df
       .withColumn("_file", input_file_name())
       .groupBy(col("_file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    val rows = bloomKey match {
+      case Some(_) =>
+        // two consumers (bloom side-table write + driver stats collect) of
+        // one data scan: cache the grouped rows — #files x ~16 KiB,
+        // distributed — so the underlying output dir is read exactly once
+        grouped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          FileBloom.writeShard(this, grouped.select(col("_file"), col("_bloom")))
+          grouped.drop("_bloom").collect()
+        } finally {
+          grouped.unpersist()
+          ()
+        }
+      case None => grouped.collect()
+    }
     rows.map { r =>
       val rawPath = r.getAs[String]("_file")
       val path = normalizePath(rawPath)

@@ -179,4 +179,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(d2 === d1)
     assert(VecIndex.buckets(spark, d2).count() === 250)
   }
+
+  test("raw-source index never lives under java.io.tmpdir") {
+    // tmp cleaners wiped era files out from under a valid _COMPLETE marker
+    // in r3; the index root must be a durable, shared-mountable location
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      .toAbsolutePath.normalize
+    val idx = java.nio.file.Paths.get(VecIndex.dirFor("/some/embeddings.parquet"))
+      .toAbsolutePath.normalize
+    assert(!idx.startsWith(tmp),
+      s"raw-source vec index $idx must not live under java.io.tmpdir $tmp")
+  }
+
+  test("ensure() self-heals when era files vanish but _COMPLETE survives") {
+    val src = Files.createTempDirectory("graft-ann-src2-").toString
+    synthEmbeddings.repartition(2).write.mode("overwrite").parquet(src)
+    val d1 = VecIndex.ensure(spark, src)
+    assert(VecIndex.buckets(spark, d1).count() === 200)
+    // simulate a cleaner: delete every bucket parquet, keep the marker
+    val w = Files.walk(java.nio.file.Paths.get(d1, "eras"))
+    try {
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala.toSeq
+        .filter(p => p.toString.endsWith(".parquet"))
+        .foreach(Files.delete(_))
+    } finally w.close()
+    assert(Files.exists(java.nio.file.Paths.get(d1, "_COMPLETE")))
+    val d2 = VecIndex.ensure(spark, src) // must rebuild, not serve the husk
+    assert(d2 === d1)
+    assert(VecIndex.buckets(spark, d2).count() === 200)
+  }
 }

@@ -313,4 +313,20 @@ class BranchSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(refs == Set(("keep-stage", "branch")), s"got $refs")
   }
+
+  test("branch maxRefAge measures LAST ACTIVITY: an actively-committed " +
+    "branch older than its age never expires") {
+    val store = freshTable(40)
+    val active = Branches.create(store, "active-stage", maxRefAgeMs = 150L)
+    Thread.sleep(200) // branch is now OLDER than its max age by creation time
+    // ...but a commit just landed: head-snapshot aging must keep it
+    Append.run(spark, active, ClipSynth.dataset(spark, 5, 1, maxDurMs = 80).toDF())
+    assert(Branches.expireAged(store).isEmpty,
+      "a branch with fresh commits must not be destroyed by createdMs aging")
+    assert(Branches.list(store).keySet.contains("active-stage"))
+    assert(active.scanCurrent(spark).count() == 45, "unmerged work intact")
+    // once it actually goes quiet past the age, it expires
+    Thread.sleep(200)
+    assert(Branches.expireAged(store) == Seq("active-stage"))
+  }
 }

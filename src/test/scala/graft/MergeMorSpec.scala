@@ -273,4 +273,49 @@ class MergeMorSpec extends AnyFunSuite {
       .select("transcript", "quality_score").head()
     assert(row0.getString(0) == "narrow")
   }
+
+  test("merge resolves batch columns case-insensitively like the session") {
+    val store = freshStore("case")
+    seed(store)
+    // batch carries TRANSCRIPT (case-drifted, the usual upstream-rename
+    // accident): Spark resolves it to the target column, so the merge must
+    // APPLY the update — a case-sensitive membership test silently kept the
+    // target's old values on matched rows
+    val upd = ClipSynth.dataset(spark, 3, 1, maxDurMs = 40).toDF()
+      .withColumnRenamed("transcript", "TRANSCRIPT")
+      .withColumn("TRANSCRIPT", lit("case-applied"))
+    MergeInto.run(spark, store, upd, runId = "case-cow")
+    assert(store.scanCurrent(spark)
+      .filter(col("transcript") === "case-applied").count() === 3)
+    // MOR path: guard accepts the full-but-case-drifted batch and the
+    // physically written file carries the target's exact column spelling
+    val upd2 = ClipSynth.dataset(spark, 2, 1, maxDurMs = 40).toDF()
+      .withColumnRenamed("transcript", "Transcript")
+      .withColumn("Transcript", lit("case-mor"))
+    MergeInto.runMor(spark, store, upd2, runId = "case-mor")
+    val cur = store.scanCurrent(spark)
+    assert(cur.schema.fieldNames.count(_.equalsIgnoreCase("transcript")) == 1)
+    assert(cur.filter(col("transcript") === "case-mor").count() === 2)
+  }
+
+  test("runEvolving rolls the widening back when the merge half fails") {
+    val store = freshStore("evolve-atomic")
+    seed(store)
+    val before = store.scanCurrent(spark).schema.fieldNames.toSet
+    // new column AND a type conflict in the same batch — the new column
+    // FIRST in schema order, so addColumn lands durably before the conflict
+    // aborts the merge; the widening must not stay durable without the data
+    // that justified it
+    val bad0 = ClipSynth.dataset(spark, 2, 1, maxDurMs = 40).toDF()
+      .withColumn("brand_new_col", lit(1.5))
+      .withColumn("sr_hz", lit("not-an-int"))
+    val bad = bad0.select(col("brand_new_col") +:
+      bad0.columns.filter(_ != "brand_new_col").map(col).toSeq: _*)
+    intercept[IllegalArgumentException] {
+      MergeInto.runEvolving(spark, store, bad, runId = "evolve-fail")
+    }
+    val after = store.scanCurrent(spark).schema.fieldNames.toSet
+    assert(after == before,
+      s"failed evolve+merge left schema residue: ${after -- before}")
+  }
 }

@@ -129,6 +129,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(sGot === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("Components.minLabel: fat string edges exceed the BYTE bound and " +
+    "route distributed despite a small edge count") {
+    import spark.implicits._
+    // few edges (far under localSolveMaxEdges) but each id is a wide string
+    // — url/content-hash shaped — so the driver-copy estimate trips the
+    // byte bound and the distributed loop must produce the same labels
+    val wide = (c: Char, i: Int) => s"${c.toString * 2000}_$i"
+    val fat = Seq(
+      (wide('a', 1), wide('a', 2)), (wide('a', 2), wide('a', 3)),
+      (wide('b', 1), wide('b', 2))).toDF("id_a", "id_b")
+    val savedBytes = graft.ops.Components.localSolveMaxBytes
+    val got = try {
+      graft.ops.Components.localSolveMaxBytes = 1024L // 3 edges × 4k chars >> 1 KiB
+      graft.ops.Components.minLabel(fat).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    } finally graft.ops.Components.localSolveMaxBytes = savedBytes
+    val want = Map(
+      wide('a', 1) -> wide('a', 1), wide('a', 2) -> wide('a', 1),
+      wide('a', 3) -> wide('a', 1),
+      wide('b', 1) -> wide('b', 1), wide('b', 2) -> wide('b', 1))
+    assert(got === want)
+  }
+
   test("Components.starContract: 10k-node path labels in O(log n) rounds") {
     import spark.implicits._
     // a path graph is the worst case for min-label propagation (diameter =

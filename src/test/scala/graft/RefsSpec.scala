@@ -145,6 +145,55 @@ class RefsSpec extends AnyFunSuite {
       s"got ${refs.toSeq}")
   }
 
+  test("re-tagging preserves retention by default; explicit 0 makes permanent") {
+    val dir = Files.createTempDirectory("graft-refs-retag-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 20, 2, maxDurMs = 100).toDF())
+    val v1 = store.currentSnapshotId.get
+    Refs.tag(store, "nightly", maxRefAgeMs = 3600L * 1000)
+    assert(Refs.retention(store).contains("nightly"))
+    // re-point the nightly (the default sentinel): retention must SURVIVE —
+    // dropping it silently converted a retained tag into a permanent GC root
+    Append.run(spark, store, ClipSynth.dataset(spark, 5, 1, maxDurMs = 80).toDF())
+    Refs.tag(store, "nightly")
+    assert(Refs.retention(store).contains("nightly"),
+      "default re-tag must keep the existing retention entry")
+    assert(Refs.snapshotFor(store, "nightly") == store.currentSnapshotId.get)
+    // explicit 0: the caller OPTS INTO permanence, entry removed
+    Refs.tag(store, "nightly", maxRefAgeMs = 0L)
+    assert(!Refs.retention(store).contains("nightly"))
+    // a brand-new tag with the default sentinel is permanent (nothing to keep)
+    Refs.tag(store, "fresh", v1)
+    assert(!Refs.retention(store).contains("fresh"))
+  }
+
+  test("concurrent tag() RMWs never lose a tag (refs.json is lock-serialized)") {
+    val dir = Files.createTempDirectory("graft-refs-race-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 20, 2, maxDurMs = 100).toDF())
+    val id = store.currentSnapshotId.get
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until n).foreach { i =>
+      pool.execute { () =>
+        start.await()
+        try {
+          Refs.tag(store, s"t$i", id, maxRefAgeMs = 3600L * 1000)
+          Refs.expireTags(store) // interleave expiry RMWs with the tag RMWs
+        } catch { case t: Throwable => errs.add(t) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"racing refs mutations threw: ${errs.peek()}")
+    // an unlocked read-modify-write loses tags under this interleaving
+    assert(Refs.tags(store).keySet == (0 until n).map(i => s"t$i").toSet)
+    assert(Refs.retention(store).keySet == (0 until n).map(i => s"t$i").toSet)
+  }
+
   test("age-based retention: fresh snapshots are not expirable") {
     val dir = Files.createTempDirectory("graft-age-").toString
     val store = MetaStore.forClips(dir)
