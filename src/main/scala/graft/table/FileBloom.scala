@@ -171,7 +171,12 @@ object FileBloom {
       .parquet(shards.map(_.toString): _*)
     val total = all.count()
     val out = root.resolve(java.util.UUID.randomUUID().toString.take(12))
-    all.join(livePaths.toDF("path"), Seq("path"), "inner")
+    // parallelize the live-path list: at 10^6 files a local-Seq toDF
+    // encodes every path single-threaded on the driver before the join
+    val liveDf = spark.createDataset(spark.sparkContext.parallelize(
+      livePaths, math.max(1, math.min(32, livePaths.size / 50000))))(
+      org.apache.spark.sql.Encoders.STRING).toDF("path")
+    all.join(liveDf, Seq("path"), "inner")
       .dropDuplicates("path")
       .write.mode("overwrite").parquet(out.toString)
     val kept = spark.read.parquet(out.toString).count()
