@@ -323,9 +323,42 @@ object Branches {
       assert(got == id, s"fast-forward '$name': replay minted $got, expected $id")
       got
     }
-    if (bids.nonEmpty)
+    if (bids.nonEmpty) {
       updateRecord(main, record(main, name)
         .copy(mergedHead = (fork + bids.size).toString))
+      // carry the branch's bloom side-table shards across: the replayed
+      // files' per-file key blooms were written under the BRANCH's
+      // meta/blooms, so without this the ff'd files have no bloom row on
+      // main and every point probe keeps them conservatively (correct but
+      // unpruned — observed post-ff: "kept 0 live rows"). The data paths
+      // are main-data-dir paths already, so the rows apply verbatim; hard
+      // links keep the shards alive past a later branch drop. Idempotent:
+      // same-named shards are skipped.
+      val bRoot = Paths.get(b.tableDir, "meta", "blooms")
+      val mRoot = Paths.get(main.tableDir, "meta", "blooms")
+      if (Files.isDirectory(bRoot)) {
+        Files.createDirectories(mRoot)
+        val shards = Files.list(bRoot)
+        try shards.iterator().asScala
+          .filter(Files.isDirectory(_))
+          .foreach { shard =>
+            val dst = mRoot.resolve(shard.getFileName)
+            if (!Files.exists(dst)) {
+              Files.createDirectories(dst)
+              val fl = Files.list(shard)
+              try fl.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+                val t = dst.resolve(f.getFileName)
+                try Files.createLink(t, f)
+                catch {
+                  case _: UnsupportedOperationException | _: java.io.IOException =>
+                    Files.copy(f, t)
+                }
+              } finally fl.close()
+            }
+          }
+        finally shards.close()
+      }
+    }
     replayed
   }
 

@@ -90,8 +90,10 @@ object ExpireSnapshots {
       }
     }
     (expiredManifests -- reachableManifests).foreach { m =>
-      if (Files.deleteIfExists(Paths.get(store.tableDir, "meta", m)))
+      if (Files.deleteIfExists(Paths.get(store.tableDir, "meta", m))) {
         manifestsDeleted += 1
+        store.forgetManifest(m)
+      }
     }
     expired.foreach { id =>
       Files.deleteIfExists(Paths.get(store.tableDir, "meta", s"snap-$id.json"))

@@ -521,8 +521,15 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
     val reused = Seq.newBuilder[String]
     val rewrittenNames = Seq.newBuilder[String]
     var rewrittenCount = 0
+    // path-set fast path: a cached shard containing none of the removed
+    // paths is reused by name without a JSON parse (exact, not a summary)
+    def mayContainRemoved(m: String): Boolean =
+      manifestPathSets.get(m) match {
+        case null => true // unknown shard: must parse
+        case s => removedPaths.exists(s.contains)
+      }
     parentManifests.foreach { m =>
-      if (removedPaths.isEmpty) reused += m
+      if (removedPaths.isEmpty || !mayContainRemoved(m)) reused += m
       else {
         val es = readManifestEntries(m)
         if (es.forall(e => !removedPaths.contains(e.path))) reused += m
@@ -603,14 +610,54 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
         "bytes" -> es.map(_.sizeBytes).sum.toString))
   }
 
-  private[graft] def readManifestEntries(name: String): Seq[DataFile] =
-    Json.readManifest(new String(
+  /** Manifest shards are IMMUTABLE per name, so each one's path SET can be
+   * cached the first time it is written or parsed; a partial rewrite then
+   * reuses every shard containing none of the removed paths WITHOUT
+   * parsing its JSON. (A [min,max]-range summary was tried first and is
+   * useless under hidden partitioning: the codec/window path segments
+   * interleave within every shard, so every range spans the whole path
+   * space.) The sets hold REFERENCES to the entry path strings (~40 B/path
+   * of overhead), capped globally; past the cap a shard simply stays
+   * uncached and is parsed — the cache is never a correctness input.
+   * Cold-cache commits (a fresh driver) parse everything once and are
+   * cached from then on — the long-lived maintenance-loop driver pays
+   * O(touched shards) per partial rewrite, not O(table shards)
+   * (MetaScale measured parse-all at 3.7-5.5 s per rewrite at 10^6
+   * entries). */
+  private val manifestPathSets =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
+  private val manifestPathSetBudget = new java.util.concurrent.atomic.AtomicLong(4000000L)
+
+  private def cachePathSet(name: String, shard: Seq[DataFile]): Unit =
+    if (!manifestPathSets.containsKey(name) &&
+        manifestPathSetBudget.addAndGet(-shard.size) >= 0L) {
+      val s = new java.util.HashSet[String](shard.size * 2)
+      shard.foreach(e => s.add(e.path))
+      manifestPathSets.put(name, s)
+      ()
+    } else ()
+
+  /** Release a deleted manifest's cached path set (expiry / failed-commit
+   * cleanup) so the budget recycles; names are UUIDs and never reused, so
+   * a missed call only costs budget, never correctness. */
+  private[graft] def forgetManifest(name: String): Unit = {
+    val old = manifestPathSets.remove(name)
+    if (old != null) manifestPathSetBudget.addAndGet(old.size.toLong)
+    ()
+  }
+
+  private[graft] def readManifestEntries(name: String): Seq[DataFile] = {
+    val es = Json.readManifest(new String(
       Files.readAllBytes(metaDir.resolve(name)), StandardCharsets.UTF_8)).entries
+    cachePathSet(name, es)
+    es
+  }
 
   private def writeManifest(id: Long, shard: Seq[DataFile]): String = {
     val name = s"manifest-$id-${UUID.randomUUID().toString.take(8)}.json"
     Files.write(metaDir.resolve(name),
       Json.write(ManifestFile(shard)).getBytes(StandardCharsets.UTF_8))
+    cachePathSet(name, shard)
     name
   }
 
@@ -643,7 +690,9 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
     val snapPath = metaDir.resolve(s"snap-$id.json")
     def dropClaim(): Unit = {
       Files.deleteIfExists(snapPath)
-      ownManifests.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+      ownManifests.foreach { n =>
+        Files.deleteIfExists(metaDir.resolve(n)); forgetManifest(n)
+      }
       if (ownDeletes)
         delManifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
     }
@@ -652,7 +701,9 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
         java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        ownManifests.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+        ownManifests.foreach { n =>
+          Files.deleteIfExists(metaDir.resolve(n)); forgetManifest(n)
+        }
         if (ownDeletes)
           delManifestNames.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
         throw new ConcurrentCommitException(

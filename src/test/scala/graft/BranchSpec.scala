@@ -314,6 +314,23 @@ class BranchSpec extends AnyFunSuite {
     assert(refs == Set(("keep-stage", "branch")), s"got $refs")
   }
 
+  test("fast-forward carries the branch's bloom shards to main") {
+    val store = freshTable(40)
+    val stage = Branches.create(store, "bloom-stage")
+    // a branch-side compact writes its output's per-file blooms into the
+    // BRANCH's side-table; after ff + drop, main's point probes must still
+    // find bloom rows for the replayed files (else: conservative, unpruned)
+    graft.ops.Compact.run(spark, stage, targetBytes = 64L * 1024 * 1024,
+      runId = "bloom-stage-compact")
+    Branches.fastForward(store, "bloom-stage")
+    Branches.drop(store, "bloom-stage")
+    val livePaths = store.entries(store.currentSnapshotId.get).map(_.path).toSet
+    val bloomPaths = graft.table.FileBloom.table(spark, store)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(livePaths.subsetOf(bloomPaths),
+      s"ff'd files missing bloom rows: ${livePaths -- bloomPaths}")
+  }
+
   test("branch maxRefAge measures LAST ACTIVITY: an actively-committed " +
     "branch older than its age never expires") {
     val store = freshTable(40)

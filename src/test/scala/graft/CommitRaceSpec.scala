@@ -168,4 +168,31 @@ class CommitRaceSpec extends AnyFunSuite {
     assert(!visible.contains(ClipSynth.clipId(2)))
     assert(ulaw.forall(!visible.contains(_)), "predicate delete fully applied")
   }
+
+  test("partial-rewrite classification: warm path-set cache equals cold parse") {
+    // the manifest path-set cache lets a warm driver reuse untouched shards
+    // without parsing; a COLD MetaStore on the same dir must classify the
+    // identical removal to the identical snapshot (cache is never input)
+    val warm = freshStore("pathset")
+    warm.manifestShardSize = 1 // one shard per file: reuse-vs-parse is visible
+    Append.run(spark, warm, ClipSynth.dataset(spark, 60, 3, maxDurMs = 40).toDF())
+    val snap = warm.currentSnapshotId.get
+    val all = warm.entries(snap)
+    assert(snap > 0 && all.size >= 3)
+    val victims = all.take(1).map(_.path).toSet
+    val warmId = warm.commitDelta("compact", Seq.empty, removedPaths = victims)
+    val warmEntries = warm.entries(warmId).map(_.path).toSet
+
+    val cold = new MetaStore(warm.tableDir, MetaStore.ClipStatsColumns)
+    // roll back so the cold instance replays the SAME removal from `snap`
+    assert(cold.entries(snap).map(_.path).toSet == all.map(_.path).toSet)
+    assert(warmEntries == all.map(_.path).toSet -- victims)
+    // cold classification of a FURTHER removal must agree with a warm one
+    val victims2 = all.slice(1, 2).map(_.path).toSet
+    val coldId = cold.commitDelta("compact", Seq.empty, removedPaths = victims2)
+    assert(cold.entries(coldId).map(_.path).toSet ==
+      warmEntries -- victims2)
+    assert(warm.entries(coldId).map(_.path).toSet ==
+      cold.entries(coldId).map(_.path).toSet)
+  }
 }
