@@ -417,6 +417,9 @@ object MergeInto {
       }
     }
     val added = scala.collection.mutable.ArrayBuffer[String]()
+    // the table's snapshot id as of the instant the merge itself starts;
+    // None until the widening phase completes (see catch below)
+    var preMergeSnap: Option[Option[Long]] = None
     try {
       updates.schema.fields.foreach { f =>
         target.fields.find(t => resolver(t.name, f.name)) match {
@@ -437,21 +440,30 @@ object MergeInto {
       // it cannot express partial-column keep semantics
       val narrow = target.fields.exists(f =>
         !updates.columns.exists(u => resolver(u, f.name)))
+      preMergeSnap = Some(store.currentSnapshotId)
       if (narrow)
         run(spark, store, updates, keyCol, runId = runId, deleteKeys = deleteKeys)
       else
         auto(spark, store, updates, keyCol, runId = runId, deleteKeys = deleteKeys)
     } catch {
-      case e: Throwable =>
+      // NonFatal only (ADVICE r4): after an OutOfMemoryError or interrupt the
+      // JVM is not a safe place to run multi-commit cleanup — propagate raw.
+      case scala.util.control.NonFatal(e) =>
         // evolve+merge lands as (evolution commit, merge commit) rather than
         // one atomic commit; if the merge half fails (constraint, CAS
         // exhaustion), un-widen so the evolution is not left durable without
         // the data that justified it. Each drop is metadata-only; a failure
         // while un-widening is suppressed in favor of the merge's error.
-        added.reverse.foreach { c =>
-          try Evolve.dropColumn(spark, store, c)
-          catch { case re: Throwable => e.addSuppressed(re) }
-        }
+        // Un-widen ONLY when no merge snapshot has landed (failure during
+        // widening, or before the merge committed): once a merge commit is
+        // durable the added columns carry committed data and dropping them
+        // would destroy it (ADVICE r4).
+        val mergeCommitted = preMergeSnap.exists(_ != store.currentSnapshotId)
+        if (!mergeCommitted)
+          added.reverse.foreach { c =>
+            try Evolve.dropColumn(spark, store, c)
+            catch { case scala.util.control.NonFatal(re) => e.addSuppressed(re) }
+          }
         throw e
     }
   }

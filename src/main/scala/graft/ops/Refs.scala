@@ -52,6 +52,13 @@ object Refs {
       }
     }
 
+  /** Steal a lock only once its MTIME is older than this (overridable for
+   * tests via -Dgraft.refs.lockStaleMs). The holder heartbeats the mtime at
+   * a fraction of this period, so a live-but-slow holder never looks stale;
+   * only a crashed holder's lock ages past the threshold. */
+  private def staleLockMs: Long =
+    sys.props.get("graft.refs.lockStaleMs").map(_.toLong).getOrElse(30000L)
+
   /**
    * Serialize every refs.json read-modify-write (tag / deleteTag /
    * expireTags) with an O_EXCL lock file next to refs.json — the same
@@ -59,26 +66,69 @@ object Refs {
    * concurrent `tag()` landing between an expiry pass's read and its
    * atomic-rename write was silently lost, and the snapshot that tag pinned
    * could be GC'd by the SAME expiry pass (data deletion, not just a lost
-   * ref). A crashed holder's stale lock is stolen after 30 s — refs
-   * mutations are sub-millisecond, so a live holder can never look stale.
+   * ref). Crash recovery: a waiter may steal a lock ONLY when the lock
+   * file's own mtime is stale (not when the waiter has waited long — ADVICE
+   * r4: the old waiter-deadline steal could evict a live holder on every
+   * retry), the steal is claimed by atomic rename so exactly one stealer
+   * wins, a heartbeat thread refreshes the holder's mtime so a slow live
+   * holder is never evicted, and the finally-path deletes the lock only if
+   * it still carries this holder's token — a stolen-from holder cannot
+   * remove a lock someone else now owns.
    */
-  private def withRefsLock[A](store: MetaStore)(body: => A): A = {
+  private[graft] def withRefsLock[A](store: MetaStore)(body: => A): A = {
     val lock = Paths.get(store.tableDir, "meta", "refs.lock")
     Files.createDirectories(lock.getParent)
-    val deadlineNs = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+    val token = java.util.UUID.randomUUID().toString
     var held = false
     while (!held) {
       try {
-        Files.write(lock, Array.emptyByteArray,
+        Files.write(lock, token.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          if (System.nanoTime() > deadlineNs) Files.deleteIfExists(lock)
-          else Thread.sleep(2)
+          val ageMs =
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.io.IOException => -1L } // gone → retry create
+          if (ageMs > staleLockMs) {
+            // claim the stale lock via atomic rename: the one waiter whose
+            // move succeeds removes it; losers see IOException and re-loop
+            val claim = lock.resolveSibling(s"refs.lock.stale-${token.take(8)}")
+            try {
+              Files.move(lock, claim,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(claim)
+            } catch { case _: java.io.IOException => () }
+          } else Thread.sleep(2)
       }
     }
-    try body finally { Files.deleteIfExists(lock); () }
+    val beatMs = math.max(1L, staleLockMs / 6)
+    val beat = new Thread(() => {
+      try {
+        while (true) {
+          Thread.sleep(beatMs)
+          Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException => () // lock vanished (stolen) — stop
+      }
+    }, "graft-refs-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      try {
+        if (Files.exists(lock) &&
+            new String(Files.readAllBytes(lock),
+              StandardCharsets.UTF_8) == token)
+          Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+      ()
+    }
   }
 
   /** Temp + atomic rename (the CURRENT / evolutions.json pattern): a torn

@@ -624,16 +624,25 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
    * O(touched shards) per partial rewrite, not O(table shards)
    * (MetaScale measured parse-all at 3.7-5.5 s per rewrite at 10^6
    * entries). */
-  private val manifestPathSets =
+  private[graft] val manifestPathSets =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
-  private val manifestPathSetBudget = new java.util.concurrent.atomic.AtomicLong(4000000L)
+  private[graft] val manifestPathSetBudget = new java.util.concurrent.atomic.AtomicLong(4000000L)
 
+  /** Reserve budget, build, publish via putIfAbsent. Every reservation that
+   * does NOT end with this thread's set living in the map is refunded —
+   * failed admission and lost putIfAbsent races alike (ADVICE r4: the old
+   * version leaked both, so one cap-exceeding burst drove the budget
+   * permanently negative and the cache silently stopped admitting). */
   private def cachePathSet(name: String, shard: Seq[DataFile]): Unit =
-    if (!manifestPathSets.containsKey(name) &&
-        manifestPathSetBudget.addAndGet(-shard.size) >= 0L) {
-      val s = new java.util.HashSet[String](shard.size * 2)
-      shard.foreach(e => s.add(e.path))
-      manifestPathSets.put(name, s)
+    if (!manifestPathSets.containsKey(name)) {
+      if (manifestPathSetBudget.addAndGet(-shard.size) < 0L) {
+        manifestPathSetBudget.addAndGet(shard.size.toLong) // refund: not admitted
+      } else {
+        val s = new java.util.HashSet[String](shard.size * 2)
+        shard.foreach(e => s.add(e.path))
+        if (manifestPathSets.putIfAbsent(name, s) != null)
+          manifestPathSetBudget.addAndGet(shard.size.toLong) // lost race: refund
+      }
       ()
     } else ()
 

@@ -169,6 +169,49 @@ class CommitRaceSpec extends AnyFunSuite {
     assert(ulaw.forall(!visible.contains(_)), "predicate delete fully applied")
   }
 
+  test("path-set cache budget never leaks past the cap; frees re-admit") {
+    // ADVICE r4: failed admissions and lost putIfAbsent races used to leave
+    // their reservation un-refunded, so one cap-exceeding burst drove the
+    // budget permanently negative and the cache silently stopped admitting.
+    // Invariant under concurrent churn: at quiescence,
+    //   initialBudget - Σ size(cached sets) == currentBudget   (no drift)
+    // and after forgetting everything the budget returns to its initial
+    // value and fresh shards are admitted again.
+    val store = freshStore("budget")
+    store.manifestShardSize = 4
+    Append.run(spark, store,
+      ClipSynth.dataset(spark, 60, 6, maxDurMs = 40).toDF())
+    val metaDir = java.nio.file.Paths.get(store.tableDir, "meta")
+    val names = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("manifest-")).toVector
+    assert(names.size >= 2, s"need several shards, got ${names.size}")
+    val sizes = names.map(n => n -> store.readManifestEntries(n).size).toMap
+    val largest = sizes.values.max.toLong
+
+    // reset to a cap that can admit roughly one shard, then hammer
+    store.manifestPathSets.clear()
+    val cap = largest + 1
+    store.manifestPathSetBudget.set(cap)
+    inParallel(16) { _ =>
+      (1 to 25).foreach(_ => names.foreach(store.readManifestEntries))
+    }
+    val cached = store.manifestPathSets.values.asScala.map(_.size.toLong).sum
+    assert(store.manifestPathSetBudget.get == cap - cached,
+      s"budget drifted: cap=$cap cached=$cached " +
+        s"budget=${store.manifestPathSetBudget.get}")
+    assert(store.manifestPathSetBudget.get >= cap - cached - largest,
+      "budget below the one-outstanding-reservation floor")
+
+    // free everything: full refund, and the cache admits again
+    names.foreach(store.forgetManifest)
+    assert(store.manifestPathSets.isEmpty)
+    assert(store.manifestPathSetBudget.get == cap,
+      "refund after churn did not restore the full budget")
+    store.readManifestEntries(names.head)
+    assert(store.manifestPathSets.containsKey(names.head),
+      "cache permanently stopped admitting after cap-exceeding churn")
+  }
+
   test("partial-rewrite classification: warm path-set cache equals cold parse") {
     // the manifest path-set cache lets a warm driver reuse untouched shards
     // without parsing; a COLD MetaStore on the same dir must classify the

@@ -194,6 +194,55 @@ class RefsSpec extends AnyFunSuite {
     assert(Refs.retention(store).keySet == (0 until n).map(i => s"t$i").toSet)
   }
 
+  test("a slow live lock holder is never evicted; a crashed one is stolen") {
+    val dir = Files.createTempDirectory("graft-refs-lock-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 4, 1, maxDurMs = 40).toDF())
+    val prev = sys.props.get("graft.refs.lockStaleMs")
+    sys.props("graft.refs.lockStaleMs") = "200"
+    try {
+      // holder A sleeps 5x past the stale threshold inside the lock — the
+      // heartbeat must keep its mtime fresh so waiter B never steals it
+      @volatile var aEntered = false
+      @volatile var aReleasedNs = 0L
+      @volatile var bAcquiredNs = 0L
+      val a = new Thread(() => {
+        Refs.withRefsLock(store) { aEntered = true; Thread.sleep(1000) }
+        aReleasedNs = System.nanoTime()
+      })
+      a.start()
+      while (!aEntered) Thread.sleep(1)
+      val b = new Thread(() =>
+        Refs.withRefsLock(store) { bAcquiredNs = System.nanoTime() })
+      b.start()
+      a.join(15000); b.join(15000)
+      assert(aReleasedNs != 0L && bAcquiredNs != 0L, "lock threads wedged")
+      assert(bAcquiredNs >= aReleasedNs,
+        "waiter entered the critical section while a live holder slept in it")
+      // the RMW surface still works end-to-end afterwards
+      Refs.tag(store, "after-slow-holder")
+      assert(Refs.tags(store).contains("after-slow-holder"))
+
+      // crashed holder: a lock file whose mtime is long stale (no heartbeat
+      // running) is stolen — tag() completes instead of waiting forever
+      val lock = java.nio.file.Paths.get(store.tableDir, "meta", "refs.lock")
+      Files.write(lock, "dead-holder".getBytes)
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000L))
+      val t = new Thread(() => Refs.tag(store, "stolen-through"): Unit)
+      t.start(); t.join(15000)
+      assert(!t.isAlive, "waiter never stole a provably stale lock")
+      assert(Refs.tags(store).contains("stolen-through"))
+      assert(!Files.exists(lock), "stale lock not cleaned up after steal")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.refs.lockStaleMs") = v
+        case None => sys.props.remove("graft.refs.lockStaleMs"); ()
+      }
+    }
+  }
+
   test("age-based retention: fresh snapshots are not expirable") {
     val dir = Files.createTempDirectory("graft-age-").toString
     val store = MetaStore.forClips(dir)
