@@ -366,18 +366,18 @@ object Extra {
         .toDF("d", "iso_year", "thai_year", "minguo_year",
           "jp_era", "jp_year_of_era", "hijrah_year", "iso_dow")
       if (OracleFixtures.exportEnabled) {
-        val golden = t(s, d, "orders")
-          .select(to_date(col("o_orderdate")).as("dt")).distinct()
-          .as[java.sql.Date].collect().toSeq
-          .map { sd =>
-            (sd.toString, java.time.chrono.HijrahDate.from(sd.toLocalDate)
-              .get(java.time.temporal.ChronoField.YEAR))
-          }.toDF("d", "g_hijrah_year")
-        val fx = OracleFixtures.freshDir("q65_golden", d)
-        golden.coalesce(1).write.mode("overwrite").parquet(fx)
+        // Hijrah golden: a CHECKED-IN, reviewed fixture (fixtures/
+        // q65_hijrah_golden.csv — provenance + boundary review in
+        // fixtures/README.md), not a per-run export from the same
+        // java.time.chrono call under test (r4 verdict directive): if the
+        // JDK's Umm al-Qura table ever changed, the query would fail
+        // against the frozen fixture instead of silently agreeing with
+        // itself. An inner join makes a date missing from the fixture a
+        // loud row-count mismatch, never a silent pass.
+        val fx = OracleFixtures.repoFixture("q65_hijrah_golden.csv")
         OracleFixtures.register("q65_calendar_chrono",
-          s"""WITH g AS (SELECT d, g_hijrah_year
-             |  FROM read_parquet('$fx/*.parquet')),
+          s"""WITH g AS (SELECT CAST(d AS VARCHAR) AS d, g_hijrah_year
+             |  FROM read_csv_auto('$fx')),
              |dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders)
              |SELECT CAST(dd.dt AS VARCHAR) AS d,
              |  year(dd.dt) AS iso_year,

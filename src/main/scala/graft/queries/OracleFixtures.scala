@@ -87,4 +87,16 @@ object OracleFixtures {
   /** DuckDB literal for a list of parquet paths. */
   def pathList(paths: Seq[String]): String =
     paths.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** Absolute path of a CHECKED-IN fixture under the repo's fixtures/ dir
+   * (reviewed golden data, e.g. the Hijrah calendar table). Resolved from
+   * the working directory (sbt runs from the repo root), overridable with
+   * -Dgraft.repo.dir for out-of-repo launchers; fails loudly if absent so
+   * a misresolved path can never become a silently-empty oracle join. */
+  def repoFixture(name: String): String = {
+    val repo = sys.props.getOrElse("graft.repo.dir", sys.props("user.dir"))
+    val p = java.nio.file.Paths.get(repo, "fixtures", name)
+    require(java.nio.file.Files.exists(p), s"checked-in fixture missing: $p")
+    p.toString
+  }
 }

@@ -160,22 +160,31 @@ object FileBloom {
     }
     if (shards.size <= 1)
       return BloomCompaction(shards.size, shards.size, 0L, 0L)
-    import spark.implicits._
-    val livePaths = store.currentSnapshotId
-      .map(id => store.entries(id).map(_.path) ++
-        store.deleteEntries(id).map(_.path))
-      .getOrElse(Nil)
     // ignoreMissingFiles: a concurrent compact's swap must degrade to
     // fewer folded rows (conservative), not kill this pass mid-scan
     val all = spark.read.option("ignoreMissingFiles", "true")
       .parquet(shards.map(_.toString): _*)
     val total = all.count()
     val out = root.resolve(java.util.UUID.randomUUID().toString.take(12))
-    // parallelize the live-path list: at 10^6 files a local-Seq toDF
-    // encodes every path single-threaded on the driver before the join
-    val liveDf = spark.createDataset(spark.sparkContext.parallelize(
-      livePaths, math.max(1, math.min(32, livePaths.size / 50000))))(
-      org.apache.spark.sql.Encoders.STRING).toDF("path")
+    // live-path frame: above the planning threshold the manifest parse runs
+    // in EXECUTORS (PlanScan.livePathsDF) — at 10^7 entries the old
+    // store.entries() materialized every DataFile driver-side (~60 s of a
+    // 74 s fold, MetaScale); below it, parallelize the driver list (a
+    // local-Seq toDF would encode every path single-threaded)
+    val liveDf = store.currentSnapshotId match {
+      case None => spark.emptyDataFrame.selectExpr("'' as path").limit(0)
+      case Some(id) =>
+        val snap = store.snapshot(id)
+        if (PlanScan.estimatedFiles(store, snap) >= store.distributedPlanThreshold)
+          PlanScan.livePathsDF(spark, store, snap)
+        else {
+          val livePaths = store.entries(id).map(_.path) ++
+            store.deleteEntries(id).map(_.path)
+          spark.createDataset(spark.sparkContext.parallelize(
+            livePaths, math.max(1, math.min(32, livePaths.size / 50000))))(
+            org.apache.spark.sql.Encoders.STRING).toDF("path")
+        }
+    }
     all.join(liveDf, Seq("path"), "inner")
       .dropDuplicates("path")
       .write.mode("overwrite").parquet(out.toString)

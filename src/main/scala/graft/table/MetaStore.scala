@@ -101,11 +101,18 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
    * every maintenance rewrite (compact/cluster read through here) silently
    * MATERIALIZING evolved defaults into its output files. */
   def scan(spark: SparkSession, snapshotId: Long): DataFrame = {
-    if (snapshot(snapshotId).deleteManifests.nonEmpty)
+    val snap = snapshot(snapshotId)
+    if (snap.deleteManifests.nonEmpty)
       return graft.ops.Deletes.scan(spark, this, snapshotId)
     if (graft.ops.Evolve.evolutions(this).nonEmpty)
       return graft.ops.Evolve.scan(spark, this, snapshotId)
-    val paths = entries(snapshotId).map(_.path)
+    // above the planning threshold the path listing is a Spark job over
+    // manifest shards — the driver never parses K entries' stats/tuples
+    // just to keep the path strings (PlanScan Scaladoc has the numbers)
+    val paths =
+      if (PlanScan.estimatedFiles(this, snap) >= distributedPlanThreshold)
+        PlanScan.listPaths(spark, this, snap)
+      else entries(snapshotId).map(_.path)
     if (paths.isEmpty) emptyLike(spark)
     else spark.read.parquet(paths: _*)
   }
@@ -148,12 +155,29 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
   def scanAsOf(spark: SparkSession, tsMs: Long): DataFrame =
     scan(spark, snapshotAsOf(tsMs))
 
+  /** Above this many files (estimated O(1) from the snapshot summary),
+   * scan PLANNING runs as a Spark job over manifest shards instead of a
+   * driver-side parse of every entry ([[PlanScan]]). Default 100k files
+   * ≈ a 12 TB table at 128 MB files — below it the driver parse is
+   * single-digit-ms and job overhead would dominate; above it driver
+   * planning time stays ~flat in K instead of linear. Overridable per
+   * store, or process-wide via -Dgraft.plan.distributedThreshold. */
+  var distributedPlanThreshold: Long =
+    sys.props.get("graft.plan.distributedThreshold").map(_.toLong)
+      .getOrElse(100000L)
+
   /** Zonemap scan: skip whole data files whose manifest min/max stats prove
    * they cannot match `preds` (see [[Pruning]]); result rows are identical to
-   * `scan(...).filter(Pred.and(preds))` by construction. */
+   * `scan(...).filter(Pred.and(preds))` by construction. Plans distributed
+   * above [[distributedPlanThreshold]]. */
   def scanPruned(spark: SparkSession, snapshotId: Long,
-                 preds: Seq[Pred]): PrunedScan =
-    Pruning.scan(spark, this, snapshotId, entries(snapshotId), preds)
+                 preds: Seq[Pred]): PrunedScan = {
+    val snap = snapshot(snapshotId)
+    if (PlanScan.estimatedFiles(this, snap) >= distributedPlanThreshold)
+      Pruning.scanDistributed(spark, this, snapshotId, snap, preds)
+    else
+      Pruning.scan(spark, this, snapshotId, entries(snapshotId), preds)
+  }
 
   def scanCurrentPruned(spark: SparkSession, preds: Seq[Pred]): PrunedScan =
     scanPruned(spark,
@@ -293,11 +317,18 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
     // the rollup through filesTable() single-thread-encodes every DataFile
     // into Catalyst rows first (measured 23.5 s at 10^6 entries in
     // bench/MetaScale) only to reduce them to ~|partitions| rows; the plain
-    // Scala fold is one O(K) pass and only the tiny aggregate is encoded
-    val rows = entries(snapshotId).groupBy(_.partition).map { case (p, fs) =>
-      (p, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.sizeBytes).sum,
-        fs.map(_.seq).min, fs.map(_.seq).max)
-    }.toSeq
+    // Scala fold is one O(K) pass and only the tiny aggregate is encoded.
+    // Above the planning threshold the fold runs per-shard in executors
+    // (map-side combine to ~|partitions| rows each) — same rollup, no
+    // driver entry list.
+    val snap = snapshot(snapshotId)
+    val rows =
+      if (PlanScan.estimatedFiles(this, snap) >= distributedPlanThreshold)
+        PlanScan.partitionsFold(spark, this, snap)
+      else entries(snapshotId).groupBy(_.partition).map { case (p, fs) =>
+        (p, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.sizeBytes).sum,
+          fs.map(_.seq).min, fs.map(_.seq).max)
+      }.toSeq
     import org.apache.spark.sql.Encoders
     spark.createDataset(rows)(
       Encoders.product[(Map[String, String], Long, Long, Long, Long, Long)])
@@ -522,10 +553,29 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
     val rewrittenNames = Seq.newBuilder[String]
     var rewrittenCount = 0
     // path-set fast path: a cached shard containing none of the removed
-    // paths is reused by name without a JSON parse (exact, not a summary)
+    // paths is reused by name without a JSON parse (exact, not a summary).
+    // Above the planning threshold, UNCACHED shards are classified by a
+    // Spark job instead of a driver parse-all (PlanScan.touchedShards —
+    // at 10^7 entries a cold/over-budget cache made every partial rewrite
+    // parse 1000 shards driver-side, 14 s measured in MetaScale); the
+    // driver then parses only the touched shards. Opportunistic: without
+    // an active session (pure-metadata callers) the driver parse stands.
+    val jobClassified: Option[Set[String]] =
+      if (removedPaths.nonEmpty &&
+          parentManifests.size.toLong * manifestShardSize >= distributedPlanThreshold)
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .map { spark =>
+            val unknown = parentManifests.filter(m => manifestPathSets.get(m) == null)
+            PlanScan.touchedShards(spark, this, unknown, removedPaths)
+          }
+      else None
     def mayContainRemoved(m: String): Boolean =
       manifestPathSets.get(m) match {
-        case null => true // unknown shard: must parse
+        case null => jobClassified match {
+          case Some(touched) => touched.contains(m) // job-exact
+          case None => true // unknown shard: must parse
+        }
         case s => removedPaths.exists(s.contains)
       }
     parentManifests.foreach { m =>

@@ -192,6 +192,35 @@ object Pruning {
       case None => entries
     }
     val zoneKept = keep(partKept, preds)
+    assemble(spark, store, snapshotId, preds, zoneKept,
+      filesTotal = entries.size.toLong, rowsTotal = entries.map(_.rows).sum,
+      filesKeptPartition = partKept.size.toLong,
+      anyEntry = entries.headOption)
+  }
+
+  /** Distributed variant of [[scan]]: the partition-tuple and zonemap tiers
+   * run as a Spark job over manifest shards ([[PlanScan.prune]]) so the
+   * driver never materializes the snapshot's full entry list — the bloom
+   * tier and the delete-aware assembly are shared with the driver path.
+   * Results are identical to [[scan]] by construction (same pruner, same
+   * [[keep]], same re-applied filter). */
+  def scanDistributed(spark: SparkSession, store: MetaStore, snapshotId: Long,
+                      snap: Snapshot, preds: Seq[Pred]): PrunedScan = {
+    val plan = PlanScan.prune(spark, store, snap, preds)
+    assemble(spark, store, snapshotId, preds, plan.kept,
+      plan.filesTotal, plan.rowsTotal, plan.filesKeptPartition,
+      anyEntry =
+        if (plan.kept.nonEmpty || plan.filesTotal == 0L) None
+        else PlanScan.anyEntry(store, snap))
+  }
+
+  /** Bloom tier + delete-aware read + exact re-filter — everything after
+   * the (driver or distributed) tuple/zonemap tiers. */
+  private def assemble(spark: SparkSession, store: MetaStore, snapshotId: Long,
+                       preds: Seq[Pred], zoneKept: Seq[DataFile],
+                       filesTotal: Long, rowsTotal: Long,
+                       filesKeptPartition: Long,
+                       anyEntry: => Option[DataFile]): PrunedScan = {
     // point-lookup bloom prune: zonemaps cannot prune equality probes on a
     // hash-scattered key (every file's min/max spans the key space after a
     // curve rewrite); the per-file bloom side-table can. Conservative by
@@ -214,14 +243,14 @@ object Pruning {
     val readFiles = (fs: Seq[DataFile]) =>
       graft.ops.Deletes.readFiles(spark, store, snapshotId, fs)
     val base =
-      if (entries.isEmpty) store.emptyLike(spark)
+      if (filesTotal == 0L) store.emptyLike(spark)
       else if (kept.isEmpty)
-        readFiles(Seq(entries.head)).filter(lit(false))
+        readFiles(anyEntry.toSeq).filter(lit(false))
       else readFiles(kept)
     PrunedScan(
       base.filter(Pred.and(preds)),
-      kept.size, entries.size,
-      kept.map(_.rows).sum, entries.map(_.rows).sum,
-      filesKeptPartition = partKept.size)
+      kept.size, filesTotal.toInt,
+      kept.map(_.rows).sum, rowsTotal,
+      filesKeptPartition = filesKeptPartition.toInt)
   }
 }
