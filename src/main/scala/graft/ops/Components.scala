@@ -52,10 +52,14 @@ object Components {
     if (nEdges <= localSolveMaxEdges && nEdges > 0) {
       // one cheap aggregate over the checkpointed rows (no rescan of the
       // upstream pipeline) sizes the would-be driver copy before collecting
+      // octet_length of the UTF-8 bytes, charged ×2: every UTF-8 byte maps
+      // to AT MOST one JVM char (ASCII 1:1, multi-byte sequences to fewer),
+      // so bytes×2 ≥ chars×2 — a conservative bound where length() would
+      // under-charge supplementary characters (ADVICE r4)
       val payload = e0.select(
-        sum(coalesce(length(col("src").cast("string")), lit(0)) +
-            coalesce(length(col("dst").cast("string")), lit(0)))
-          .cast("long").as("chars")).first().getLong(0)
+        sum(coalesce(octet_length(col("src").cast("string")), lit(0)) +
+            coalesce(octet_length(col("dst").cast("string")), lit(0)))
+          .cast("long").as("bytes")).first().getLong(0)
       val estBytes = payload * 2 + nEdges * 96L
       if (estBytes <= localSolveMaxBytes) return localSolve(e0)
       System.err.println(s"[components] $nEdges edges ≈ $estBytes B " +
