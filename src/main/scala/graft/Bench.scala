@@ -10,11 +10,12 @@ import org.apache.spark.sql.SparkSession
  * [[graft.bench.ScalingBench]], which writes BENCH/BASELINE.md.
  */
 object Bench {
-  /** Per-JVM warehouse for bucketed-table queries, deleted on exit so
-   * repeated runs don't accumulate multi-MB orphan dirs. Prefers tmpfs for
-   * the same reason as the e2e query stores (queries/Audio.scala e2eDir):
-   * q98's two bucketBy layout writes measure the engine, not this host's
-   * collapsing small-write path. */
+  /** Per-JVM scratch dir (warehouse for bucketed-table queries, shuffle
+   * local dir), deleted on exit so repeated runs don't accumulate orphan
+   * dirs. Prefers tmpfs for the same reason as the e2e query stores
+   * (queries/Audio.scala e2eDir): q98's bucketBy layout writes and every
+   * shuffle should measure the engine, not this host's collapsing
+   * small-write path. */
   private[graft] def tempWarehouse(): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val root =
@@ -48,6 +49,13 @@ object Bench {
       .config("spark.shuffle.unsafe.file.output.buffer", "1m")
       .config("spark.hadoop.io.file.buffer.size", "1048576")
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // shuffle/spill files on tmpfs for the same reason as the warehouse:
+      // the default /tmp sits on this host's ONE shared ~350 MB/s device,
+      // which does not scale with cores the way executor-local disks do on
+      // a real cluster (r5 probe: q48's banded shuffle at 32 cores swung
+      // 8-47 s with /tmp shuffle dirs under co-tenant load, 11-15 s on
+      // tmpfs in the same windows)
+      .config("spark.local.dir", tempWarehouse())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // discard one aggregate pass: first-query wall otherwise measures

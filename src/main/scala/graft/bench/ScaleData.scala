@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
  *    AND orders, ...), so key uniqueness and join selectivity per row are
  *    preserved;
  *  - tiny dims (region, nation) are copied as-is, like TPC-H's fixed dims;
- *  - `documents.text` is word-ROTATED per replica (deterministic): a
+ *  - `documents.text` gets a per-WORD replica suffix (deterministic): a
  *    verbatim copy would make every document a cross-replica exact+near
  *    duplicate, inflating dedup pair counts quadratically — a data
- *    pathology, not an engine cost;
+ *    pathology, not an engine cost. The first attempt (word ROTATION)
+ *    failed exactly this bar: the q48 shingles are char-8-grams of the
+ *    FIRST 256 chars, and rotating by rep*7 words only slides that window
+ *    ~45 chars, so replicas stayed >0.5-Jaccard near-dups of each other
+ *    and the audit measured q77 at 31x on 10x data — all of it pair
+ *    blowup. Suffixing every word rewrites nearly every 8-gram (words are
+ *    shorter than the gram, so grams straddle boundaries) while keeping
+ *    within-replica dup structure, token counts, and word counts intact;
  *  - `embeddings.embedding` is element-rotated per replica (norm-preserving,
  *    direction-changing) for the same reason on cosine queries.
  *
@@ -38,7 +45,11 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, factor)
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
     /** max+1 of a key column — the per-replica shift stride. */
@@ -84,15 +95,15 @@ object ScaleData {
     write(replicate(t("events"),
       Map("event_id" -> evS, "user_id" -> userS)), "events")
 
-    // documents: rotate words by rep*7 so replicas are textually DISTINCT
-    // (shingle sets diverge) while length/language stats stay realistic
+    // documents: per-word replica suffix so replicas are textually DISTINCT
+    // at the char-8-gram level (see scaladoc — rotation was NOT, measured)
     val docS = stride(t("documents"), "doc_id")
     write(replicate(t("documents"), Map("doc_id" -> docS),
       (d, rep) =>
         if (rep == 0) d
         else d.withColumn("text",
-          expr(s"array_join(concat(slice(split(text, ' '), ${rep * 7 + 1}, 1000000), " +
-            s"slice(split(text, ' '), 1, ${rep * 7})), ' ')"))),
+          expr(s"array_join(transform(split(text, ' '), " +
+            s"w -> concat(w, 'r$rep')), ' ')"))),
       "documents")
 
     // embeddings: rotate vector elements by rep (norm-preserving, direction
@@ -105,7 +116,5 @@ object ScaleData {
           expr(s"concat(slice(embedding, ${rep + 1}, 1000000), " +
             s"slice(embedding, 1, $rep))"))),
       "embeddings")
-
-    spark.stop()
   }
 }

@@ -50,6 +50,36 @@ object VecExprs {
   def bucketSparkN(n: Int): String =
     (0 until n).map(sigTermSpark).mkString(" + ")
 
+  /** Dedup wants expected bucket occupancy ~constant as the corpus grows:
+   * with a FIXED plane count the within-bucket candidate join is quadratic
+   * in bucket size, so a 10x corpus costs ~100x pairs (measured in the r5
+   * superlinearity audit: q49 17.5x wall on 10x rows at 10 planes). One
+   * extra plane per row-doubling past the 4k anchor keeps occupancy ~4.
+   * Integer CASE ladder, NOT log2: both engines evaluate the same integer
+   * comparisons, so there is no FP boundary where ceil(log2(x)) could
+   * round differently. Capped at 16 planes = 65536 buckets (the ladder's
+   * 6 steps). Recall note: exact dups collide in ALL buckets at any plane
+   * count; only non-identical near-dup recall decays with planes, and the
+   * oracle derives the SAME buckets, so parity holds by construction. */
+  private val dedupPlaneSteps: Seq[Long] =
+    Seq(4000L, 8000L, 16000L, 32000L, 64000L, 128000L)
+
+  def dedupPlanes(rows: Long): Int = 10 + dedupPlaneSteps.count(rows > _)
+
+  /** The same ladder in SQL over a scalar row-count expression `cntExpr`. */
+  def dedupPlanesSql(cntExpr: String): String =
+    "10 + " + dedupPlaneSteps
+      .map(t => s"(CASE WHEN $cntExpr > $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** DuckDB bucket id with a RUNTIME plane count `planesExpr` (≤ maxPlanes):
+   * plane p contributes its sign bit only when p < planesExpr, so the same
+   * static SQL adapts to the corpus size the ladder derives. */
+  def bucketDuckDyn(maxPlanes: Int, planesExpr: String): String =
+    (0 until maxPlanes)
+      .map(p => s"(CASE WHEN $p < $planesExpr THEN ${sigTermDuck(p)} ELSE 0 END)")
+      .mkString(" + ")
+
   private def sigTermDuck(p: Int): String =
     s"CASE WHEN list_aggregate(list_transform(generate_series(1, len(embedding)), " +
       s"i -> CASE WHEN (($p*1000003 + (i-1)*7919) % 97) < 48 " +

@@ -58,14 +58,18 @@ object Vector {
     //    corpus cross join), confirmed by exact cosine >= 0.99. The
     //    embedding analog of q46's text LSH dedup. --
     "q49_embedding_dedup" -> ((s, d) => {
-      // 10 planes = 1024 buckets: at corpus scale the candidate count is
-      // quadratic in bucket size, so dedup wants finer buckets than the
-      // 64-bucket ANN index (identical vectors collide in ALL buckets, so
-      // planted-dup recall is unaffected)
+      // Plane count from the corpus size (VecExprs.dedupPlanes integer
+      // ladder, 10 planes at the sf0.1 anchor, +1 per row-doubling): the
+      // within-bucket candidate join is quadratic in bucket occupancy, so a
+      // FIXED plane count turns a 10x corpus into ~100x pairs (measured
+      // 17.5x wall in the r5 superlinearity audit). Finer buckets than the
+      // 64-bucket ANN index either way — identical vectors collide in ALL
+      // buckets, so planted-dup recall is unaffected.
+      val planes = VecExprs.dedupPlanes(2L * emb(s, d).count())
       val doubled = fanOut(emb(s, d)
         .unionAll(emb(s, d).withColumn("vec_id", col("vec_id") + 100000)))
         .select(col("vec_id"), col("embedding"),
-          expr(VecExprs.bucketSparkN(10)).as("bkt"))
+          expr(VecExprs.bucketSparkN(planes)).as("bkt"))
       val a = doubled.select(col("vec_id").as("id_a"),
         col("embedding").as("ea"), col("bkt"))
       val b = doubled.select(col("vec_id").as("id_b"),
@@ -266,7 +270,11 @@ object Vector {
       s"""WITH doubled AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
-         |b AS (SELECT vec_id, embedding, ${VecExprs.bucketDuckN(10)} AS bkt FROM doubled),
+         |cnt AS (SELECT ${VecExprs.dedupPlanesSql("count(*)")} AS planes
+         |  FROM doubled),
+         |b AS (SELECT vec_id, embedding,
+         |    ${VecExprs.bucketDuckDyn(16, "planes")} AS bkt
+         |  FROM doubled, cnt),
          |pairs AS (
          |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
          |    round(

@@ -209,4 +209,24 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(d2 === d1)
     assert(VecIndex.buckets(spark, d2).count() === 200)
   }
+
+  test("dedup plane ladder: +1 plane per row-doubling past 4k, capped, " +
+    "and the SQL ladder agrees with the Scala one") {
+    // anchor: sf0.1's doubled corpus (4000 rows) keeps the historical 10
+    assert(VecExprs.dedupPlanes(4000L) === 10)
+    assert(VecExprs.dedupPlanes(4001L) === 11)
+    assert(VecExprs.dedupPlanes(40000L) === 14) // the sf1 audit regime
+    assert(VecExprs.dedupPlanes(Long.MaxValue) === 16) // ladder cap
+    // the Spark-SQL rendering of the same ladder must agree value-for-value
+    // (the DuckDB oracle uses the identical CASE text modulo dialect)
+    for (n <- Seq(1L, 4000L, 4001L, 8000L, 8001L, 40000L, 1000000L)) {
+      val sql = VecExprs.dedupPlanesSql(n.toString)
+      val fromSql = spark.sql(s"SELECT $sql AS p").head().getInt(0)
+      assert(fromSql === VecExprs.dedupPlanes(n), s"n=$n")
+    }
+    // a dynamic-plane bucket never exceeds 2^planes
+    val df = synthEmbeddings
+      .selectExpr(s"${VecExprs.bucketSparkN(VecExprs.dedupPlanes(4001L))} AS b")
+    assert(df.agg(max($"b")).head().getInt(0) < (1 << 11))
+  }
 }

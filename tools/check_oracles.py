@@ -61,7 +61,9 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for f in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(f)[:-8]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+        # driver testdata = single files; ScaleData output = Spark dirs
+        pat = f"{f}/*.parquet" if os.path.isdir(f) else f
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rows_only = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
