@@ -80,6 +80,27 @@ object VecExprs {
       .map(p => s"(CASE WHEN $p < $planesExpr THEN ${sigTermDuck(p)} ELSE 0 END)")
       .mkString(" + ")
 
+  /** The ANN-index analog of [[dedupPlanes]]: the persisted bucket index
+   * probes ONE bucket per query, so a fixed 2^6-bucket layout makes the
+   * candidate list grow linearly with the corpus. Same integer-ladder
+   * discipline (+1 plane per row-doubling past the 4k anchor, 6-plane base
+   * preserved at every current test scale, cap 16 = 65536 buckets). Pinned
+   * at index BUILD time and persisted beside the eras ([[graft.ops.VecIndex]]
+   * planes.csv): incremental era appends must keep the parent's plane count
+   * or eras would disagree on bucket ids — params are part of the index
+   * artifact, re-tuned only by a full rebuild (standard ANN practice). */
+  private val annPlaneSteps: Seq[Long] =
+    Seq(4000L, 8000L, 16000L, 32000L, 64000L, 128000L,
+      256000L, 512000L, 1024000L, 2048000L)
+
+  def annPlanes(rows: Long): Int = nPlanes + annPlaneSteps.count(rows > _)
+
+  /** The same ladder in SQL over a scalar row-count expression. */
+  def annPlanesSql(cntExpr: String): String =
+    s"$nPlanes + " + annPlaneSteps
+      .map(t => s"(CASE WHEN $cntExpr > $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
   private def sigTermDuck(p: Int): String =
     s"CASE WHEN list_aggregate(list_transform(generate_series(1, len(embedding)), " +
       s"i -> CASE WHEN (($p*1000003 + (i-1)*7919) % 97) < 48 " +

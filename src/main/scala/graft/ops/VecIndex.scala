@@ -88,15 +88,36 @@ object VecIndex {
           buf.sorted.toSeq
         } finally s.close()
       } else Seq(s"${p.getFileName}:${Files.size(p)}")
-    files.mkString("|")
+    // layout version prefix: v2 = corpus-scaled plane ladder + planes.csv.
+    // A pre-ladder index (same source bytes, no planes.csv) must MISS this
+    // fingerprint and rebuild once, or its 6-plane buckets would be audited
+    // against a ladder-derived fresh recompute.
+    "v2|" + files.mkString("|")
   }
 
-  /** Write ONE era's side-tables for `embeddings` (only those rows). */
+  /** Plane count pinned at this index's creation (planes.csv beside the
+   * eras — a one-row CSV so the DuckDB oracle can read the same artifact).
+   * Missing file = the pre-ladder 6-plane layout (back-compat). */
+  def planesOf(indexDir: String): Int = {
+    val p = Paths.get(indexDir, "planes.csv")
+    if (!Files.exists(p)) VecExprs.nPlanes
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.drop(1).next().trim.toInt
+  }
+
+  private def writePlanes(indexDir: String, planes: Int): Unit =
+    Files.write(Paths.get(indexDir, "planes.csv"),
+      s"planes\n$planes\n".getBytes(StandardCharsets.UTF_8))
+
+  /** Write ONE era's side-tables for `embeddings` (only those rows).
+   * `planes` must be the INDEX's pinned plane count, not a fresh
+   * derivation: eras of one index must agree on bucket ids. */
   private def writeEra(embeddings: DataFrame, indexDir: String,
-                       eraTag: String): Unit = {
+                       eraTag: String, planes: Int): Unit = {
     val era = s"$indexDir/eras/$eraTag"
     embeddings
-      .select(col("vec_id"), col("label"), expr(VecExprs.bucketSpark).as("bkt"))
+      .select(col("vec_id"), col("label"),
+        expr(VecExprs.bucketSparkN(planes)).as("bkt"))
       .write.mode("overwrite").parquet(s"$era/buckets")
     // (sum, count) partials instead of means: per-era partials aggregate to
     // the EXACT global mean at read time; persisted means could not be
@@ -139,13 +160,19 @@ object VecIndex {
     } finally walk.close()
   }
 
-  /** Build both side-tables from scratch (single "full" era). */
+  /** Build both side-tables from scratch (single "full" era). The plane
+   * count derives from the corpus size at THIS build (VecExprs.annPlanes
+   * ladder — a fixed 2^6-bucket layout makes probe candidate lists grow
+   * linearly with the corpus) and is persisted; a full rebuild is the only
+   * re-tuning point. */
   def build(spark: SparkSession, embeddings: DataFrame, indexDir: String,
             sourceFingerprint: String): Unit = {
     val dir = Paths.get(indexDir)
     deleteRecursively(dir.resolve("eras"))
     Files.createDirectories(dir)
-    writeEra(embeddings, indexDir, "full")
+    val planes = VecExprs.annPlanes(embeddings.count())
+    writePlanes(indexDir, planes)
+    writeEra(embeddings, indexDir, "full", planes)
     Files.write(dir.resolve("_COMPLETE"),
       sourceFingerprint.getBytes(StandardCharsets.UTF_8))
   }
@@ -231,8 +258,13 @@ object VecIndex {
       if (incremental) {
         val (a, parentDir) = base.get
         linkEras(parentDir.toString, indexDir)
+        // incremental eras MUST keep the parent's pinned plane count —
+        // mixing plane counts across eras would make bucket ids of one
+        // index mutually meaningless (re-tuning is a full rebuild)
+        val planes = planesOf(parentDir.toString)
+        writePlanes(indexDir, planes)
         writeEra(Changes.appendedRows(spark, store, a, snapId),
-          indexDir, s"inc-$snapId")
+          indexDir, s"inc-$snapId", planes)
         Files.write(Paths.get(indexDir, "_COMPLETE"),
           fp.getBytes(StandardCharsets.UTF_8))
       } else {

@@ -28,7 +28,6 @@ object Vector {
   private val dotExpr = VecExprs.dotExpr
   private val normExpr = VecExprs.normExpr
   private val qnormExpr = VecExprs.qnormExpr
-  private val bucketDuck = VecExprs.bucketDuck
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- ANN, LSH-bucketed: the bucket assignment lives in the PERSISTED
@@ -98,19 +97,28 @@ object Vector {
       // is CAST to BIGINT: DuckDB's sum() over integers yields HUGEINT,
       // which pandas renders as float ("59.0") and the driver's hash then
       // diverges from Spark's int64 even when every value matches.
+      // plane count: the oracle RE-DERIVES it from count(*) via the same
+      // integer ladder the build used — legitimate for this source-path
+      // index because ensure() fingerprint-validates against the current
+      // parquet, so count-at-build == count-now by construction
       val idx = OracleFixtures.stage(s, "q57_ann_index_persisted", "q57_idx",
         d, VecIndex.buckets(s, indexDir))(fx =>
-        s"""WITH idx AS (SELECT vec_id, bkt
+        s"""WITH cnt AS (SELECT ${VecExprs.annPlanesSql("count(*)")} AS planes
+           |  FROM embeddings),
+           |idx AS (SELECT vec_id, bkt
            |  FROM read_parquet('$fx/*.parquet')),
-           |fresh AS (SELECT vec_id, ${VecExprs.bucketDuck} AS bkt_fresh
-           |  FROM embeddings)
+           |fresh AS (SELECT vec_id,
+           |    ${VecExprs.bucketDuckDyn(16, "planes")} AS bkt_fresh
+           |  FROM embeddings, cnt)
            |SELECT idx.bkt, count(*) AS n_vecs,
            |  CAST(sum(CASE WHEN idx.bkt = fresh.bkt_fresh THEN 0 ELSE 1 END)
            |    AS BIGINT) AS n_stale
            |FROM idx JOIN fresh USING (vec_id)
            |GROUP BY idx.bkt""".stripMargin)
       val fresh = emb(s, d)
-        .select(col("vec_id"), expr(VecExprs.bucketSpark).as("bkt_fresh"))
+        .select(col("vec_id"),
+          expr(VecExprs.bucketSparkN(VecIndex.planesOf(indexDir)))
+            .as("bkt_fresh"))
       idx.join(fresh, "vec_id")
         .groupBy("bkt")
         .agg(count(lit(1)).as("n_vecs"),
@@ -134,12 +142,19 @@ object Vector {
       VecIndex.ensureForStore(s, store) // snapshot 1: full era
       graft.ops.Append.run(s, store, all.filter(col("vec_id") % 2 === 1))
       val idx = VecIndex.ensureForStore(s, store) // snapshot 2: +inc era
+      // plane count from the index's OWN planes.csv sidecar, in both
+      // engines: an incremental index pins its planes at first build (here:
+      // the half-corpus era), so count(*)-re-derivation would diverge once
+      // the corpus crosses a ladder step — the pinned param is part of the
+      // artifact under audit, and the oracle reads the same one-row CSV
       OracleFixtures.register("q107_ann_incremental",
-        s"""WITH idx AS (SELECT vec_id, bkt,
+        s"""WITH p AS (SELECT planes FROM read_csv('$idx/planes.csv')),
+           |idx AS (SELECT vec_id, bkt,
            |    regexp_extract(filename, 'eras/([^/]+)/', 1) AS era
            |  FROM read_parquet('$idx/eras/*/buckets/*.parquet', filename=true)),
-           |fresh AS (SELECT vec_id, ${VecExprs.bucketDuck} AS bkt_fresh
-           |  FROM embeddings)
+           |fresh AS (SELECT vec_id,
+           |    ${VecExprs.bucketDuckDyn(16, "planes")} AS bkt_fresh
+           |  FROM embeddings, p)
            |SELECT era, count(*) AS n_vecs,
            |  CAST(sum(CASE WHEN bkt = bkt_fresh THEN 0 ELSE 1 END) AS BIGINT)
            |    AS n_stale
@@ -149,7 +164,8 @@ object Vector {
         .withColumn("era",
           regexp_extract(input_file_name(), "eras/([^/]+)/", 1))
         .join(all.select(col("vec_id"),
-          expr(VecExprs.bucketSpark).as("bkt_fresh")), "vec_id")
+          expr(VecExprs.bucketSparkN(VecIndex.planesOf(idx)))
+            .as("bkt_fresh")), "vec_id")
         .groupBy("era")
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("bkt") === col("bkt_fresh"), 0L).otherwise(1L))
@@ -289,7 +305,11 @@ object Vector {
          |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99""".stripMargin,
     "q53_ann_lsh" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketDuck AS bkt FROM embeddings),
+      s"""WITH cnt AS (SELECT ${VecExprs.annPlanesSql("count(*)")} AS planes
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding,
+         |    ${VecExprs.bucketDuckDyn(16, "planes")} AS bkt
+         |  FROM embeddings, cnt),
          |q AS (SELECT bkt AS qbkt, embedding AS qe FROM b WHERE vec_id = 0),
          |cand AS (
          |  SELECT b.vec_id, b.bkt,

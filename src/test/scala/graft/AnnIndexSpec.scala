@@ -229,4 +229,32 @@ class AnnIndexSpec extends AnyFunSuite {
       .selectExpr(s"${VecExprs.bucketSparkN(VecExprs.dedupPlanes(4001L))} AS b")
     assert(df.agg(max($"b")).head().getInt(0) < (1 << 11))
   }
+
+  test("ANN plane ladder pins at build, persists beside the eras, and " +
+    "incremental eras inherit the parent's planes") {
+    assert(VecExprs.annPlanes(200L) === 6)  // every current test scale
+    assert(VecExprs.annPlanes(20000L) === 9) // the sf1 audit regime
+    assert(VecExprs.annPlanes(Long.MaxValue) === 16)
+    for (n <- Seq(1L, 4000L, 4001L, 20000L, 3000000L)) {
+      val fromSql = spark.sql(
+        s"SELECT ${VecExprs.annPlanesSql(n.toString)} AS p").head().getInt(0)
+      assert(fromSql === VecExprs.annPlanes(n), s"n=$n")
+    }
+    // store-backed index: full build on half the rows pins planes; the
+    // incremental era for the other half must reuse them (planes.csv equal)
+    val dir = Files.createTempDirectory("graft-ann-planes-").toString
+    val store = new MetaStore(dir, Seq("vec_id", "label"))
+    val all = synthEmbeddings
+    Append.run(spark, store, all.filter($"vec_id" % 2 === 0))
+    val d1 = VecIndex.ensureForStore(spark, store)
+    val p1 = VecIndex.planesOf(d1)
+    assert(p1 === VecExprs.annPlanes(100L))
+    Append.run(spark, store, all.filter($"vec_id" % 2 === 1))
+    val d2 = VecIndex.ensureForStore(spark, store)
+    assert(VecIndex.planesOf(d2) === p1, "incremental era re-tuned planes")
+    assert(VecIndex.buckets(spark, d2).count() === 200)
+    // a dir with no planes.csv reads as the legacy 6-plane layout
+    val legacy = Files.createTempDirectory("graft-ann-legacy-").toString
+    assert(VecIndex.planesOf(legacy) === 6)
+  }
 }
