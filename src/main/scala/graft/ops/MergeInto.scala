@@ -457,8 +457,20 @@ object MergeInto {
         // Un-widen ONLY when no merge snapshot has landed (failure during
         // widening, or before the merge committed): once a merge commit is
         // durable the added columns carry committed data and dropping them
-        // would destroy it (ADVICE r4).
-        val mergeCommitted = preMergeSnap.exists(_ != store.currentSnapshotId)
+        // would destroy it (ADVICE r4). "Landed" is decided by looking for
+        // THIS runId in the summaries of snapshots newer than the pre-merge
+        // head — comparing the global head alone would mistake a CONCURRENT
+        // writer's commit for ours and skip the cleanup in exactly the
+        // CAS-exhaustion case it exists for (r5 review). An unreadable
+        // snapshot counts as committed: the safe direction is keeping the
+        // widened columns.
+        val mergeCommitted = preMergeSnap.exists { pre =>
+          val floor = pre.getOrElse(-1L)
+          store.allSnapshotIds.filter(_ > floor).exists { id =>
+            try store.snapshot(id).summary.get("runId").contains(runId)
+            catch { case scala.util.control.NonFatal(_) => true }
+          }
+        }
         if (!mergeCommitted)
           added.reverse.foreach { c =>
             try Evolve.dropColumn(spark, store, c)

@@ -70,15 +70,53 @@ object Refs {
    * file's own mtime is stale (not when the waiter has waited long — ADVICE
    * r4: the old waiter-deadline steal could evict a live holder on every
    * retry), the steal is claimed by atomic rename so exactly one stealer
-   * wins, a heartbeat thread refreshes the holder's mtime so a slow live
-   * holder is never evicted, and the finally-path deletes the lock only if
-   * it still carries this holder's token — a stolen-from holder cannot
-   * remove a lock someone else now owns.
+   * wins AND the claimed file's content must still be the token the waiter
+   * observed as stale — a fresh lock recreated between the stat and the
+   * move is restored, not destroyed (r5 review: without this, two waiters
+   * past the same stale observation could leapfrog-steal each other's
+   * fresh locks). A heartbeat thread refreshes the holder's mtime so a
+   * slow live holder is never evicted, and the finally-path deletes the
+   * lock only if it still carries this holder's token. Defense in depth:
+   * the lock is treated as a LEASE — after the body runs, the holder
+   * verifies its token is still in place; if it was stolen mid-body (only
+   * reachable through a further sub-race of the restore path), the
+   * read-modify-write re-runs under a fresh acquisition so the update a
+   * concurrent winner may have clobbered is re-applied. All bodies are
+   * pure refs.json read-modify-writes, so re-running is safe.
    */
   private[graft] def withRefsLock[A](store: MetaStore)(body: => A): A = {
     val lock = Paths.get(store.tableDir, "meta", "refs.lock")
     Files.createDirectories(lock.getParent)
-    val token = java.util.UUID.randomUUID().toString
+    var attempt = 0
+    while (true) {
+      val token = java.util.UUID.randomUUID().toString
+      acquire(lock, token)
+      val beat = startHeartbeat(lock)
+      var result: Option[A] = None
+      try result = Some(body) finally {
+        beat.cancel(false)
+        val stillOwn =
+          try Files.exists(lock) &&
+            new String(Files.readAllBytes(lock),
+              StandardCharsets.UTF_8) == token
+          catch { case _: java.io.IOException => false }
+        if (stillOwn)
+          try Files.deleteIfExists(lock)
+          catch { case _: java.io.IOException => () }
+        // stolen mid-body on a SUCCESSFUL body → loop re-runs it (a body
+        // that threw propagates from this finally's enclosing try as usual)
+        if (result.isDefined && !stillOwn && attempt < 5) result = None
+      }
+      result match {
+        case Some(a) => return a
+        case None => attempt += 1 // lease lost: re-acquire and re-run
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** O_EXCL create, with token-revalidated stale-steal (scaladoc above). */
+  private def acquire(lock: java.nio.file.Path, token: String): Unit = {
     var held = false
     while (!held) {
       try {
@@ -87,48 +125,62 @@ object Refs {
         held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val ageMs =
-            try System.currentTimeMillis() -
-              Files.getLastModifiedTime(lock).toMillis
-            catch { case _: java.io.IOException => -1L } // gone → retry create
+          val (ageMs, observed) =
+            try {
+              val a = System.currentTimeMillis() -
+                Files.getLastModifiedTime(lock).toMillis
+              val c = new String(Files.readAllBytes(lock),
+                StandardCharsets.UTF_8)
+              (a, c)
+            } catch { case _: java.io.IOException => (-1L, "") } // gone → retry
           if (ageMs > staleLockMs) {
             // claim the stale lock via atomic rename: the one waiter whose
-            // move succeeds removes it; losers see IOException and re-loop
+            // move succeeds owns the claim; losers see IOException and
+            // re-loop. The claim is deleted ONLY if it is still the file
+            // observed stale — a fresh lock that raced in is moved back.
             val claim = lock.resolveSibling(s"refs.lock.stale-${token.take(8)}")
             try {
               Files.move(lock, claim,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(claim)
+              val claimed = new String(Files.readAllBytes(claim),
+                StandardCharsets.UTF_8)
+              if (claimed == observed) Files.deleteIfExists(claim)
+              else
+                // we grabbed a LIVE lock recreated after our stat: put it
+                // back (its holder's lease check covers the sub-race where
+                // a third waiter locked in between)
+                try Files.move(claim, lock,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                catch { case _: java.io.IOException =>
+                  Files.deleteIfExists(claim); ()
+                }
             } catch { case _: java.io.IOException => () }
           } else Thread.sleep(2)
       }
     }
-    val beatMs = math.max(1L, staleLockMs / 6)
-    val beat = new Thread(() => {
-      try {
-        while (true) {
-          Thread.sleep(beatMs)
-          Files.setLastModifiedTime(lock,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis()))
-        }
-      } catch {
-        case _: InterruptedException => ()
-        case _: java.io.IOException => () // lock vanished (stolen) — stop
-      }
-    }, "graft-refs-lock-heartbeat")
-    beat.setDaemon(true)
-    beat.start()
-    try body finally {
-      beat.interrupt()
-      try {
-        if (Files.exists(lock) &&
-            new String(Files.readAllBytes(lock),
-              StandardCharsets.UTF_8) == token)
-          Files.deleteIfExists(lock)
-      } catch { case _: java.io.IOException => () }
-      ()
+  }
+
+  /** One shared daemon scheduler for every lock's heartbeat: the typical
+   * critical section (a refs.json read-modify-write) is sub-millisecond,
+   * far under the first beat interval, so per-mutation thread
+   * create/start/interrupt would be pure overhead (r5 review) — a
+   * scheduled task that is cancelled before it ever fires costs ~nothing. */
+  private lazy val beatPool =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-refs-lock-heartbeat")
+      t.setDaemon(true)
+      t
     }
+
+  private def startHeartbeat(
+      lock: java.nio.file.Path): java.util.concurrent.ScheduledFuture[_] = {
+    val beatMs = math.max(1L, staleLockMs / 6)
+    beatPool.scheduleAtFixedRate(() => {
+      try Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () } // lock vanished (stolen)
+    }, beatMs, beatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
   }
 
   /** Temp + atomic rename (the CURRENT / evolutions.json pattern): a torn

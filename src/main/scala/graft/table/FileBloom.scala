@@ -175,7 +175,7 @@ object FileBloom {
       case None => spark.emptyDataFrame.selectExpr("'' as path").limit(0)
       case Some(id) =>
         val snap = store.snapshot(id)
-        if (PlanScan.estimatedFiles(store, snap) >= store.distributedPlanThreshold)
+        if (store.planDistributed(snap))
           PlanScan.livePathsDF(spark, store, snap)
         else {
           val livePaths = store.entries(id).map(_.path) ++

@@ -110,7 +110,7 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
     // manifest shards — the driver never parses K entries' stats/tuples
     // just to keep the path strings (PlanScan Scaladoc has the numbers)
     val paths =
-      if (PlanScan.estimatedFiles(this, snap) >= distributedPlanThreshold)
+      if (planDistributed(snap))
         PlanScan.listPaths(spark, this, snap)
       else entries(snapshotId).map(_.path)
     if (paths.isEmpty) emptyLike(spark)
@@ -166,6 +166,12 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
     sys.props.get("graft.plan.distributedThreshold").map(_.toLong)
       .getOrElse(100000L)
 
+  /** The one tier-selection decision (scan, scanPruned, partitionsTable,
+   * FileBloom.compact all route through it — a drifted copy of the
+   * predicate would silently plan on the wrong tier). */
+  def planDistributed(snap: Snapshot): Boolean =
+    PlanScan.estimatedFiles(this, snap) >= distributedPlanThreshold
+
   /** Zonemap scan: skip whole data files whose manifest min/max stats prove
    * they cannot match `preds` (see [[Pruning]]); result rows are identical to
    * `scan(...).filter(Pred.and(preds))` by construction. Plans distributed
@@ -173,7 +179,7 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
   def scanPruned(spark: SparkSession, snapshotId: Long,
                  preds: Seq[Pred]): PrunedScan = {
     val snap = snapshot(snapshotId)
-    if (PlanScan.estimatedFiles(this, snap) >= distributedPlanThreshold)
+    if (planDistributed(snap))
       Pruning.scanDistributed(spark, this, snapshotId, snap, preds)
     else
       Pruning.scan(spark, this, snapshotId, entries(snapshotId), preds)
@@ -323,7 +329,7 @@ class MetaStore(val tableDir: String, val statsColumns: Seq[String],
     // driver entry list.
     val snap = snapshot(snapshotId)
     val rows =
-      if (PlanScan.estimatedFiles(this, snap) >= distributedPlanThreshold)
+      if (planDistributed(snap))
         PlanScan.partitionsFold(spark, this, snap)
       else entries(snapshotId).groupBy(_.partition).map { case (p, fs) =>
         (p, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.sizeBytes).sum,

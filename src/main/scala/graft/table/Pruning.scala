@@ -207,11 +207,16 @@ object Pruning {
   def scanDistributed(spark: SparkSession, store: MetaStore, snapshotId: Long,
                       snap: Snapshot, preds: Seq[Pred]): PrunedScan = {
     val plan = PlanScan.prune(spark, store, snap, preds)
+    // anyEntry must cover BOTH all-pruned shapes: tuple/zonemap pruned
+    // everything (plan.kept empty) AND the bloom tier inside assemble
+    // pruned the zonemap survivors — in the latter case plan.kept is
+    // non-empty and its head is the schema donor (a bare None made
+    // assemble read zero files into a zero-COLUMN frame whose re-applied
+    // predicate then failed analysis)
     assemble(spark, store, snapshotId, preds, plan.kept,
       plan.filesTotal, plan.rowsTotal, plan.filesKeptPartition,
-      anyEntry =
-        if (plan.kept.nonEmpty || plan.filesTotal == 0L) None
-        else PlanScan.anyEntry(store, snap))
+      anyEntry = plan.kept.headOption.orElse(
+        if (plan.filesTotal == 0L) None else PlanScan.anyEntry(store, snap)))
   }
 
   /** Bloom tier + delete-aware read + exact re-filter — everything after

@@ -69,6 +69,24 @@ class PlanDistributedSpec extends AnyFunSuite {
     assert(b.df.count() == 0L)
   }
 
+  test("BLOOM-prunes-everything point probe keeps schema on the " +
+    "distributed tier (zonemaps kept files, bloom dropped them all)") {
+    val (driver, dist) = twinStores("bloomempty")
+    // a key LEXICOGRAPHICALLY INSIDE the per-file clip_id ranges (so the
+    // zonemap tier keeps files) that no row carries (so the bloom tier
+    // prunes the survivors): before the r5 fix the distributed path then
+    // read zero files into a zero-COLUMN frame and the re-applied
+    // predicate failed analysis — the driver path was unaffected
+    val preds = Seq(Pred.EqualTo("clip_id", "clip_000000000010x"))
+    val b = dist.scanCurrentPruned(spark, preds)
+    assert(b.filesTotal > 0)
+    assert(b.filesKeptPartition == b.filesTotal,
+      "tuple tier should not constrain a clip_id probe under a codec/dur spec")
+    assert(b.df.columns.toSeq == driver.scanCurrent(spark).columns.toSeq,
+      "all-pruned probe lost the table schema")
+    assert(b.df.count() == 0L)
+  }
+
   test("distributed pruned scan never resurrects an equality-deleted row") {
     val (driver, dist) = twinStores("deletes")
     import spark.implicits._

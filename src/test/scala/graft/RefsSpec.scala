@@ -243,6 +243,30 @@ class RefsSpec extends AnyFunSuite {
     }
   }
 
+  test("a holder stolen from mid-body re-runs its read-modify-write " +
+    "(lease validation)") {
+    val dir = Files.createTempDirectory("graft-refs-lease-").toString
+    val store = MetaStore.forClips(dir)
+    Append.run(spark, store, ClipSynth.dataset(spark, 4, 1, maxDurMs = 40).toDF())
+    val lock = java.nio.file.Paths.get(store.tableDir, "meta", "refs.lock")
+    var runs = 0
+    Refs.withRefsLock(store) {
+      runs += 1
+      if (runs == 1) {
+        // simulate a thief that stole the lock mid-body and already
+        // released: the holder's token is gone, so its update may have
+        // been clobbered — the lease check must re-run the body
+        Files.write(lock, "thief".getBytes)
+        Files.delete(lock)
+      }
+    }
+    assert(runs == 2, s"lease loss did not re-run the RMW (runs=$runs)")
+    assert(!Files.exists(lock), "re-run did not release its own lock")
+    // the surface still works end-to-end afterwards
+    Refs.tag(store, "after-lease-rerun")
+    assert(Refs.tags(store).contains("after-lease-rerun"))
+  }
+
   test("age-based retention: fresh snapshots are not expirable") {
     val dir = Files.createTempDirectory("graft-age-").toString
     val store = MetaStore.forClips(dir)

@@ -16,7 +16,12 @@ a, b, big = (json.load(open(p)) for p in sys.argv[1:4])
 qa, qb, qs = a["queries"], b["queries"], big["queries"]
 rows = []
 for name in sorted(qs):
-    base = (qa.get(name, 0) + qb.get(name, 0)) / 2
+    if name not in qa or name not in qb:
+        # a missing baseline entry would silently halve/zero the base and
+        # fabricate a superlinearity flag — surface the mismatch instead
+        sys.exit(f"ERROR: {name} missing from a baseline file; "
+                 "re-run both sf0.1 benches at the same bits")
+    base = (qa[name] + qb[name]) / 2
     eff_base = max(base, MIN_BASE_S)
     ratio = qs[name] / eff_base
     rows.append((ratio, name, base, qs[name]))
