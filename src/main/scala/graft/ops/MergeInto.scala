@@ -464,11 +464,17 @@ object MergeInto {
         // CAS-exhaustion case it exists for (r5 review). An unreadable
         // snapshot counts as committed: the safe direction is keeping the
         // widened columns.
+        // the whole probe is guarded: if even the snapshot LISTING throws
+        // (e.g. the same metadata outage that failed the merge), assume
+        // committed — keeping the widened columns is the safe direction,
+        // and the original merge error must not be displaced (r5 review)
         val mergeCommitted = preMergeSnap.exists { pre =>
           val floor = pre.getOrElse(-1L)
-          store.allSnapshotIds.filter(_ > floor).exists { id =>
+          try store.allSnapshotIds.filter(_ > floor).exists { id =>
             try store.snapshot(id).summary.get("runId").contains(runId)
             catch { case scala.util.control.NonFatal(_) => true }
+          } catch { case scala.util.control.NonFatal(le) =>
+            e.addSuppressed(le); true
           }
         }
         if (!mergeCommitted)

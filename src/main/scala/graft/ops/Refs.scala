@@ -22,22 +22,147 @@ final case class RefsFile(tags: Map[String, String],
  * committing its file list as a NEW snapshot (history stays intact; no file
  * is touched). [[ExpireSnapshots]] treats tagged snapshots as GC roots, so a
  * tag pins its files for as long as it exists.
+ *
+ * Durability model: refs state is a chain of immutable version files
+ * (`meta/refs/v<N>.json`), each published by a filesystem compare-and-swap
+ * ([[casWrite]] — hard-link claim of the next version name), so concurrent
+ * read-modify-writes SERIALIZE by construction: the loser's claim fails and
+ * its RMW re-runs against the winner's state ([[rmwRefs]]). The advisory
+ * lock ([[withRefsLock]]) only reduces CAS contention. Tables written
+ * before versioning read their legacy single `refs.json` until the first
+ * mutation migrates them.
  */
 object Refs {
 
   private def refsPath(store: MetaStore) =
     Paths.get(store.tableDir, "meta", "refs.json")
 
-  private def readFile(store: MetaStore): RefsFile = {
-    val p = refsPath(store)
-    if (!Files.exists(p)) RefsFile(Map.empty)
-    else {
-      val f = Json.mapper.readValue[RefsFile](
-        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      // files written before retention existed deserialize it as null
-      if (f.retention == null) f.copy(retention = Map.empty) else f
+  private def refsDir(store: MetaStore) =
+    Paths.get(store.tableDir, "meta", "refs")
+
+  private def parseRefs(bytes: Array[Byte]): RefsFile = {
+    val f = Json.mapper.readValue[RefsFile](
+      new String(bytes, StandardCharsets.UTF_8))
+    // files written before retention existed deserialize it as null
+    if (f.retention == null) f.copy(retention = Map.empty) else f
+  }
+
+  /** Committed version numbers present under meta/refs/, ascending. */
+  private def versionsOf(store: MetaStore): Seq[Long] = {
+    val dir = refsDir(store)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      val it = s.iterator()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json"))
+          n.stripPrefix("v").stripSuffix(".json").toLongOption.foreach(out += _)
+      }
+      out.sorted.toSeq
+    } finally s.close()
+  }
+
+  /** (version, state). Version 0 = no CAS commit yet — state comes from the
+   * legacy single refs.json (or is empty); the first [[casWrite]] migrates
+   * it to v1. Every version file is published complete (hard-link of a
+   * fully written temp), so a parse failure means external damage, not a
+   * torn write — surfaced, same as the legacy path. */
+  private[graft] def readVersioned(store: MetaStore): (Long, RefsFile) =
+    versionsOf(store).lastOption match {
+      case Some(v) =>
+        (v, parseRefs(Files.readAllBytes(refsDir(store).resolve(s"v$v.json"))))
+      case None =>
+        val p = refsPath(store)
+        if (Files.exists(p)) (0L, parseRefs(Files.readAllBytes(p)))
+        else (0L, RefsFile(Map.empty))
+    }
+
+  private def readFile(store: MetaStore): RefsFile = readVersioned(store)._2
+
+  /** Publish `f` as version `expected + 1` IFF no other writer got there
+   * first — a true filesystem compare-and-swap: the content is fully
+   * written to a temp file, then HARD-LINKED to the versioned name, and
+   * link(2) fails atomically with EEXIST when the version already exists.
+   * Exactly one concurrent writer per version wins; losers re-read and
+   * re-run their read-modify-write ([[rmwRefs]]). This is what makes refs
+   * durability independent of the advisory lock: even a mistaken lock
+   * steal (a GC-paused holder evicted past the heartbeat) cannot LOSE an
+   * update — the conflicting writer's CAS fails instead. */
+  private[graft] def casWrite(store: MetaStore, expected: Long,
+                              f: RefsFile): Boolean = {
+    val dir = refsDir(store)
+    Files.createDirectories(dir)
+    val target = dir.resolve(s"v${expected + 1}.json")
+    if (Files.exists(target)) return false
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp,
+      Json.mapper.writeValueAsString(f).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(target, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        // no hard links (exotic fs): claim the version name atomically with
+        // CREATE_NEW, then replace the (briefly empty) claim with the full
+        // content; readers of THIS version between the two steps would
+        // parse-fail, which readVersioned surfaces — acceptable on a
+        // fallback path that never runs on POSIX
+        try {
+          Files.write(target, Array.emptyByteArray,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally {
+      Files.deleteIfExists(tmp)
+      ()
     }
   }
+
+  /** Retire versions well behind `latest` (keep a few for readers that
+   * resolved a version just before a burst of commits). Best-effort. */
+  private def gcVersions(store: MetaStore, latest: Long): Unit =
+    versionsOf(store).filter(_ <= latest - 4).foreach { v =>
+      try Files.deleteIfExists(refsDir(store).resolve(s"v$v.json"))
+      catch { case _: java.io.IOException => () }
+    }
+
+  /** Run a refs read-modify-write with CAS publication: `body` maps the
+   * current state to (Some(newState) to commit | None for read-only, plus
+   * the caller's result). On a lost CAS race the body RE-RUNS against the
+   * winner's state, so no update is ever silently clobbered — the advisory
+   * [[withRefsLock]] wrapper only keeps concurrent writers from burning
+   * retries, it is not load-bearing for correctness. */
+  private[graft] def rmwRefs[A](store: MetaStore)
+                               (body: RefsFile => (Option[RefsFile], A)): A =
+    withRefsLock(store) {
+      var attempts = 0
+      var out: Option[A] = None
+      while (out.isEmpty) {
+        val (v, cur) = readVersioned(store)
+        val (next, result) = body(cur)
+        next match {
+          case None => out = Some(result)
+          case Some(nf) =>
+            if (casWrite(store, v, nf)) {
+              gcVersions(store, v + 1)
+              out = Some(result)
+            } else {
+              attempts += 1
+              if (attempts > 100)
+                sys.error(s"refs CAS: lost $attempts races in a row " +
+                  s"(${store.tableDir}) — giving up rather than spinning")
+              Thread.sleep(1)
+            }
+        }
+      }
+      out.get
+    }
 
   def tags(store: MetaStore): Map[String, Long] =
     readFile(store).tags.map { case (k, v) => k -> v.toLong }
@@ -60,59 +185,39 @@ object Refs {
     sys.props.get("graft.refs.lockStaleMs").map(_.toLong).getOrElse(30000L)
 
   /**
-   * Serialize every refs.json read-modify-write (tag / deleteTag /
-   * expireTags) with an O_EXCL lock file next to refs.json — the same
-   * cross-process primitive as the snapshot commit claim. Without it a
-   * concurrent `tag()` landing between an expiry pass's read and its
-   * atomic-rename write was silently lost, and the snapshot that tag pinned
-   * could be GC'd by the SAME expiry pass (data deletion, not just a lost
-   * ref). Crash recovery: a waiter may steal a lock ONLY when the lock
-   * file's own mtime is stale (not when the waiter has waited long — ADVICE
-   * r4: the old waiter-deadline steal could evict a live holder on every
-   * retry), the steal is claimed by atomic rename so exactly one stealer
-   * wins AND the claimed file's content must still be the token the waiter
-   * observed as stale — a fresh lock recreated between the stat and the
-   * move is restored, not destroyed (r5 review: without this, two waiters
-   * past the same stale observation could leapfrog-steal each other's
-   * fresh locks). A heartbeat thread refreshes the holder's mtime so a
-   * slow live holder is never evicted, and the finally-path deletes the
-   * lock only if it still carries this holder's token. Defense in depth:
-   * the lock is treated as a LEASE — after the body runs, the holder
-   * verifies its token is still in place; if it was stolen mid-body (only
-   * reachable through a further sub-race of the restore path), the
-   * read-modify-write re-runs under a fresh acquisition so the update a
-   * concurrent winner may have clobbered is re-applied. All bodies are
-   * pure refs.json read-modify-writes, so re-running is safe.
+   * ADVISORY serialization of refs mutators (tag / deleteTag / expireTags)
+   * with an O_EXCL lock file — a contention reducer, NOT the correctness
+   * mechanism: durability is carried by [[casWrite]]'s version CAS, so even
+   * a wrongly-stolen lock (a GC-paused holder evicted past its heartbeat —
+   * the irreducible failure mode of any mtime lease, r5 review) cannot lose
+   * an update; the two writers' CAS attempts conflict and the loser re-runs.
+   * Crash recovery: a waiter may steal a lock ONLY when the lock file's own
+   * mtime is stale (not when the waiter has waited long — ADVICE r4), the
+   * steal is claimed by atomic rename so exactly one stealer wins AND the
+   * claimed file's content must still be the token the waiter observed as
+   * stale — a fresh lock recreated between the stat and the move is
+   * restored, not destroyed (r5 review: without this, two waiters past the
+   * same stale observation could leapfrog-steal each other's fresh locks).
+   * A shared heartbeat refreshes the holder's mtime so a slow live holder
+   * is never evicted, and the finally-path deletes the lock only if it
+   * still carries this holder's token.
    */
   private[graft] def withRefsLock[A](store: MetaStore)(body: => A): A = {
     val lock = Paths.get(store.tableDir, "meta", "refs.lock")
     Files.createDirectories(lock.getParent)
-    var attempt = 0
-    while (true) {
-      val token = java.util.UUID.randomUUID().toString
-      acquire(lock, token)
-      val beat = startHeartbeat(lock)
-      var result: Option[A] = None
-      try result = Some(body) finally {
-        beat.cancel(false)
-        val stillOwn =
-          try Files.exists(lock) &&
+    val token = java.util.UUID.randomUUID().toString
+    acquire(lock, token)
+    val beat = startHeartbeat(lock)
+    try body finally {
+      beat.cancel(false)
+      try {
+        if (Files.exists(lock) &&
             new String(Files.readAllBytes(lock),
-              StandardCharsets.UTF_8) == token
-          catch { case _: java.io.IOException => false }
-        if (stillOwn)
-          try Files.deleteIfExists(lock)
-          catch { case _: java.io.IOException => () }
-        // stolen mid-body on a SUCCESSFUL body → loop re-runs it (a body
-        // that threw propagates from this finally's enclosing try as usual)
-        if (result.isDefined && !stillOwn && attempt < 5) result = None
-      }
-      result match {
-        case Some(a) => return a
-        case None => attempt += 1 // lease lost: re-acquire and re-run
-      }
+              StandardCharsets.UTF_8) == token)
+          Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+      ()
     }
-    sys.error("unreachable")
   }
 
   /** O_EXCL create, with token-revalidated stale-steal (scaladoc above). */
@@ -125,21 +230,31 @@ object Refs {
         held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val (ageMs, observed) =
-            try {
-              val a = System.currentTimeMillis() -
-                Files.getLastModifiedTime(lock).toMillis
-              val c = new String(Files.readAllBytes(lock),
-                StandardCharsets.UTF_8)
-              (a, c)
-            } catch { case _: java.io.IOException => (-1L, "") } // gone → retry
+          val ageMs =
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.io.IOException => -1L } // gone → retry create
           if (ageMs > staleLockMs) {
+            // content read deferred to here: the 2 ms contention poll needs
+            // only the stat; per-poll readAllBytes would be pure I/O waste
+            // (r5 review)
+            val observed =
+              try new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+              catch { case _: java.io.IOException => "" }
+            // re-confirm staleness AFTER the content read: a fresh lock
+            // replacing the stale one between the first stat and the read
+            // would otherwise be observed as its own content and pass the
+            // claimed==observed check below
+            val stillStale =
+              try System.currentTimeMillis() -
+                Files.getLastModifiedTime(lock).toMillis > staleLockMs
+              catch { case _: java.io.IOException => false }
             // claim the stale lock via atomic rename: the one waiter whose
             // move succeeds owns the claim; losers see IOException and
             // re-loop. The claim is deleted ONLY if it is still the file
             // observed stale — a fresh lock that raced in is moved back.
             val claim = lock.resolveSibling(s"refs.lock.stale-${token.take(8)}")
-            try {
+            if (stillStale) try {
               Files.move(lock, claim,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
               val claimed = new String(Files.readAllBytes(claim),
@@ -147,8 +262,8 @@ object Refs {
               if (claimed == observed) Files.deleteIfExists(claim)
               else
                 // we grabbed a LIVE lock recreated after our stat: put it
-                // back (its holder's lease check covers the sub-race where
-                // a third waiter locked in between)
+                // back (the refs CAS covers the sub-race where a third
+                // waiter locked in between — no update can be lost)
                 try Files.move(claim, lock,
                   java.nio.file.StandardCopyOption.ATOMIC_MOVE)
                 catch { case _: java.io.IOException =>
@@ -165,12 +280,18 @@ object Refs {
    * far under the first beat interval, so per-mutation thread
    * create/start/interrupt would be pure overhead (r5 review) — a
    * scheduled task that is cancelled before it ever fires costs ~nothing. */
-  private lazy val beatPool =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+  private lazy val beatPool = {
+    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(1, { r =>
       val t = new Thread(r, "graft-refs-lock-heartbeat")
       t.setDaemon(true)
       t
-    }
+    }: java.util.concurrent.ThreadFactory)
+    // a hot mutation loop cancels thousands of never-fired beats; without
+    // this they linger in the delay queue until their first fire time
+    // (r5 review)
+    p.setRemoveOnCancelPolicy(true)
+    p
+  }
 
   private def startHeartbeat(
       lock: java.nio.file.Path): java.util.concurrent.ScheduledFuture[_] = {
@@ -181,20 +302,6 @@ object Refs {
           System.currentTimeMillis()))
       catch { case _: java.io.IOException => () } // lock vanished (stolen)
     }, beatMs, beatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-  }
-
-  /** Temp + atomic rename (the CURRENT / evolutions.json pattern): a torn
-   * refs.json would make [[tags]] throw, which blocks ExpireSnapshots (tags
-   * are GC roots) and every tag/rollback/publish-by-tag until repaired. */
-  private def write(store: MetaStore, f: RefsFile): Unit = {
-    val p = refsPath(store)
-    val tmp = p.resolveSibling(
-      s"refs.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp,
-      Json.mapper.writeValueAsString(f).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Tag `snapshotId` (default: current) as `name`; overwrites an existing
@@ -212,39 +319,36 @@ object Refs {
     val id = if (snapshotId >= 0) snapshotId
       else store.currentSnapshotId.getOrElse(sys.error("tag: empty table"))
     require(store.allSnapshotIds.contains(id), s"tag: no snapshot $id")
-    withRefsLock(store) {
-      val f = readFile(store)
+    rmwRefs(store) { f =>
       val ret =
         if (maxRefAgeMs > 0L)
           f.retention + (name -> s"${System.currentTimeMillis()},$maxRefAgeMs")
         else if (maxRefAgeMs == 0L) f.retention - name
         else f.retention // keep-existing sentinel
-      write(store, RefsFile(f.tags + (name -> id.toString), ret))
+      (Some(RefsFile(f.tags + (name -> id.toString), ret)), ())
     }
     id
   }
 
   def deleteTag(store: MetaStore, name: String): Unit =
-    withRefsLock(store) {
-      val f = readFile(store)
-      write(store, RefsFile(f.tags - name, f.retention - name))
+    rmwRefs(store) { f =>
+      (Some(RefsFile(f.tags - name, f.retention - name)), ())
     }
 
   /** Drop every tag whose age exceeds its declared maxRefAgeMs; returns the
    * dropped names. Permanent tags (no retention entry) never expire. */
   def expireTags(store: MetaStore,
                  nowMs: Long = System.currentTimeMillis()): Seq[String] =
-    withRefsLock(store) {
-      val f = readFile(store)
+    rmwRefs(store) { f =>
       val expired = f.retention.flatMap { case (k, v) =>
         v.split(",") match {
           case Array(c, a) if nowMs - c.toLong > a.toLong => Some(k)
           case _ => None
         }
       }.toSeq.sorted
-      if (expired.nonEmpty)
-        write(store, RefsFile(f.tags -- expired, f.retention -- expired))
-      expired
+      (if (expired.isEmpty) None
+       else Some(RefsFile(f.tags -- expired, f.retention -- expired)),
+        expired)
     }
 
   def snapshotFor(store: MetaStore, name: String): Long =

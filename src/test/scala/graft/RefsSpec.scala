@@ -243,28 +243,34 @@ class RefsSpec extends AnyFunSuite {
     }
   }
 
-  test("a holder stolen from mid-body re-runs its read-modify-write " +
-    "(lease validation)") {
-    val dir = Files.createTempDirectory("graft-refs-lease-").toString
+  test("refs version-CAS: a conflicting commit between read and write " +
+    "re-runs the RMW — neither update is lost") {
+    val dir = Files.createTempDirectory("graft-refs-cas-").toString
     val store = MetaStore.forClips(dir)
     Append.run(spark, store, ClipSynth.dataset(spark, 4, 1, maxDurMs = 40).toDF())
-    val lock = java.nio.file.Paths.get(store.tableDir, "meta", "refs.lock")
-    var runs = 0
-    Refs.withRefsLock(store) {
-      runs += 1
-      if (runs == 1) {
-        // simulate a thief that stole the lock mid-body and already
-        // released: the holder's token is gone, so its update may have
-        // been clobbered — the lease check must re-run the body
-        Files.write(lock, "thief".getBytes)
-        Files.delete(lock)
+    Refs.tag(store, "base") // migrates legacy/empty state to v1
+    var calls = 0
+    Refs.rmwRefs(store) { cur =>
+      calls += 1
+      if (calls == 1) {
+        // a conflicting writer (e.g. one that wrongly stole the advisory
+        // lock — the irreducible mtime-lease failure mode) lands AFTER our
+        // read: it claims the next version, so OUR casWrite must lose and
+        // the body must re-run against the thief's state
+        val (v, c) = Refs.readVersioned(store)
+        assert(Refs.casWrite(store, v,
+          c.copy(tags = c.tags + ("thief" -> "1"))), "conflict seed failed")
       }
+      (Some(cur.copy(tags = cur.tags + ("mine" -> "1"))), ())
     }
-    assert(runs == 2, s"lease loss did not re-run the RMW (runs=$runs)")
-    assert(!Files.exists(lock), "re-run did not release its own lock")
-    // the surface still works end-to-end afterwards
-    Refs.tag(store, "after-lease-rerun")
-    assert(Refs.tags(store).contains("after-lease-rerun"))
+    assert(calls == 2, s"lost CAS race did not re-run the RMW (calls=$calls)")
+    val t = Refs.tags(store)
+    assert(t.contains("thief") && t.contains("mine") && t.contains("base"),
+      s"an update was lost: $t")
+    // double-claim of one version: exactly one writer wins
+    val (v, c) = Refs.readVersioned(store)
+    assert(Refs.casWrite(store, v, c))
+    assert(!Refs.casWrite(store, v, c), "second claim of one version won")
   }
 
   test("age-based retention: fresh snapshots are not expirable") {
