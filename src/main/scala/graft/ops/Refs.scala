@@ -69,15 +69,29 @@ object Refs {
    * it to v1. Every version file is published complete (hard-link of a
    * fully written temp), so a parse failure means external damage, not a
    * torn write — surfaced, same as the legacy path. */
-  private[graft] def readVersioned(store: MetaStore): (Long, RefsFile) =
-    versionsOf(store).lastOption match {
-      case Some(v) =>
-        (v, parseRefs(Files.readAllBytes(refsDir(store).resolve(s"v$v.json"))))
-      case None =>
-        val p = refsPath(store)
-        if (Files.exists(p)) (0L, parseRefs(Files.readAllBytes(p)))
-        else (0L, RefsFile(Map.empty))
+  private[graft] def readVersioned(store: MetaStore): (Long, RefsFile) = {
+    var attempt = 0
+    while (true) {
+      versionsOf(store).lastOption match {
+        case Some(v) =>
+          // the listed TOP version can only vanish if 4+ newer commits land
+          // between the list and this read (gcVersions' keep window) — an
+          // astronomically narrow race, but a reader must re-list rather
+          // than crash on it
+          try return (v,
+            parseRefs(Files.readAllBytes(refsDir(store).resolve(s"v$v.json"))))
+          catch {
+            case _: java.nio.file.NoSuchFileException if attempt < 20 =>
+              attempt += 1
+          }
+        case None =>
+          val p = refsPath(store)
+          return if (Files.exists(p)) (0L, parseRefs(Files.readAllBytes(p)))
+          else (0L, RefsFile(Map.empty))
+      }
     }
+    sys.error("unreachable")
+  }
 
   private def readFile(store: MetaStore): RefsFile = readVersioned(store)._2
 
